@@ -1,0 +1,24 @@
+"""Nereus-TPU: a TPU-native SPH fluid-simulation framework.
+
+A ground-up JAX/XLA rebuild of the capabilities of Mathiasb17/Nereus
+(CUDA WCSPH / IISPH / PCISPH with Akinci boundary particles), designed for
+TPU: static shapes, one fully-jitted step with zero host sync, sorted
+9-segment neighbor gathers, `lax.while_loop` pressure solvers, and
+`shard_map`/`ppermute` domain sharding for multi-chip scaling.
+"""
+
+from .params import (KernelSet, SimConfig, SimParams, SurfaceTensionModel,
+                     iisph_params, make_params, pcisph_params)
+from .grid import Grid, fit_grid, make_grid
+from .state import BoundaryData, FluidState, make_fluid_state
+from .solvers.wcsph import wcsph_step, tait_pressure, cfl_dt
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "KernelSet", "SimConfig", "SimParams", "SurfaceTensionModel",
+    "iisph_params", "make_params", "pcisph_params",
+    "Grid", "fit_grid", "make_grid",
+    "BoundaryData", "FluidState", "make_fluid_state",
+    "wcsph_step", "tait_pressure", "cfl_dt",
+]

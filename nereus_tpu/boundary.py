@@ -1,0 +1,139 @@
+"""Akinci-2012 boundary particle sampling and per-particle volumes.
+
+Native rebuild of the reference's external ``sph_boundary_particles``
+submodule (not checked out there; API known from its call sites,
+``main.cpp:25-26,545-546``):
+
+* :func:`sample_box` ≈ ``sample_spheres::ss::sampleBox(bi, min, max, radius)``
+  — sample the *surface* of an axis-aligned box with spheres of the given
+  radius (here: a regular lattice of spacing 2·radius over the six faces,
+  edges/corners deduplicated).
+* :func:`compute_vbi` ≈ ``boundary_forces::getVbi(vbi, bi, ir)`` — the Akinci
+  per-boundary-particle volume V_bi = 1 / Σ_k W(b_i − b_k) over boundary
+  neighbors within the interaction radius; the solvers then use
+  ψ_bi = ρ₀ · V_bi (use sites ``sph_kernel_impl.cuh:349,573``).
+
+These are one-time host-side precomputations (the reference builds boundary
+structures once, ``sph/sph.cpp:391-432``); a C++ implementation with the same
+semantics lives in ``native/`` for large boundary sets, with this NumPy/JAX
+path as the always-available reference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import grid as gridlib
+from .kernels import w_poly6, w_monaghan
+from .params import KernelSet, SimParams
+from .state import BoundaryData
+
+
+def _face_lattice(lo, hi, spacing):
+    """Points of a regular lattice covering [lo, hi]² ... per-axis ranges."""
+    axes = []
+    for a, b in zip(lo, hi):
+        n = max(int(np.floor((b - a) / spacing + 1e-9)) + 1, 2)
+        axes.append(np.linspace(a, b, n))
+    return axes
+
+
+def sample_box(box_min, box_max, radius):
+    """Sample the surface of an AABB with boundary spheres.
+
+    Returns (M, 3) float64 positions on a lattice of spacing 2·radius over
+    all six faces (the demo call: ``ss::sampleBox(bi, (-1,-1,-1), (3,3,3),
+    0.02)``, ``main.cpp:545``).
+    """
+    box_min = np.asarray(box_min, dtype=np.float64)
+    box_max = np.asarray(box_max, dtype=np.float64)
+    spacing = 2.0 * float(radius)
+    ax = _face_lattice(box_min, box_max, spacing)
+    pts = []
+    for axis in range(3):
+        u, v = [i for i in range(3) if i != axis]
+        uu, vv = np.meshgrid(ax[u], ax[v], indexing="ij")
+        for side_val in (box_min[axis], box_max[axis]):
+            face = np.empty(uu.shape + (3,))
+            face[..., axis] = side_val
+            face[..., u] = uu
+            face[..., v] = vv
+            pts.append(face.reshape(-1, 3))
+    pts = np.concatenate(pts, axis=0)
+    # Deduplicate edge/corner points shared between faces.
+    pts = np.unique(np.round(pts / (spacing * 1e-6)).astype(np.int64), axis=0) \
+        * (spacing * 1e-6)
+    return pts
+
+
+def compute_vbi(positions, interaction_radius,
+                kernel_set: KernelSet = KernelSet.MULLER):
+    """Akinci boundary volumes V_bi = 1 / Σ_k W(b_i − b_k), |b_i − b_k| < h.
+
+    Host-side precompute over the static boundary set (one-time cost), done
+    with an O(M·27·occupancy) cell-binned pass in NumPy.
+    """
+    pos = np.asarray(positions, dtype=np.float64)
+    h = float(interaction_radius)
+    m = pos.shape[0]
+    if m == 0:
+        return np.zeros((0,), dtype=np.float64)
+
+    if kernel_set == KernelSet.MULLER:
+        kpoly = 315.0 / (64.0 * np.pi * h**9)
+
+        def w(r2):
+            d = np.maximum(h * h - r2, 0.0)
+            return kpoly * d**3
+    else:
+        sigma = 1.0 / (4.0 * np.pi * h**3)
+
+        def w(r2):
+            q = np.sqrt(r2) / h
+            a = np.maximum(2.0 - q, 0.0)
+            b = np.maximum(1.0 - q, 0.0)
+            return sigma * (a**3 - 4.0 * b**3)
+
+    # Cell-bin at spacing h, then sum over the 27-cell neighborhood.
+    coords = np.floor((pos - pos.min(axis=0)) / h).astype(np.int64)
+    from collections import defaultdict
+    cells = defaultdict(list)
+    for i, c in enumerate(map(tuple, coords)):
+        cells[c].append(i)
+    wsum = np.zeros(m)
+    for c, idx in cells.items():
+        idx = np.asarray(idx)
+        neigh = []
+        for dz in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    neigh.extend(cells.get((c[0] + dx, c[1] + dy, c[2] + dz), ()))
+        neigh = np.asarray(neigh)
+        d = pos[idx][:, None, :] - pos[neigh][None, :, :]
+        r2 = np.sum(d * d, axis=-1)
+        contrib = np.where(r2 < h * h, w(r2), 0.0)
+        wsum[idx] = contrib.sum(axis=1)
+    return 1.0 / np.maximum(wsum, 1e-12)
+
+
+def build_boundary(grid, positions, vbi, rest_density,
+                   dtype=jnp.float32) -> BoundaryData:
+    """Hash-sort the static boundary set once (``updateGpuBoundaries``,
+    ``sph/sph.cpp:391-432``) and bake ψ = ρ₀ · V_bi."""
+    pos = jnp.asarray(np.asarray(positions), dtype=dtype)
+    psi = jnp.asarray(float(rest_density) * np.asarray(vbi), dtype=dtype)
+    h = gridlib.hash_positions(grid, pos)
+    sorted_hash, _, (pos_s, psi_s) = gridlib.sort_by_hash(h, pos, psi)
+    return BoundaryData(pos=pos_s, psi=psi_s, sorted_hash=sorted_hash)
+
+
+def box_boundary(grid_or_none, box_min, box_max, radius, params: SimParams,
+                 kernel_set: KernelSet = KernelSet.MULLER,
+                 grid=None, dtype=jnp.float32) -> BoundaryData:
+    """Convenience: sample an AABB shell and build BoundaryData (demo scene,
+    ``main.cpp:541-553``)."""
+    g = grid if grid is not None else grid_or_none
+    pts = sample_box(box_min, box_max, radius)
+    vbi = compute_vbi(pts, float(params.interaction_radius), kernel_set)
+    return build_boundary(g, pts, vbi, float(params.rest_density), dtype=dtype)

@@ -1,0 +1,204 @@
+"""Simulation parameters for the Nereus-TPU SPH framework.
+
+TPU-native analogue of the reference's single POD parameter block
+(``common/sph_kernel.cuh:13-59``, struct SphSimParams) that the CUDA build
+uploads to ``__constant__`` memory before every step (``sph/sph_cuda.cu:183-187``).
+
+Here the split is idiomatic JAX:
+
+* :class:`SimConfig` — *static* (hashable) compile-time switches. These mirror
+  the reference's CMake-injected ``#define``s (``CMakeLists.txt:25-28``):
+  ``KERNEL_SET`` (Monaghan vs Müller), ``USE_SURFACE_TENSION``,
+  ``DOUBLE_PRECISION`` — plus the static capacities a static-shape program
+  needs (candidate-window size, solver iteration caps).
+* :class:`SimParams` — a pytree of scalars traced into ``jit``, so physics
+  parameters (dt, stiffness, gravity, ...) can change without recompilation.
+  Derived smoothing-kernel normalisation constants are precomputed on the host
+  exactly like the reference does at construction (``sph/sph.cpp:73-86``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class KernelSet(enum.Enum):
+    """Smoothing-kernel family switch (reference: ``common/common.h:14-15``)."""
+
+    MONAGHAN = 0
+    MULLER = 1
+
+
+class SurfaceTensionModel(enum.Enum):
+    """Which surface-tension formulation the force pass uses.
+
+    The reference hard-wires an inline Becker-style term
+    (``sph/sph_kernel_impl.cuh:535-546``) behind ``USE_SURFACE_TENSION``; its
+    Akinci cohesion kernels exist but are dead code
+    (``common/kernels_impl.cuh:208-247``). We implement both as live options.
+    """
+
+    NONE = 0
+    BECKER = 1
+    AKINCI = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Static compilation switches. Hashable; closed over by jit."""
+
+    kernel_set: KernelSet = KernelSet.MULLER
+    surface_tension_model: SurfaceTensionModel = SurfaceTensionModel.BECKER
+    dtype: jnp.dtype = jnp.float32
+    # Candidate-window size per 3-cell row segment (static shape for the
+    # 27-cell gather; see ops/neighbors.py). Must be >= the longest run of
+    # particles in any 3 consecutive x-cells; overflow is detected at runtime.
+    seg_window: int = 32
+    # Same, for gathers against the static boundary-particle set.
+    boundary_seg_window: int = 48
+    # IISPH relaxed-Jacobi caps (the reference's host loop has no max;
+    # ``sph/sph_cuda.cu:736-741`` enforces min 2 iterations).
+    iisph_min_iters: int = 2
+    iisph_max_iters: int = 100
+    # PCISPH predictive-corrective iteration count (reference intended this
+    # loop but left it a stub: ``sph/sph_cuda.cu:944-952``).
+    pcisph_min_iters: int = 3
+    pcisph_max_iters: int = 100
+
+    def __post_init__(self):
+        object.__setattr__(self, "dtype", jnp.dtype(self.dtype))
+
+    def __hash__(self):
+        return hash((self.kernel_set, self.surface_tension_model,
+                     str(self.dtype), self.seg_window, self.boundary_seg_window,
+                     self.iisph_min_iters, self.iisph_max_iters,
+                     self.pcisph_min_iters, self.pcisph_max_iters))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SimParams:
+    """Dynamic physics parameters — a pytree of scalars traced into jit.
+
+    Field-for-field analogue of ``SphSimParams`` (``common/sph_kernel.cuh:13-59``)
+    minus the grid block (which lives in :class:`nereus_tpu.grid.Grid`).
+    """
+
+    gas_stiffness: jax.Array      # Tait EOS k            (sph.cpp:37)
+    rest_density: jax.Array       # rho0                  (sph.cpp:38)
+    particle_radius: jax.Array    #                       (sph.cpp:39)
+    dt: jax.Array                 # timestep              (sph.cpp:40)
+    viscosity: jax.Array          #                       (sph.cpp:41)
+    surface_tension: jax.Array    # kappa                 (sph.cpp:42)
+    gravity: jax.Array            # (3,)                  (sph.cpp:44-47)
+    interaction_radius: jax.Array # smoothing length h    (sph.cpp:49)
+    particle_mass: jax.Array      #                       (sph.cpp:50)
+    beta: jax.Array               # boundary adhesion     (sph.cpp:52)
+    sound_speed: jax.Array        #                       (sph.cpp:57-60)
+    # Precomputed smoothing-kernel normalisation constants (sph.cpp:73-86).
+    kpoly: jax.Array
+    kpoly_grad: jax.Array
+    kpress_grad: jax.Array
+    kvisc_grad: jax.Array
+    kvisc_denum: jax.Array
+    ksurf1: jax.Array
+    ksurf2: jax.Array
+    bpol: jax.Array
+
+
+def make_params(
+    *,
+    gas_stiffness: float = 800.0,
+    rest_density: float = 1000.0,
+    particle_radius: float = 0.02,
+    dt: float = 1e-3,
+    viscosity: float = 0.005,
+    surface_tension: float = 0.01,
+    gravity: Tuple[float, float, float] = (0.0, -9.81, 0.0),
+    interaction_radius: float = 0.0457,
+    particle_mass: float | None = None,
+    mass_factor: float = 0.5,
+    beta: float = 450.0,
+    sound_speed: float | None = None,
+    dtype=jnp.float32,
+) -> SimParams:
+    """Build :class:`SimParams` with WCSPH defaults (``sph/sph.cpp:29-93``).
+
+    ``particle_mass`` defaults to ``mass_factor * h**3 * rho0`` (sph.cpp:50;
+    PCISPH uses mass_factor=1.0, ``sph/pcisph/pcisph.cpp:49``). The default
+    ``sound_speed`` follows the WCSPH eta/H derivation at ``sph.cpp:57-60``.
+    Kernel normalisations are precomputed in float64 on the host, then cast.
+    """
+    h = float(interaction_radius)
+    if particle_mass is None:
+        particle_mass = mass_factor * h**3 * rest_density
+    if sound_speed is None:
+        eta, height = 0.01, 0.1
+        vf = math.sqrt(2.0 * 9.81 * height)
+        sound_speed = vf / math.sqrt(eta)
+
+    pi = math.pi
+    consts = dict(
+        kpoly=315.0 / (64.0 * pi * h**9),
+        kpoly_grad=-945.0 / (32.0 * pi * h**9),
+        kpress_grad=-45.0 / (pi * h**6),
+        kvisc_grad=15.0 / (2.0 * pi * h**3),
+        kvisc_denum=2.0 * h**3,
+        ksurf1=32.0 / (pi * h**9),
+        ksurf2=h**6 / 64.0,
+        bpol=0.007 / h**3.25,
+    )
+
+    def s(x):
+        return jnp.asarray(x, dtype=dtype)
+
+    return SimParams(
+        gas_stiffness=s(gas_stiffness),
+        rest_density=s(rest_density),
+        particle_radius=s(particle_radius),
+        dt=s(dt),
+        viscosity=s(viscosity),
+        surface_tension=s(surface_tension),
+        gravity=s(np.asarray(gravity)),
+        interaction_radius=s(h),
+        particle_mass=s(particle_mass),
+        beta=s(beta),
+        sound_speed=s(sound_speed),
+        **{k: s(v) for k, v in consts.items()},
+    )
+
+
+def iisph_params(**overrides) -> SimParams:
+    """IISPH default parameter set (``sph/iisph/iisph.cpp:37-80``)."""
+    defaults = dict(
+        viscosity=0.01,
+        surface_tension=0.01,
+        interaction_radius=0.0537,
+        beta=1050.0,
+        mass_factor=0.5,
+    )
+    defaults.update(overrides)
+    return make_params(**defaults)
+
+
+def pcisph_params(**overrides) -> SimParams:
+    """PCISPH default parameter set (``sph/pcisph/pcisph.cpp:37-80``).
+
+    Note the reference's PCISPH mass has no 0.5 factor (pcisph.cpp:49).
+    """
+    defaults = dict(
+        viscosity=0.005,
+        surface_tension=0.0001,
+        interaction_radius=0.0537,
+        beta=650.0,
+        mass_factor=1.0,
+    )
+    defaults.update(overrides)
+    return make_params(**defaults)

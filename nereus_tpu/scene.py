@@ -1,0 +1,65 @@
+"""Scene construction: particle seeding and canonical demo scenes.
+
+Rebuilds the reference's host-side seeding (``SPH::generateParticleCube`` /
+``addNewParticle``, ``sph/sph.cpp:341-386``) and the demo scene of
+``main.cpp:533-555`` (IISPH + 0.5³ fluid cube + box boundary shell).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import boundary as bnd
+from . import grid as gridlib
+from .params import SimConfig, SimParams
+from .state import BoundaryData, FluidState, make_fluid_state
+
+
+def particle_cube(center, size, spacing):
+    """Lattice of particles filling an axis-aligned cube.
+
+    Mirrors ``generateParticleCube`` (``sph/sph.cpp:373-386``): inclusive
+    loops from center−size/2 to center+size/2 at the given spacing (the demo
+    uses spacing = interactionRadius − 0.005, ``sph.cpp:375``).
+    """
+    center = np.asarray(center, dtype=np.float64)
+    size = np.asarray(size, dtype=np.float64)
+    axes = [np.arange(c - s / 2.0, c + s / 2.0 + spacing * 0.5, spacing)
+            for c, s in zip(center, size)]
+    xx, yy, zz = np.meshgrid(*axes, indexing="ij")
+    return np.stack([xx.ravel(), yy.ravel(), zz.ravel()], axis=-1)
+
+
+def dam_break(params: SimParams, cfg: SimConfig, *,
+              n_target: int | None = None,
+              cube_center=(-0.4, 0.04, 0.5),
+              cube_size=(0.5, 0.5, 0.5),
+              box_min=(-1.0, -1.0, -1.0),
+              box_max=(3.0, 3.0, 3.0),
+              with_boundary: bool = True,
+              capacity: int | None = None,
+              boundary_radius: float = 0.02):
+    """The demo scene (``main.cpp:533-555``): a fluid cube inside a boundary
+    box. If ``n_target`` is given, the cube is scaled (at fixed spacing) to
+    hit roughly that particle count — used by the staged BASELINE configs.
+
+    Returns ``(state, grid, boundary_or_none)``.
+    """
+    spacing = float(params.interaction_radius) - 0.005
+    if n_target is not None:
+        side = spacing * (n_target ** (1.0 / 3.0))
+        cube_size = (side, side, side)
+        lo = np.minimum(np.asarray(cube_center) - side / 2.0 - 4 * spacing,
+                        np.asarray(box_min))
+        hi = np.maximum(np.asarray(cube_center) + side / 2.0 + 4 * spacing,
+                        np.asarray(box_max))
+        box_min, box_max = tuple(lo), tuple(hi)
+    pts = particle_cube(cube_center, cube_size, spacing)
+    grid = gridlib.fit_grid(box_min, box_max, float(params.interaction_radius),
+                            dtype=cfg.dtype)
+    state = make_fluid_state(pts, capacity=capacity, dtype=cfg.dtype)
+    boundary = None
+    if with_boundary:
+        boundary = bnd.box_boundary(grid, box_min, box_max, boundary_radius,
+                                    params, cfg.kernel_set, dtype=cfg.dtype)
+    return state, grid, boundary

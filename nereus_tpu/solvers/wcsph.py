@@ -1,0 +1,144 @@
+"""Weakly-compressible SPH (state-equation / Tait EOS) solver.
+
+TPU-native rebuild of the reference's base solver ``Nereus::SPH``
+(``sph/sph.h:23``, step pipeline ``SPH::update`` at ``sph/sph.cpp:215-285``).
+One step = one jit-compiled function: hash → sort → density+EOS → forces →
+symplectic Euler, with **zero host synchronisation** (the reference round-trips
+the full particle state over PCIe every step, ``sph.cpp:233-234,283-284``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import grid as gridlib
+from .. import kernels as K
+from ..ops.neighbors import masked
+from ..params import SimConfig, SimParams
+from ..state import BoundaryData, FluidState
+from . import common
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class StepDiagnostics:
+    """On-device per-step diagnostics (replaces the reference's ad-hoc
+    host-side probes: ``maxDensity`` prints, FPS title bar)."""
+
+    max_density: jax.Array
+    mean_density_error: jax.Array   # mean |rho - rho0| / rho0 over active
+    seg_overflow: jax.Array         # >0 → SimConfig windows too small
+    solver_iters: jax.Array         # pressure-solver iterations (IISPH/PCISPH)
+
+
+def tait_pressure(dens, params: SimParams):
+    """Tait EOS p = k((ρ/ρ₀)⁷ − 1) (``sph_kernel_impl.cuh:426``).
+
+    Like the reference, negative pressures are *not* clamped here.
+    """
+    ratio = dens / params.rest_density
+    r2 = ratio * ratio
+    return params.gas_stiffness * (r2 * r2 * r2 * ratio - 1.0)
+
+
+def compute_pressure_force(ctx: common.NeighborCtx, params: SimParams,
+                           cfg: SimConfig, boundary: Optional[BoundaryData],
+                           dens, pres):
+    """Symmetric WCSPH pressure force.
+
+    Net semantics of the fpres accumulation in ``computeCellForces``
+    (``sph_kernel_impl.cuh:528``, boundary term ``:594``) after the
+    ``computeForces`` scalings (``:664,669`` — ·ρ_i then ·(−m/ρ_i)):
+
+      F_p = −m Σ_j m (p_i/ρ_i² + p_j/ρ_j²) ∇W_press(r_ij)
+            + m Σ_b m ψ_b (p_i/ρ_i²) ∇W_dflt(r_ib)
+
+    (The boundary pressure term uses the default/poly6 gradient in the
+    reference, not the spiky one — reproduced.)
+    """
+    pos = ctx.state.pos
+    n = pos.shape[0]
+    ir = params.interaction_radius
+    pm = params.particle_mass
+    dens_safe = jnp.maximum(dens, 1e-12)
+
+    def pair(i, j, valid):
+        rij = i["pos"][:, None, :] - j["pos"]
+        dist2 = jnp.sum(rij * rij, axis=-1)
+        ok = valid & (dist2 < ir * ir)
+        grad = K.w_pressure_grad(cfg.kernel_set, rij, params)
+        coef = pm * (i["p_over_d2"][:, None] + j["p_over_d2"])
+        return {"fp": masked(ok, coef[..., None] * grad)}
+
+    p_over_d2 = pres / (dens_safe * dens_safe)
+    acc = common.fluid_reduce(
+        ctx, pair, {"fp": jnp.zeros((n, 3), cfg.dtype)},
+        {"pos": pos, "p_over_d2": p_over_d2},
+        {"pos": pos, "p_over_d2": p_over_d2}, cfg)
+
+    def bpair(i, j, valid):
+        rij = i["pos"][:, None, :] - j["pos"]
+        dist2 = jnp.sum(rij * rij, axis=-1)
+        ok = valid & (dist2 < ir * ir)
+        grad = K.w_default_grad(cfg.kernel_set, rij, params)
+        coef = -pm * j["psi"] * i["p_over_d2"][:, None]
+        return {"fp": masked(ok, coef[..., None] * grad)}
+
+    acc = common.boundary_reduce(ctx, boundary, bpair, acc,
+                                 {"pos": pos, "p_over_d2": p_over_d2}, cfg)
+    return -pm * acc["fp"]
+
+
+def wcsph_step(state: FluidState, params: SimParams, grid: gridlib.Grid,
+               cfg: SimConfig, boundary: Optional[BoundaryData] = None):
+    """One WCSPH step (``SPH::update``, ``sph/sph.cpp:215-285``).
+
+    Returns ``(new_state, StepDiagnostics)``; the new state is in hash-sorted
+    order (as the reference's is after its reorder+integrate).
+    """
+    ctx = common.build_ctx(state, grid, cfg, boundary)
+    pos, vel = ctx.state.pos, ctx.state.vel
+    active = ctx.active
+
+    dens = common.compute_density(ctx, params, cfg, boundary)
+    pres = tait_pressure(dens, params)
+
+    f_np = common.compute_nonpressure_forces(ctx, params, cfg, boundary, dens)
+    f_p = compute_pressure_force(ctx, params, cfg, boundary, dens, pres)
+    force = f_np + f_p
+
+    # Symplectic Euler (``integrate_functor``, ``sph_kernel_impl.cuh:71-100``):
+    # v += dt·F/m; x += dt·v.
+    dt = params.dt
+    new_vel = vel + (dt / params.particle_mass) * force
+    new_pos = pos + dt * new_vel
+    new_vel = jnp.where(active[:, None], new_vel, vel)
+    new_pos = jnp.where(active[:, None], new_pos, pos)
+
+    new_state = FluidState(pos=new_pos, vel=new_vel,
+                           pressure=jnp.where(active, pres, 0.0),
+                           num_active=state.num_active)
+    nact = jnp.maximum(state.num_active.astype(cfg.dtype), 1.0)
+    diag = StepDiagnostics(
+        max_density=jnp.max(jnp.where(active, dens, 0.0)),
+        mean_density_error=jnp.sum(
+            jnp.where(active, jnp.abs(dens - params.rest_density), 0.0)
+        ) / (nact * params.rest_density),
+        seg_overflow=ctx.overflow,
+        solver_iters=jnp.asarray(0, jnp.int32),
+    )
+    return new_state, diag
+
+
+def cfl_dt(state: FluidState, params: SimParams, lam: float = 0.4):
+    """CFL timestep Δt = λ·h/|v|_max — written but disabled in the reference
+    (``#if 0`` block, ``sph/sph.cpp:217-231``); live opt-in here."""
+    vmax = jnp.max(jnp.where(state.active_mask(),
+                             jnp.linalg.norm(state.vel, axis=-1), 0.0))
+    return jnp.where(vmax > 0.0,
+                     lam * params.interaction_radius / jnp.maximum(vmax, 1e-12),
+                     params.dt)

@@ -1,0 +1,89 @@
+"""Particle state pytrees.
+
+The reference keeps particle state as ~20 flat SoA device arrays with a fixed
+capacity ``MAX_PARTICLE_NUMBER = 150000`` and a live count ``m_numParticles``
+(``sph/sph.h:19,100-118``). The TPU-native analogue is a single pytree of
+``(capacity, ...)`` float arrays plus a traced ``num_active`` count: shapes
+stay static for XLA while the live count may change per step (particle
+dropping, ``main.cpp:499-521``). Inactive slots are hashed to a sentinel so
+every sort pushes them to the tail and segment windows never touch them.
+
+Solver scratch (IISPH's 12 extra arrays, ``iisph.h:28-41``; PCISPH's 5,
+``pcisph.h:28-34``) is *not* carried in the state: it is recomputed inside
+the jitted step, where XLA materialises it only transiently.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FluidState:
+    """Dynamic fluid-particle state. Arrays are (capacity, ...)."""
+
+    pos: jax.Array        # (C, 3)
+    vel: jax.Array        # (C, 3)
+    pressure: jax.Array   # (C,)  carried across steps: IISPH seeds p0 = p_prev/2
+    num_active: jax.Array # () int32
+
+    @property
+    def capacity(self) -> int:
+        return self.pos.shape[0]
+
+    def active_mask(self):
+        return jnp.arange(self.capacity) < self.num_active
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BoundaryData:
+    """Static (rigid) boundary particles, pre-sorted by cell hash once.
+
+    Analogue of the boundary arrays built by ``SPH::updateGpuBoundaries``
+    (``sph/sph.cpp:391-432``): positions + Akinci ψ = ρ₀·V_bi per particle
+    (ψ use sites: ``sph_kernel_impl.cuh:349,573``). ``sorted_hash`` replaces
+    the boundary cellStart/cellEnd tables — fluid particles binary-search it
+    per step for their 9 boundary row segments.
+    """
+
+    pos: jax.Array         # (M, 3) sorted by cell hash
+    psi: jax.Array         # (M,)   rest_density * vbi, sorted
+    sorted_hash: jax.Array # (M,)   int32, ascending
+
+    @property
+    def num_boundaries(self) -> int:
+        return self.pos.shape[0]
+
+
+def make_fluid_state(positions, velocities=None, capacity=None,
+                     dtype=jnp.float32) -> FluidState:
+    """Build a FluidState from host arrays, padding to ``capacity``.
+
+    Pad slots are parked at a large coordinate so they also stay out of the
+    way of any brute-force reference computation in tests.
+    """
+    positions = np.asarray(positions, dtype=np.float64)
+    n = positions.shape[0]
+    if velocities is None:
+        velocities = np.zeros_like(positions)
+    velocities = np.broadcast_to(np.asarray(velocities, dtype=np.float64),
+                                 positions.shape)
+    if capacity is None:
+        capacity = n
+    assert capacity >= n, "capacity smaller than particle count"
+    pos = np.full((capacity, 3), 1e9, dtype=np.float64)
+    vel = np.zeros((capacity, 3), dtype=np.float64)
+    pos[:n] = positions
+    vel[:n] = velocities
+    return FluidState(
+        pos=jnp.asarray(pos, dtype=dtype),
+        vel=jnp.asarray(vel, dtype=dtype),
+        pressure=jnp.zeros((capacity,), dtype=dtype),
+        num_active=jnp.asarray(n, dtype=jnp.int32),
+    )

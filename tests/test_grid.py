@@ -1,0 +1,97 @@
+"""Neighbor-engine tests (SURVEY §4 level 1): the 9-segment structure must
+yield exactly the 27-cell neighborhood membership that a brute-force
+computation gives."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from nereus_tpu import grid as G
+
+
+def _random_setup(n=400, seed=0):
+    rng = np.random.RandomState(seed)
+    pos = rng.uniform(-1.0, 1.0, (n, 3))
+    grid = G.fit_grid(pos.min(axis=0), pos.max(axis=0), 0.12)
+    return pos, grid
+
+
+def test_cell_coords_in_range():
+    pos, grid = _random_setup()
+    c = np.asarray(G.cell_coords(grid, jnp.asarray(pos)))
+    size = np.asarray(grid.size)
+    assert np.all(c >= 0) and np.all(c < size)
+
+
+def test_sort_by_hash_orders_hashes():
+    pos, grid = _random_setup()
+    h = G.hash_positions(grid, jnp.asarray(pos))
+    sh, perm, (ps,) = G.sort_by_hash(h, jnp.asarray(pos))
+    sh = np.asarray(sh)
+    assert np.all(np.diff(sh) >= 0)
+    assert np.allclose(np.asarray(ps), pos[np.asarray(perm)])
+
+
+def test_segments_cover_exact_27cell_membership():
+    pos, grid = _random_setup(n=500, seed=3)
+    h = G.hash_positions(grid, jnp.asarray(pos))
+    sh, perm, (ps,) = G.sort_by_hash(h, jnp.asarray(pos))
+    coords = G.cell_coords(grid, ps)
+    seg_s, seg_e = G.row_segments(grid, sh, coords)
+    seg_s, seg_e = np.asarray(seg_s), np.asarray(seg_e)
+
+    coords_np = np.asarray(coords)
+    n = pos.shape[0]
+    for i in range(0, n, 17):
+        got = set()
+        for k in range(9):
+            got.update(range(seg_s[k, i], seg_e[k, i]))
+        # brute force: all j whose cell is within the 3x3x3 stencil of i
+        diff = np.abs(coords_np - coords_np[i])
+        want = set(np.nonzero(np.all(diff <= 1, axis=1))[0].tolist())
+        assert got == want, f"particle {i}: segments {got ^ want} mismatch"
+
+
+def test_segments_no_duplicates():
+    pos, grid = _random_setup(n=300, seed=4)
+    h = G.hash_positions(grid, jnp.asarray(pos))
+    sh, _, (ps,) = G.sort_by_hash(h, jnp.asarray(pos))
+    coords = G.cell_coords(grid, ps)
+    seg_s, seg_e = G.row_segments(grid, sh, coords)
+    seg_s, seg_e = np.asarray(seg_s), np.asarray(seg_e)
+    for i in range(0, 300, 23):
+        all_idx = []
+        for k in range(9):
+            all_idx.extend(range(seg_s[k, i], seg_e[k, i]))
+        assert len(all_idx) == len(set(all_idx))
+
+
+def test_inactive_particles_sorted_to_tail_and_unreachable():
+    pos, grid = _random_setup(n=100, seed=5)
+    mask = jnp.arange(100) < 80
+    h = G.hash_positions(grid, jnp.asarray(pos), mask)
+    sh, _, (ps,) = G.sort_by_hash(h, jnp.asarray(pos))
+    sh = np.asarray(sh)
+    assert np.all(sh[80:] == np.iinfo(np.int32).max)
+    coords = G.cell_coords(grid, ps[:80])
+    _, seg_e = G.row_segments(grid, sh, coords)
+    assert np.max(np.asarray(seg_e)) <= 80
+
+
+def test_overflow_detection():
+    # 50 coincident particles in one cell with a window of 8 must overflow.
+    pos = np.zeros((50, 3))
+    grid = G.make_grid((-1.0, -1.0, -1.0), (4, 4, 4), 0.5)
+    h = G.hash_positions(grid, jnp.asarray(pos))
+    sh, _, (ps,) = G.sort_by_hash(h, jnp.asarray(pos))
+    coords = G.cell_coords(grid, ps)
+    seg_s, seg_e = G.row_segments(grid, sh, coords)
+    assert int(G.segment_overflow(seg_s, seg_e, 8)) == 42
+    assert int(G.segment_overflow(seg_s, seg_e, 64)) == 0
+
+
+def test_fit_grid_covers_domain():
+    grid = G.fit_grid((-1.0, -1.0, -1.0), (3.0, 3.0, 3.0), 0.0537)
+    # domain extent 4.0 + margin → at least 75 cells per axis
+    assert np.all(np.asarray(grid.size) >= 75)
+    c = G.cell_coords(grid, jnp.asarray([[2.99, 2.99, 2.99]]))
+    assert np.all(np.asarray(c) < np.asarray(grid.size))
