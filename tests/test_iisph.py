@@ -1,0 +1,149 @@
+"""IISPH tests: predict-advection quantities vs an O(N²) float64 oracle, the
+on-device pressure solve's convergence behaviour, and momentum symmetry."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from nereus_tpu import grid as G
+from nereus_tpu.params import SimConfig, iisph_params
+from nereus_tpu.solvers import common, iisph
+from nereus_tpu.state import make_fluid_state
+
+CFG = SimConfig()
+
+
+def _setup(n=400, seed=0):
+    params = iisph_params()
+    h = float(params.interaction_radius)
+    rng = np.random.RandomState(seed)
+    side = h * (n / 2.0) ** (1 / 3)
+    pos = rng.uniform(0.0, side, (n, 3))
+    vel = rng.uniform(-0.5, 0.5, (n, 3))
+    grid = G.fit_grid(pos.min(0), pos.max(0), h)
+    state = make_fluid_state(pos, vel)
+    return params, grid, state
+
+
+def _np_grad_poly6(rij, h, kpg):
+    r2 = np.sum(rij**2, axis=-1)
+    d = np.maximum(h**2 - r2, 0.0)
+    s = np.where(r2 <= h**2, kpg * d**2, 0.0)
+    return s[..., None] * rij
+
+
+def test_dii_rho_adv_aii_match_oracle():
+    params, grid, state = _setup()
+    h = float(params.interaction_radius)
+    pm = float(params.particle_mass)
+    kpg = float(params.kpoly_grad)
+    dt = float(params.dt)
+
+    ctx = common.build_ctx(state, grid, CFG, None)
+    dens = common.compute_density(ctx, params, CFG, None)
+    f_adv = common.compute_nonpressure_forces(ctx, params, CFG, None, dens)
+    vel_adv = ctx.state.vel + (params.dt / params.particle_mass) * f_adv
+    dii_f, dii_b = iisph.compute_dii(ctx, params, CFG, None, dens)
+    rho_adv = iisph.compute_rho_adv(ctx, params, CFG, None, dens, vel_adv)
+    aii = iisph.compute_aii(ctx, params, CFG, None, dens, dii_f + dii_b)
+
+    pos = np.asarray(ctx.state.pos, dtype=np.float64)
+    va = np.asarray(vel_adv, dtype=np.float64)
+    d64 = np.asarray(dens, dtype=np.float64)
+
+    rij = pos[:, None, :] - pos[None, :, :]
+    r2 = np.sum(rij**2, axis=-1)
+    mask = r2 < h**2
+    np.fill_diagonal(mask, False)
+    g = _np_grad_poly6(rij, h, kpg)
+    gm = np.where(mask[..., None], g, 0.0)
+
+    want_dii = -np.sum(gm, axis=1) * (pm / d64**2)[:, None]
+    np.testing.assert_allclose(np.asarray(dii_f), want_dii, rtol=2e-4,
+                               atol=1e-8)
+
+    dva = va[:, None, :] - va[None, :, :]
+    want_rho_adv = d64 + dt * pm * np.sum(
+        np.where(mask, np.sum(dva * g, axis=-1), 0.0), axis=1)
+    np.testing.assert_allclose(np.asarray(rho_adv), want_rho_adv, rtol=2e-4)
+
+    dpi = pm / d64**2
+    dji = dpi[:, None, None] * g
+    term = np.sum((want_dii[:, None, :] - dji) * g, axis=-1)
+    want_aii = pm * np.sum(np.where(mask, term, 0.0), axis=1)
+    scale = np.maximum(np.abs(want_aii), 1e-12)
+    np.testing.assert_allclose(np.asarray(aii) / scale, want_aii / scale,
+                               atol=2e-3)
+
+
+def test_sum_dij_matches_oracle():
+    params, grid, state = _setup(seed=1)
+    h = float(params.interaction_radius)
+    pm = float(params.particle_mass)
+    kpg = float(params.kpoly_grad)
+    ctx = common.build_ctx(state, grid, CFG, None)
+    dens = common.compute_density(ctx, params, CFG, None)
+    rng = np.random.RandomState(2)
+    p = jnp.asarray(rng.uniform(0, 100, dens.shape), dtype=jnp.float32)
+    sd = iisph.compute_sum_dij(ctx, params, CFG, dens, p)
+
+    pos = np.asarray(ctx.state.pos, dtype=np.float64)
+    d64 = np.asarray(dens, dtype=np.float64)
+    p64 = np.asarray(p, dtype=np.float64)
+    rij = pos[:, None, :] - pos[None, :, :]
+    r2 = np.sum(rij**2, axis=-1)
+    mask = r2 < h**2
+    np.fill_diagonal(mask, False)
+    g = _np_grad_poly6(rij, h, kpg)
+    coef = -pm * (p64 / d64**2)[None, :]
+    want = np.sum(np.where(mask[..., None], coef[..., None] * g, 0.0), axis=1)
+    np.testing.assert_allclose(np.asarray(sd), want, rtol=3e-4, atol=1e-10)
+
+
+def test_pressure_force_is_antisymmetric():
+    params, grid, state = _setup(seed=3)
+    ctx = common.build_ctx(state, grid, CFG, None)
+    dens = common.compute_density(ctx, params, CFG, None)
+    rng = np.random.RandomState(4)
+    p = jnp.asarray(rng.uniform(0, 500, dens.shape), dtype=jnp.float32)
+    f = np.asarray(iisph.compute_pressure_force(ctx, params, CFG, None, dens, p))
+    total = np.sum(f, axis=0)
+    typical = np.mean(np.linalg.norm(f, axis=-1))
+    assert np.linalg.norm(total) < 1e-3 * max(typical, 1e-6) * f.shape[0]
+
+
+def test_iisph_step_converges_and_is_finite():
+    params, grid, state = _setup(n=600, seed=5)
+    s = state
+    for _ in range(3):
+        s, diag = iisph.iisph_step(s, params, grid, CFG)
+    assert np.all(np.isfinite(np.asarray(s.pos)))
+    assert np.all(np.isfinite(np.asarray(s.vel)))
+    assert np.all(np.asarray(s.pressure) >= 0.0)
+    it = int(diag.solver_iters)
+    assert CFG.iisph_min_iters <= it <= CFG.iisph_max_iters
+    # converged or hit the cap; either way the error is on-device and finite
+    assert np.isfinite(float(diag.mean_density_error))
+
+
+def test_iisph_compressed_block_relaxes():
+    """A block compressed to ~1.3x rest density must produce positive
+    pressures and a pressure force field that pushes particles apart."""
+    params = iisph_params()
+    h = float(params.interaction_radius)
+    # rest spacing: pm = 0.5 h^3 rho0 → rest spacing = (pm/rho0)^{1/3}
+    spacing = (float(params.particle_mass) / float(params.rest_density)) ** (1 / 3)
+    ax = np.arange(8) * spacing * 0.9  # compressed
+    xx, yy, zz = np.meshgrid(ax, ax, ax, indexing="ij")
+    pos = np.stack([xx.ravel(), yy.ravel(), zz.ravel()], -1)
+    grid = G.fit_grid(pos.min(0), pos.max(0), h)
+    params = iisph_params(gravity=(0.0, 0.0, 0.0))
+    state = make_fluid_state(pos)
+    s, diag = iisph.iisph_step(state, params, grid, CFG)
+    assert float(jnp.max(s.pressure)) > 0.0
+    # center of the block: velocities should point outward on average
+    center = pos.mean(axis=0)
+    newpos = np.asarray(s.pos)
+    vel = np.asarray(s.vel)
+    active = newpos[:, 0] < 1e8
+    outward = np.sum((newpos[active] - center) * vel[active])
+    assert outward > 0.0
