@@ -12,6 +12,8 @@ from .params import (KernelSet, SimConfig, SimParams, SurfaceTensionModel,
 from .grid import Grid, fit_grid, make_grid
 from .state import BoundaryData, FluidState, make_fluid_state
 from .solvers.wcsph import wcsph_step, tait_pressure, cfl_dt
+from .solvers.iisph import iisph_step
+from .solvers.pcisph import pcisph_step, pcisph_delta
 
 __version__ = "0.1.0"
 
@@ -21,4 +23,5 @@ __all__ = [
     "Grid", "fit_grid", "make_grid",
     "BoundaryData", "FluidState", "make_fluid_state",
     "wcsph_step", "tait_pressure", "cfl_dt",
+    "iisph_step", "pcisph_step", "pcisph_delta",
 ]

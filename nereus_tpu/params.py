@@ -175,6 +175,37 @@ def make_params(
     )
 
 
+def calibrate_mass(params: SimParams, cfg: "SimConfig",
+                   spacing: float | None = None) -> SimParams:
+    """Return params with particle mass set so a rest lattice sums to ρ₀.
+
+    m = ρ₀ / Σ_k W(r_k) over a cubic prototype lattice of the given spacing
+    (default: one particle diameter), including the self term. The reference
+    never calibrates: its PCISPH mass m = h³ρ₀ (``pcisph.cpp:48-51``) makes
+    the poly6 *self-contribution alone* 1.566·ρ₀, which is unusable by any
+    density-error-driven solver — unnoticed upstream because its PCISPH solve
+    is an empty stub (``sph/sph_cuda.cu:944-952``). Density-consistent mass
+    is required for the full predictive-corrective loop we implement.
+    """
+    from . import kernels as K  # local import to avoid a cycle
+
+    h = float(params.interaction_radius)
+    if spacing is None:
+        spacing = 2.0 * float(params.particle_radius)
+    support = h if cfg.kernel_set == KernelSet.MULLER else 2.0 * h
+    k = int(math.ceil(support / spacing)) + 1
+    ax = np.arange(-k, k + 1) * spacing
+    xx, yy, zz = np.meshgrid(ax, ax, ax, indexing="ij")
+    pts = np.stack([xx.ravel(), yy.ravel(), zz.ravel()], axis=-1)
+    r2 = np.sum(pts * pts, axis=-1)
+    pts = pts[r2 <= support * support]  # includes the origin (self term)
+    w_sum = float(np.sum(np.asarray(
+        K.w_value(cfg.kernel_set, jnp.asarray(pts, params.kpoly.dtype), params))))
+    m = float(params.rest_density) / w_sum
+    return dataclasses.replace(
+        params, particle_mass=jnp.asarray(m, params.particle_mass.dtype))
+
+
 def iisph_params(**overrides) -> SimParams:
     """IISPH default parameter set (``sph/iisph/iisph.cpp:37-80``)."""
     defaults = dict(
