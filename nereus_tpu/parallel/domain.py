@@ -1,0 +1,468 @@
+"""Slab domain decomposition over a TPU mesh with ghost-particle halos.
+
+The reference is a single-GPU program (SURVEY §2.3): its only parallelism is
+one CUDA thread per particle and its only "communication" is PCIe memcpys.
+This module is the part the reference never had — scaling the same physics
+across chips, designed TPU-first:
+
+* The world grid is cut into ``n_shards`` **slabs along z** — the
+  slowest-varying axis of the cell hash (``(z·gy + y)·gx + x``,
+  ``sph_kernel_impl.cuh:118-125`` ordering), so a slab is one contiguous
+  range of cell hashes and every shard's particle set stays a contiguous,
+  locally-sorted block of the global hash order.
+* Each shard owns a fixed-capacity particle array (static shapes). Per step,
+  inside one ``shard_map`` region compiled over the mesh:
+    1. local hash + sort;
+    2. **migration**: particles whose cell moved to the neighbor slab are
+       packed into fixed-capacity buffers and exchanged with
+       ``lax.ppermute`` (one hop left, one hop right — a particle can cross
+       at most one slab per step under any sane CFL number);
+    3. **halo exchange**: each shard ships its edge cell-rows (z = slab
+       top / bottom) to its neighbors, giving every shard the ghost
+       particles its 3×3×3 gathers need — the SPH analogue of ring
+       attention's block rotation, riding ICI;
+    4. physics on ``[left_halo | owned | right_halo]``, which is sorted by
+       *global* hash by construction, so the 9-segment engine
+       (``nereus_tpu.grid``) runs unchanged;
+    5. a second lightweight halo exchange ships computed per-particle fields
+       (density, pressure) for the same ghost slots.
+
+All capacities (local particles, migration, halo) are static; overflow is
+counted on-device and surfaced in :class:`ShardedDiagnostics` rather than
+silently corrupting the simulation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import grid as gridlib
+from ..params import SimConfig, SimParams
+from ..state import BoundaryData, FluidState
+from ..solvers import common
+from ..solvers import wcsph as wcsph_mod
+
+I32_MAX = jnp.iinfo(jnp.int32).max
+I32_MIN = jnp.iinfo(jnp.int32).min
+PARK = 1e9  # parked position for invalid slots (outside any cutoff)
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardConfig:
+    """Static sharding capacities. Hashable; closed over by jit."""
+
+    n_shards: int
+    local_capacity: int        # owned particles per shard (static)
+    halo_capacity: int = 4096  # ghost particles per edge row
+    migration_capacity: int = 1024  # particles crossing a slab edge per step
+    axis_name: str = "shards"
+
+    def __hash__(self):
+        return hash((self.n_shards, self.local_capacity, self.halo_capacity,
+                     self.migration_capacity, self.axis_name))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ShardedDiagnostics:
+    """Global (psum/pmax-reduced) per-step diagnostics."""
+
+    max_density: jax.Array
+    mean_density_error: jax.Array
+    seg_overflow: jax.Array        # neighbor-window truncation (max)
+    halo_overflow: jax.Array       # edge-row count beyond halo_capacity (max)
+    migration_overflow: jax.Array  # leavers beyond migration_capacity (max)
+    capacity_overflow: jax.Array   # owned beyond local_capacity (max)
+    migration_violation: jax.Array # particles that jumped >1 slab (count)
+    num_active: jax.Array          # global live particle count
+
+
+def _slab_cells(grid: gridlib.Grid, n_shards: int):
+    """Cells per slab along z (ceil). Traced-value friendly."""
+    return (grid.size[2] + n_shards - 1) // n_shards
+
+
+def _row_hashes(grid: gridlib.Grid, z):
+    """[start, end) hash range of the full cell-plane at height z."""
+    plane = grid.size[0] * grid.size[1]
+    return z * plane, (z + 1) * plane
+
+
+def _ppermute_shift(x, axis_name: str, n: int, shift: int):
+    """Non-wrapping neighbor shift: shard s receives shard s-shift's value.
+
+    Shards with no sender receive zeros (``lax.ppermute`` semantics) — the
+    caller must mask them (we overwrite received hashes at the mesh edges).
+    """
+    perm = [(i, i + shift) for i in range(n)
+            if 0 <= i + shift < n]
+    return jax.lax.ppermute(x, axis_name, perm)
+
+
+def _extract_edge(sorted_hash, fields, lo, hi, k: int, pad_front: bool):
+    """Pack the particles with hash in [lo, hi) into a (k,)-capacity buffer.
+
+    Returns ``(buf_hash, buf_fields, src_idx, valid, overflow)``. The buffer
+    is sorted ascending with padding hashes I32_MIN (if ``pad_front``) or
+    I32_MAX, so a receiver can concatenate it before/after its own sorted
+    block without re-sorting. ``src_idx`` (clamped gather indices into the
+    owned arrays, -1 where invalid) lets later phases ship *other* fields of
+    the same particles slot-aligned (see :func:`_exchange_saved`).
+    """
+    c = sorted_hash.shape[0]
+    t0 = jnp.searchsorted(sorted_hash, lo, side="left").astype(jnp.int32)
+    t1 = jnp.searchsorted(sorted_hash, hi, side="left").astype(jnp.int32)
+    count = t1 - t0
+    if pad_front:
+        # valid entries packed at the back, padding (I32_MIN) in front
+        off = jnp.maximum(t1 - k, 0)
+        pad_val = I32_MIN
+    else:
+        off = jnp.minimum(t0, jnp.maximum(c - k, 0))
+        pad_val = I32_MAX
+    idx = off + jnp.arange(k, dtype=jnp.int32)
+    valid = (idx >= t0) & (idx < t1)
+    idx_c = jnp.clip(idx, 0, c - 1)
+    h = jnp.where(valid, sorted_hash[idx_c], pad_val)
+    # One tiny sort so padding lands on the correct side even when the slice
+    # was clamped at an array end.
+    order = jnp.argsort(h)
+    h = h[order]
+    idx_c = idx_c[order]
+    valid = valid[order]
+    buf = _mask_buffer(valid, {k: f[idx_c] for k, f in fields.items()})
+    src_idx = jnp.where(valid, idx_c, -1)
+    overflow = jnp.maximum(count - k, 0)
+    return h, buf, src_idx, valid, overflow
+
+
+def _bmask(valid, x):
+    v = valid
+    while v.ndim < x.ndim:
+        v = v[..., None]
+    return jnp.broadcast_to(v, x.shape)
+
+
+def _mask_buffer(valid, fields):
+    """Park positions / zero other fields where invalid."""
+    out = {}
+    for k, f in fields.items():
+        if k == "pos":
+            out[k] = jnp.where(_bmask(valid, f), f, jnp.full_like(f, PARK))
+        else:
+            out[k] = jnp.where(_bmask(valid, f), f, jnp.zeros_like(f))
+    return out
+
+
+def _splice_right_halo(left, owned, right, n_own, k: int):
+    """Build [left | owned | I32_MAX/0 tail] then splice the right-halo block
+    in at offset ``k + n_own`` (just past the last live owned particle),
+    keeping hashes ascending despite the owned block's inactive sentinels.
+    """
+    out = []
+    for lf, of, rf in zip(left, owned, right):
+        tail = jnp.full((k,) + of.shape[1:], PARK, of.dtype) \
+            if of.dtype.kind == "f" and of.ndim > 1 else \
+            jnp.full((k,) + of.shape[1:],
+                     I32_MAX if of.dtype.kind == "i" else 0, of.dtype)
+        base = jnp.concatenate([lf, of, tail])
+        start = (k + n_own,) + (0,) * (of.ndim - 1)
+        out.append(jax.lax.dynamic_update_slice(base, rf, start))
+    return tuple(out)
+
+
+def _exchange_saved(fields, src_idx, valid, axis_name, n, shift):
+    """Ship ``fields`` gathered at previously-saved edge indices to the
+    ``shift`` neighbor, slot-aligned with the first halo exchange."""
+    idx_c = jnp.maximum(src_idx, 0)
+    buf = {k: jnp.where(_bmask(valid, f[idx_c]), f[idx_c],
+                        jnp.zeros_like(f[idx_c]))
+           for k, f in fields.items()}
+    return jax.tree_util.tree_map(
+        lambda x: _ppermute_shift(x, axis_name, n, shift), buf)
+
+
+# ---------------------------------------------------------------------------
+# Host-side distribution
+# ---------------------------------------------------------------------------
+
+def shard_state(state: FluidState, grid: gridlib.Grid, scfg: ShardConfig,
+                mesh: Mesh) -> FluidState:
+    """Distribute a host FluidState into per-slab blocks of a (D·Cl) global
+    array laid out shard-major, and device_put it with the slab sharding."""
+    d, cl = scfg.n_shards, scfg.local_capacity
+    pos = np.asarray(state.pos)
+    vel = np.asarray(state.vel)
+    pres = np.asarray(state.pressure)
+    n = int(state.num_active)
+    origin = np.asarray(grid.origin)
+    cell = np.asarray(grid.cell)
+    gz = int(np.asarray(grid.size)[2])
+    slab = -(-gz // d)
+
+    zc = np.clip(np.floor((pos[:n, 2] - origin[2]) / cell[2]).astype(np.int64),
+                 0, gz - 1)
+    owner = np.minimum(zc // slab, d - 1)
+
+    gpos = np.full((d * cl, 3), PARK, dtype=pos.dtype)
+    gvel = np.zeros((d * cl, 3), dtype=vel.dtype)
+    gpres = np.zeros((d * cl,), dtype=pres.dtype)
+    counts = np.zeros((d,), dtype=np.int32)
+    for s in range(d):
+        sel = np.nonzero(owner == s)[0]
+        if len(sel) > cl:
+            raise ValueError(
+                f"shard {s} needs {len(sel)} slots > local_capacity {cl}")
+        gpos[s * cl: s * cl + len(sel)] = pos[sel]
+        gvel[s * cl: s * cl + len(sel)] = vel[sel]
+        gpres[s * cl: s * cl + len(sel)] = pres[sel]
+        counts[s] = len(sel)
+
+    sh = NamedSharding(mesh, P(scfg.axis_name))
+    return FluidState(
+        pos=jax.device_put(jnp.asarray(gpos), sh),
+        vel=jax.device_put(jnp.asarray(gvel), sh),
+        pressure=jax.device_put(jnp.asarray(gpres), sh),
+        num_active=jax.device_put(jnp.asarray(counts), sh),
+    )
+
+
+def unshard_state(state: FluidState) -> FluidState:
+    """Gather a sharded state to host, compacting live particles."""
+    pos = np.asarray(state.pos)
+    vel = np.asarray(state.vel)
+    pres = np.asarray(state.pressure)
+    counts = np.asarray(state.num_active)
+    d = counts.shape[0]
+    cl = pos.shape[0] // d
+    keep = np.concatenate(
+        [np.arange(s * cl, s * cl + counts[s]) for s in range(d)])
+    return FluidState(
+        pos=jnp.asarray(pos[keep]), vel=jnp.asarray(vel[keep]),
+        pressure=jnp.asarray(pres[keep]),
+        num_active=jnp.asarray(len(keep), jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# The sharded step
+# ---------------------------------------------------------------------------
+
+def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
+                            grid: gridlib.Grid, cfg: SimConfig,
+                            scfg: ShardConfig,
+                            boundary: Optional[BoundaryData] = None):
+    """Build the jitted multi-chip WCSPH step.
+
+    Returns ``step(state) -> (state, ShardedDiagnostics)`` where ``state``
+    arrays are (D·Cl, ...) sharded over ``scfg.axis_name`` and
+    ``state.num_active`` is the (D,) per-shard live count.
+    """
+    ax = scfg.axis_name
+    d = scfg.n_shards
+    cl = scfg.local_capacity
+    kh = scfg.halo_capacity
+    km = scfg.migration_capacity
+
+    def local_step(pos, vel, pres, n_loc):
+        s = jax.lax.axis_index(ax)
+        slab = _slab_cells(grid, d)
+        plane = grid.size[0] * grid.size[1]
+        slab_lo_h = (s * slab) * plane
+        slab_hi_h = jnp.minimum((s + 1) * slab, grid.size[2]) * plane
+
+        n0 = n_loc[0]
+        active = jnp.arange(cl, dtype=jnp.int32) < n0
+        h = gridlib.hash_positions(grid, pos, active)
+        order = jnp.argsort(h, stable=True)
+        h, pos, vel, pres = h[order], pos[order], vel[order], pres[order]
+
+        # -- migration accounting ------------------------------------------
+        coords = gridlib.cell_coords(grid, pos)
+        owner = jnp.minimum(coords[..., 2] // slab, d - 1)
+        act = h < I32_MAX
+        mig_violation = jnp.sum(
+            jnp.where(act & (jnp.abs(owner - s) > 1), 1, 0))
+
+        start_own = jnp.searchsorted(h, slab_lo_h, side="left").astype(jnp.int32)
+        end_own = jnp.searchsorted(h, slab_hi_h, side="left").astype(jnp.int32)
+        n_act = jnp.searchsorted(h, I32_MAX, side="left").astype(jnp.int32)
+
+        fields = {"pos": pos, "vel": vel, "pres": pres}
+
+        # leavers → left neighbor: indices [0, start_own)
+        lh, lbuf, _, lvalid, lover = _extract_edge(
+            h, fields, I32_MIN + 1, slab_lo_h, km, pad_front=False)
+        # leavers → right neighbor: [end_own, n_act)
+        rh, rbuf, _, rvalid, rover = _extract_edge(
+            h, fields, slab_hi_h, I32_MAX, km, pad_front=False)
+        mig_overflow = jnp.maximum(lover, rover)
+
+        recv_from_right = jax.tree_util.tree_map(
+            lambda x: _ppermute_shift(x, ax, d, -1), (lh, lbuf))
+        recv_from_left = jax.tree_util.tree_map(
+            lambda x: _ppermute_shift(x, ax, d, +1), (rh, rbuf))
+        rr_h, rr_buf = recv_from_right
+        rl_h, rl_buf = recv_from_left
+        # mesh edges received zeros → invalidate
+        rr_h = jnp.where(s == d - 1, I32_MAX, rr_h)
+        rl_h = jnp.where(s == 0, I32_MAX, rl_h)
+        rr_buf = _mask_buffer(rr_h < I32_MAX, rr_buf)
+        rl_buf = _mask_buffer(rl_h < I32_MAX, rl_buf)
+
+        # keepers: drop leavers + inactive
+        keep = (jnp.arange(cl, dtype=jnp.int32) >= start_own) \
+            & (jnp.arange(cl, dtype=jnp.int32) < end_own)
+        kh_hash = jnp.where(keep, h, I32_MAX)
+        kfields = _mask_buffer(keep, fields)
+
+        mh = jnp.concatenate([kh_hash, rl_h, rr_h])
+        mfields = {k: jnp.concatenate([kfields[k], rl_buf[k], rr_buf[k]])
+                   for k in fields}
+        morder_full = jnp.argsort(mh, stable=True)
+        mh_sorted = mh[morder_full]
+        morder = morder_full[:cl]
+        h = mh_sorted[:cl]
+        pos = mfields["pos"][morder]
+        vel = mfields["vel"][morder]
+        pres = mfields["pres"][morder]
+        total_valid = jnp.searchsorted(mh_sorted, I32_MAX,
+                                       side="left").astype(jnp.int32)
+        cap_overflow = jnp.maximum(total_valid - cl, 0)
+        n_own = jnp.minimum(total_valid, cl)
+
+        # -- halo exchange (pos/vel) ---------------------------------------
+        fields = {"pos": pos, "vel": vel}
+        top_lo, top_hi = _row_hashes(grid, jnp.minimum(
+            (s + 1) * slab, grid.size[2]) - 1)
+        bot_lo, bot_hi = _row_hashes(grid, s * slab)
+        # top row → right neighbor (their left halo: padding in front)
+        th, tbuf, t_idx, t_valid, t_over = _extract_edge(
+            h, fields, top_lo, top_hi, kh, pad_front=True)
+        # bottom row → left neighbor (their right halo: padding behind)
+        bh, bbuf, b_idx, b_valid, b_over = _extract_edge(
+            h, fields, bot_lo, bot_hi, kh, pad_front=False)
+        halo_overflow = jnp.maximum(t_over, b_over)
+
+        lhalo_h, lhalo = jax.tree_util.tree_map(
+            lambda x: _ppermute_shift(x, ax, d, +1), (th, tbuf))
+        rhalo_h, rhalo = jax.tree_util.tree_map(
+            lambda x: _ppermute_shift(x, ax, d, -1), (bh, bbuf))
+        lhalo_h = jnp.where(s == 0, I32_MIN, lhalo_h)
+        rhalo_h = jnp.where(s == d - 1, I32_MAX, rhalo_h)
+        lhalo = _mask_buffer((s > 0) & jnp.ones((kh,), bool), lhalo)
+        rhalo = _mask_buffer((s < d - 1) & jnp.ones((kh,), bool), rhalo)
+
+        # Source layout: [left_halo | owned | tail]. The owned block carries
+        # I32_MAX sentinels in its inactive slots [n_own, cl), so the right
+        # halo cannot simply be appended (it would sit *after* those
+        # sentinels, breaking the ascending hash order searchsorted needs).
+        # Instead it is spliced in directly after the last live owned
+        # particle with a dynamic_update_slice; everything beyond stays at
+        # the I32_MAX sentinel. Queries' own indices (kh + i, i < n_own)
+        # always land in the owned block, so self-exclusion is unaffected.
+        src_hash, src_pos, src_vel = _splice_right_halo(
+            (lhalo_h, lhalo["pos"], lhalo["vel"]),
+            (h, pos, vel),
+            (rhalo_h, rhalo["pos"], rhalo["vel"]),
+            n_own, kh)
+
+        # -- neighbor context over [left_halo | owned | right_halo] --------
+        qcoords = gridlib.cell_coords(grid, pos)
+        fs, fe = gridlib.row_segments(grid, src_hash, qcoords)
+        seg_overflow = gridlib.segment_overflow(fs, fe, cfg.seg_window)
+        if boundary is not None and boundary.num_boundaries > 0:
+            bs, be = gridlib.row_segments(grid, boundary.sorted_hash, qcoords)
+            seg_overflow = jnp.maximum(seg_overflow, gridlib.segment_overflow(
+                bs, be, cfg.boundary_seg_window))
+        else:
+            bs = be = None
+
+        qstate = FluidState(pos=pos, vel=vel, pressure=pres, num_active=n_own)
+        own_active = jnp.arange(cl, dtype=jnp.int32) < n_own
+        ctx = common.NeighborCtx(
+            state=qstate, sorted_hash=src_hash,
+            self_idx=kh + jnp.arange(cl, dtype=jnp.int32),
+            fluid_start=fs, fluid_end=fe, bnd_start=bs, bnd_end=be,
+            active=own_active, overflow=seg_overflow,
+            src_pos=src_pos, src_vel=src_vel)
+
+        # -- physics -------------------------------------------------------
+        dens = common.compute_density(ctx, params, cfg, boundary)
+        prs = wcsph_mod.tait_pressure(dens, params)
+
+        # second halo hop: density+pressure of the same ghost slots
+        dp = {"dens": dens, "pres": prs}
+        l_dp = _exchange_saved(dp, t_idx, t_valid, ax, d, +1)
+        r_dp = _exchange_saved(dp, b_idx, b_valid, ax, d, -1)
+        src_dens, src_pres = _splice_right_halo(
+            (l_dp["dens"], l_dp["pres"]),
+            (dens, prs),
+            (r_dp["dens"], r_dp["pres"]),
+            n_own, kh)
+
+        f_np = common.compute_nonpressure_forces(
+            ctx, params, cfg, boundary, dens, src_dens=src_dens)
+        f_p = wcsph_mod.compute_pressure_force(
+            ctx, params, cfg, boundary, dens, prs,
+            src_dens=src_dens, src_pres=src_pres)
+        force = f_np + f_p
+
+        dt = params.dt
+        new_vel = vel + (dt / params.particle_mass) * force
+        new_pos = pos + dt * new_vel
+        new_vel = jnp.where(own_active[:, None], new_vel, jnp.zeros_like(vel))
+        new_pos = jnp.where(own_active[:, None], new_pos,
+                            jnp.full_like(pos, PARK))
+        new_pres = jnp.where(own_active, prs, 0.0)
+
+        # -- global diagnostics --------------------------------------------
+        nact_f = jnp.maximum(
+            jax.lax.psum(n_own.astype(cfg.dtype), ax), 1.0)
+        diag = ShardedDiagnostics(
+            max_density=jax.lax.pmax(
+                jnp.max(jnp.where(own_active, dens, 0.0)), ax),
+            mean_density_error=jax.lax.psum(jnp.sum(jnp.where(
+                own_active, jnp.abs(dens - params.rest_density), 0.0)), ax)
+            / (nact_f * params.rest_density),
+            seg_overflow=jax.lax.pmax(seg_overflow, ax),
+            halo_overflow=jax.lax.pmax(halo_overflow, ax),
+            migration_overflow=jax.lax.pmax(mig_overflow, ax),
+            capacity_overflow=jax.lax.pmax(cap_overflow, ax),
+            migration_violation=jax.lax.psum(mig_violation, ax),
+            num_active=jax.lax.psum(n_own, ax),
+        )
+        return new_pos, new_vel, new_pres, n_own[None], diag
+
+    pspec = P(ax)
+    rep = P()
+    sharded = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(pspec, pspec, pspec, pspec),
+        out_specs=(pspec, pspec, pspec, pspec,
+                   jax.tree_util.tree_map(lambda _: rep,
+                                          _diag_struct())),
+        check_vma=False)
+
+    @jax.jit
+    def step(state: FluidState):
+        pos, vel, pres, n_loc, diag = sharded(
+            state.pos, state.vel, state.pressure, state.num_active)
+        return FluidState(pos=pos, vel=vel, pressure=pres,
+                          num_active=n_loc), diag
+
+    return step
+
+
+def _diag_struct():
+    z = 0
+    return ShardedDiagnostics(
+        max_density=z, mean_density_error=z, seg_overflow=z,
+        halo_overflow=z, migration_overflow=z, capacity_overflow=z,
+        migration_violation=z, num_active=z)

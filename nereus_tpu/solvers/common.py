@@ -35,17 +35,34 @@ from ..state import BoundaryData, FluidState
 @dataclasses.dataclass(frozen=True)
 class NeighborCtx:
     """Per-step neighbor structure: the sorted state plus 9-segment bounds
-    into the fluid set and (optionally) the static boundary set."""
+    into the fluid set and (optionally) the static boundary set.
 
-    state: FluidState          # hash-sorted
-    sorted_hash: jax.Array     # (C,)
-    self_idx: jax.Array        # (C,) = arange — self exclusion in sorted space
+    On a single chip the *query* set (``state``) and the *source* set the
+    segments index into are the same particles. Under domain sharding
+    (``nereus_tpu.parallel.domain``) the source set is the owned particles
+    plus the ghost halo received from neighbor shards, so the source arrays
+    are carried separately in ``src_pos``/``src_vel`` (None ⇒ same as state).
+    """
+
+    state: FluidState          # hash-sorted queries
+    sorted_hash: jax.Array     # (S,) hashes of the *source* set
+    self_idx: jax.Array        # (C,) each query's own index in source order
     fluid_start: jax.Array     # (9, C)
     fluid_end: jax.Array       # (9, C)
     bnd_start: Optional[jax.Array]   # (9, C) or None
     bnd_end: Optional[jax.Array]     # (9, C) or None
     active: jax.Array          # (C,) bool, in sorted order (tail = inactive)
     overflow: jax.Array        # () int32 diagnostic (seg window truncation)
+    src_pos: Optional[jax.Array] = None   # (S, 3) or None ⇒ state.pos
+    src_vel: Optional[jax.Array] = None   # (S, 3) or None ⇒ state.vel
+
+    @property
+    def source_pos(self):
+        return self.state.pos if self.src_pos is None else self.src_pos
+
+    @property
+    def source_vel(self):
+        return self.state.vel if self.src_vel is None else self.src_vel
 
 
 def build_ctx(state: FluidState, grid: gridlib.Grid, cfg: SimConfig,
@@ -120,7 +137,7 @@ def compute_density(ctx: NeighborCtx, params: SimParams, cfg: SimConfig,
         return {"dens": masked(ok, pm * w)}
 
     acc = fluid_reduce(ctx, pair, {"dens": jnp.zeros(pos.shape[0], cfg.dtype)},
-                       {"pos": pos}, {"pos": pos}, cfg)
+                       {"pos": ctx.source_pos}, {"pos": pos}, cfg)
 
     def bpair(i, j, valid):
         rij = i["pos"][:, None, :] - j["pos"]
@@ -143,7 +160,7 @@ def compute_density(ctx: NeighborCtx, params: SimParams, cfg: SimConfig,
 def compute_nonpressure_forces(ctx: NeighborCtx, params: SimParams,
                                cfg: SimConfig,
                                boundary: Optional[BoundaryData],
-                               dens):
+                               dens, src_dens=None):
     """Viscosity + surface tension + boundary adhesion/friction + gravity.
 
     Net semantics of ``computeCellForces`` (``sph_kernel_impl.cuh:442-604``)
@@ -204,7 +221,8 @@ def compute_nonpressure_forces(ctx: NeighborCtx, params: SimParams,
     if use_st != SurfaceTensionModel.NONE:
         init["fsurf"] = jnp.zeros((n, 3), dtype)
     i_data = {"pos": pos, "vel": vel, "dens": dens}
-    src = {"pos": pos, "vel": vel, "dens": dens}
+    src = {"pos": ctx.source_pos, "vel": ctx.source_vel,
+           "dens": dens if src_dens is None else src_dens}
     acc = fluid_reduce(ctx, pair, init, src, i_data, cfg)
 
     # Boundary: adhesion + friction (``computeCellForces`` boundary loop,

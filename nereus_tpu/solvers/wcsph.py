@@ -47,7 +47,7 @@ def tait_pressure(dens, params: SimParams):
 
 def compute_pressure_force(ctx: common.NeighborCtx, params: SimParams,
                            cfg: SimConfig, boundary: Optional[BoundaryData],
-                           dens, pres):
+                           dens, pres, src_dens=None, src_pres=None):
     """Symmetric WCSPH pressure force.
 
     Net semantics of the fpres accumulation in ``computeCellForces``
@@ -75,9 +75,14 @@ def compute_pressure_force(ctx: common.NeighborCtx, params: SimParams,
         return {"fp": masked(ok, coef[..., None] * grad)}
 
     p_over_d2 = pres / (dens_safe * dens_safe)
+    if src_dens is None:
+        src_p_over_d2 = p_over_d2
+    else:
+        sd = jnp.maximum(src_dens, 1e-12)
+        src_p_over_d2 = src_pres / (sd * sd)
     acc = common.fluid_reduce(
         ctx, pair, {"fp": jnp.zeros((n, 3), cfg.dtype)},
-        {"pos": pos, "p_over_d2": p_over_d2},
+        {"pos": ctx.source_pos, "p_over_d2": src_p_over_d2},
         {"pos": pos, "p_over_d2": p_over_d2}, cfg)
 
     def bpair(i, j, valid):
