@@ -1,0 +1,232 @@
+"""Command-line driver: the offline analogue of the reference demo app.
+
+The reference's ``main()`` hard-codes one scene (IISPH, 0.5³ fluid cube,
+box boundary, gravity disabled — ``main.cpp:533-555``) behind an
+interactive GL window. Here scenes, solvers, kernel sets, sharding and
+export are CLI flags over the same physics:
+
+    python -m nereus_tpu run --solver iisph --steps 500 --export png
+    python -m nereus_tpu run --solver wcsph --n-target 128000 --shards 8
+    python -m nereus_tpu info
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _build_parser():
+    p = argparse.ArgumentParser(
+        prog="nereus_tpu",
+        description="TPU-native SPH fluid simulation (WCSPH/IISPH/PCISPH)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    run = sub.add_parser("run", help="run a simulation")
+    run.add_argument("--solver", choices=["wcsph", "iisph", "pcisph"],
+                     default="wcsph")
+    run.add_argument("--scene", choices=["dam-break", "cube-drop", "demo"],
+                     default="dam-break",
+                     help="'demo' reproduces the reference app scene "
+                          "(fluid cube, box boundary, zero gravity)")
+    run.add_argument("--steps", type=int, default=400)
+    run.add_argument("--n-target", type=int, default=None,
+                     help="approximate particle count (scales the cube)")
+    run.add_argument("--dt", type=float, default=None)
+    run.add_argument("--kernel-set", choices=["muller", "monaghan"],
+                     default="muller")
+    run.add_argument("--surface-tension",
+                     choices=["none", "becker", "akinci"], default="becker")
+    run.add_argument("--no-boundary", action="store_true")
+    run.add_argument("--calibrate-mass", action="store_true",
+                     help="set particle mass so a rest lattice sums to rho0 "
+                          "(recommended for PCISPH)")
+    run.add_argument("--seg-window", type=int, default=48)
+    run.add_argument("--shards", type=int, default=1,
+                     help="slab-shard the domain over this many devices "
+                          "(WCSPH only for now)")
+    run.add_argument("--export", choices=["none", "png", "npz", "mp4"],
+                     default="none")
+    run.add_argument("--export-every", type=int, default=10,
+                     help="export cadence in steps (reference records every "
+                          "10th frame, main.cpp:619)")
+    run.add_argument("--out", default="out")
+    run.add_argument("--checkpoint-every", type=int, default=0)
+    run.add_argument("--resume", default=None, metavar="CKPT.npz")
+    run.add_argument("--profile-dir", default=None,
+                     help="write a jax.profiler trace of the run here")
+    run.add_argument("--report-every", type=int, default=100)
+
+    sub.add_parser("info", help="print device/platform info")
+    return p
+
+
+def _make_setup(args):
+    import jax.numpy as jnp
+    import nereus_tpu as nt
+    from nereus_tpu import scene as scenelib
+    from nereus_tpu.params import calibrate_mass
+
+    kernel_set = (nt.KernelSet.MULLER if args.kernel_set == "muller"
+                  else nt.KernelSet.MONAGHAN)
+    st = {"none": nt.SurfaceTensionModel.NONE,
+          "becker": nt.SurfaceTensionModel.BECKER,
+          "akinci": nt.SurfaceTensionModel.AKINCI}[args.surface_tension]
+    cfg = nt.SimConfig(kernel_set=kernel_set, surface_tension_model=st,
+                       seg_window=args.seg_window)
+
+    overrides = {}
+    if args.dt is not None:
+        overrides["dt"] = args.dt
+    if args.scene == "demo":
+        overrides["gravity"] = (0.0, 0.0, 0.0)  # main.cpp:552 setGravity(0)
+    if args.solver == "wcsph":
+        params = nt.make_params(**overrides)
+    elif args.solver == "iisph":
+        params = nt.iisph_params(**overrides)
+    else:
+        params = nt.pcisph_params(**overrides)
+    if args.calibrate_mass or args.solver == "pcisph":
+        params = calibrate_mass(params, cfg)
+
+    scene_kw = {}
+    if args.scene == "cube-drop":
+        scene_kw.update(cube_center=(0.25, 0.6, 0.25),
+                        box_min=(0.0, 0.0, 0.0), box_max=(0.5, 1.0, 0.5),
+                        cube_size=(0.3, 0.3, 0.3))
+    state, grid, boundary = scenelib.dam_break(
+        params, cfg, n_target=args.n_target,
+        with_boundary=not args.no_boundary, **scene_kw)
+    return cfg, params, state, grid, boundary
+
+
+def cmd_run(args):
+    import jax
+    import nereus_tpu as nt
+    from nereus_tpu.params import calibrate_mass  # noqa: F401
+    from nereus_tpu.utils import (StepMeter, get_logger, load_checkpoint,
+                                  save_checkpoint)
+    from nereus_tpu.utils.metrics import profile_trace
+
+    log = get_logger()
+    cfg, params, state, grid, boundary = _make_setup(args)
+    if args.resume:
+        state, header = load_checkpoint(args.resume)
+        log.info("resumed from %s at step %d", args.resume, header["step"])
+    n = int(np.asarray(state.num_active).sum())
+    log.info("scene=%s solver=%s particles=%d boundaries=%d grid=%s",
+             args.scene, args.solver, n,
+             0 if boundary is None else boundary.num_boundaries,
+             np.asarray(grid.size).tolist())
+
+    if args.shards > 1:
+        if args.solver != "wcsph":
+            log.error("--shards currently supports wcsph only")
+            return 2
+        from jax.sharding import Mesh
+        from nereus_tpu.parallel import (ShardConfig,
+                                         make_sharded_wcsph_step,
+                                         shard_state, slab_counts,
+                                         unshard_state)
+        devs = jax.devices()
+        if len(devs) < args.shards:
+            log.error("only %d devices available", len(devs))
+            return 2
+        mesh = Mesh(np.array(devs[:args.shards]), ("shards",))
+        counts = slab_counts(state, grid, args.shards)
+        scfg = ShardConfig(
+            n_shards=args.shards,
+            local_capacity=int(1.5 * counts.max()) + 256,
+            halo_capacity=4096, migration_capacity=1024)
+        log.info("slab occupancy: %s, local capacity %d",
+                 counts.tolist(), scfg.local_capacity)
+        run_state = shard_state(state, grid, scfg, mesh)
+        step = make_sharded_wcsph_step(mesh, params, grid, cfg, scfg,
+                                       boundary)
+        to_host = unshard_state
+    else:
+        solver = {"wcsph": nt.wcsph_step, "iisph": nt.iisph_step}.get(
+            args.solver)
+        if args.solver == "pcisph":
+            delta = nt.pcisph_delta(params, cfg)
+            step = jax.jit(lambda s: nt.pcisph_step(
+                s, params, grid, cfg, boundary, delta=delta))
+        else:
+            step = jax.jit(lambda s: solver(s, params, grid, cfg, boundary))
+        run_state = state
+
+        def to_host(s):
+            return s
+
+    exporter = None
+    if args.export != "none":
+        from .export import FrameExporter
+        exporter = FrameExporter(args.out, args.export)
+
+    meter = StepMeter(n, report_every=args.report_every, logger=log)
+    t0 = time.perf_counter()
+    diag = None
+    with profile_trace(args.profile_dir):
+        for i in range(args.steps):
+            run_state, diag = step(run_state)
+            meter.tick()
+            if exporter is not None and i % args.export_every == 0:
+                hs = to_host(run_state)
+                na = int(np.asarray(hs.num_active).sum())
+                exporter.add(np.asarray(hs.pos)[:na],
+                             np.asarray(hs.vel)[:na],
+                             np.asarray(hs.pressure)[:na])
+            if args.checkpoint_every and i and i % args.checkpoint_every == 0:
+                save_checkpoint(f"{args.out}_ckpt_{i:06d}.npz",
+                                to_host(run_state), step=i)
+        jax.block_until_ready(run_state.pos)
+    dt_wall = time.perf_counter() - t0
+    if exporter is not None:
+        exporter.close()
+
+    ovf = int(np.asarray(diag.seg_overflow))
+    if ovf > 0:
+        log.warning("neighbor window overflow by %d — increase --seg-window "
+                    "(results truncated!)", ovf)
+    summary = {
+        "steps": args.steps, "particles": n,
+        "wall_s": round(dt_wall, 3),
+        "particle_steps_per_sec": round(args.steps * n / dt_wall, 1),
+        "mean_density_error": float(np.asarray(diag.mean_density_error)),
+        "max_density": float(np.asarray(diag.max_density)),
+        "seg_overflow": ovf,
+    }
+    if hasattr(diag, "solver_iters"):
+        summary["solver_iters"] = int(np.asarray(diag.solver_iters))
+    log.info("done: %s", json.dumps(summary))
+    print(json.dumps(summary))
+    return 0
+
+
+def cmd_info(_args):
+    import jax
+    info = {
+        "jax": jax.__version__,
+        "backend": jax.default_backend(),
+        "devices": [str(d) for d in jax.devices()],
+        "device_count": jax.device_count(),
+    }
+    print(json.dumps(info, indent=2))
+    return 0
+
+
+def main(argv=None):
+    args = _build_parser().parse_args(argv)
+    if args.cmd == "run":
+        return cmd_run(args)
+    if args.cmd == "info":
+        return cmd_info(args)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -193,6 +193,27 @@ def _exchange_saved(fields, src_idx, valid, axis_name, n, shift):
 # Host-side distribution
 # ---------------------------------------------------------------------------
 
+def slab_counts(state: FluidState, grid: gridlib.Grid,
+                n_shards: int) -> np.ndarray:
+    """Host-side per-slab particle counts for capacity planning.
+
+    Slabs are equal z-cell ranges, so a concentrated scene (e.g. the demo
+    cube inside a much larger boundary box) can land almost entirely in one
+    slab — size ``ShardConfig.local_capacity`` from this, with headroom for
+    the fluid spreading during the run.
+    """
+    pos = np.asarray(state.pos)
+    n = int(np.asarray(state.num_active))
+    origin = np.asarray(grid.origin)
+    cell = np.asarray(grid.cell)
+    gz = int(np.asarray(grid.size)[2])
+    slab = -(-gz // n_shards)
+    zc = np.clip(np.floor((pos[:n, 2] - origin[2]) / cell[2]).astype(np.int64),
+                 0, gz - 1)
+    owner = np.minimum(zc // slab, n_shards - 1)
+    return np.bincount(owner, minlength=n_shards).astype(np.int64)
+
+
 def shard_state(state: FluidState, grid: gridlib.Grid, scfg: ShardConfig,
                 mesh: Mesh) -> FluidState:
     """Distribute a host FluidState into per-slab blocks of a (D·Cl) global

@@ -1,0 +1,60 @@
+"""Checkpoint / resume.
+
+The reference has no persistence at all (SURVEY §5.4 — its only "output" is
+an ffmpeg video pipe). Because the whole simulation state here is a pytree
+of arrays plus a frozen parameter dataclass, checkpointing is a flat
+``.npz`` dump with a small JSON header — readable anywhere, no framework
+dependency — with orbax available for users who want async/multi-host
+checkpointing of the same pytree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..state import FluidState
+
+_FORMAT_VERSION = 1
+
+
+def save_checkpoint(path: str, state: FluidState, *, step: int = 0,
+                    extra: dict | None = None) -> None:
+    """Write the fluid state (host-gathered) and metadata to ``path``."""
+    header = {
+        "format_version": _FORMAT_VERSION,
+        "step": int(step),
+        "num_active": int(state.num_active) if state.num_active.ndim == 0
+        else None,
+        "extra": extra or {},
+    }
+    arrays = {
+        "pos": np.asarray(state.pos),
+        "vel": np.asarray(state.vel),
+        "pressure": np.asarray(state.pressure),
+        "num_active": np.asarray(state.num_active),
+        "__header__": np.frombuffer(
+            json.dumps(header).encode(), dtype=np.uint8),
+    }
+    np.savez_compressed(path, **arrays)
+
+
+def load_checkpoint(path: str):
+    """Returns ``(FluidState, header_dict)``."""
+    with np.load(path) as z:
+        header = json.loads(bytes(z["__header__"]).decode())
+        if header["format_version"] > _FORMAT_VERSION:
+            raise ValueError(
+                f"checkpoint format {header['format_version']} is newer than "
+                f"supported {_FORMAT_VERSION}")
+        state = FluidState(
+            pos=jnp.asarray(z["pos"]),
+            vel=jnp.asarray(z["vel"]),
+            pressure=jnp.asarray(z["pressure"]),
+            num_active=jnp.asarray(z["num_active"]),
+        )
+    return state, header
