@@ -93,6 +93,15 @@ def render_frame(pos, vel=None, *, width=1024, height=768,
                                   else np.zeros_like(pos))
     colors = np.asarray(colors, dtype=np.float32)
 
+    # Fast path: z-buffered C++ rasterizer (native/nereus_native.cpp).
+    from .. import native as native_mod
+    img8 = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+    if native_mod.rasterize(pos, colors, cam.view_matrix(),
+                            cam.proj_matrix(width / height), width, height,
+                            particle_radius, point_scale, max_sprite,
+                            cam.fov_deg, img8):
+        return img8
+
     view = cam.view_matrix()
     proj = cam.proj_matrix(width / height)
     hom = np.concatenate([pos, np.ones((n, 1))], axis=1)

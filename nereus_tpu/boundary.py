@@ -71,14 +71,20 @@ def compute_vbi(positions, interaction_radius,
                 kernel_set: KernelSet = KernelSet.MULLER):
     """Akinci boundary volumes V_bi = 1 / Σ_k W(b_i − b_k), |b_i − b_k| < h.
 
-    Host-side precompute over the static boundary set (one-time cost), done
-    with an O(M·27·occupancy) cell-binned pass in NumPy.
+    Host-side precompute over the static boundary set (one-time cost): the
+    C++ cell-binned pass in ``native/`` when available, else an equivalent
+    O(M·27·occupancy) NumPy pass.
     """
     pos = np.asarray(positions, dtype=np.float64)
     h = float(interaction_radius)
     m = pos.shape[0]
     if m == 0:
         return np.zeros((0,), dtype=np.float64)
+
+    from . import native
+    nat = native.compute_vbi(pos, h, kernel_set.value)
+    if nat is not None:
+        return nat
 
     if kernel_set == KernelSet.MULLER:
         kpoly = 315.0 / (64.0 * np.pi * h**9)
