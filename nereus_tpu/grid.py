@@ -40,21 +40,32 @@ ROW_OFFSETS = tuple((dy, dz) for dz in (-1, 0, 1) for dy in (-1, 0, 1))
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Grid:
-    """Uniform grid: dynamic analogue of the grid block in ``SphSimParams``
-    (``common/sph_kernel.cuh:16-24``)."""
+    """Uniform grid: analogue of the grid block in ``SphSimParams``
+    (``common/sph_kernel.cuh:16-24``).
 
-    origin: jax.Array  # (3,) world origin (sph.cpp:65)
-    size: jax.Array    # (3,) int32 cells per axis (sph.cpp:66)
-    cell: jax.Array    # (3,) cell edge lengths (sph.cpp:67)
+    ``origin`` and ``cell`` are traced (the domain can shift/scale without
+    recompilation); ``size`` is *static* — cell counts determine array
+    shapes in the Pallas neighbor engine, and a resize (``SPH::updateGrid``
+    refits, ``sph/sph.cpp:300-337``) recompiles, exactly like the
+    reference's grid reallocation."""
+
+    origin: jax.Array                       # (3,) world origin (sph.cpp:65)
+    size: tuple = dataclasses.field(metadata=dict(static=True),
+                                    default=(1, 1, 1))  # cells per axis
+    cell: jax.Array = None                  # (3,) cell edge len (sph.cpp:67)
 
     @property
     def num_cells(self):
         return self.size[0] * self.size[1] * self.size[2]
 
+    @property
+    def size_arr(self):
+        return jnp.asarray(self.size, dtype=jnp.int32)
+
 
 def make_grid(origin, size, cell_size, dtype=jnp.float32) -> Grid:
     origin = jnp.asarray(origin, dtype=dtype)
-    size = jnp.asarray(size, dtype=jnp.int32)
+    size = tuple(int(s) for s in np.asarray(size).reshape(-1))
     cell = jnp.broadcast_to(jnp.asarray(cell_size, dtype=dtype), (3,))
     return Grid(origin=origin, size=size, cell=cell)
 
@@ -83,7 +94,7 @@ def cell_coords(grid: Grid, pos):
     subsequent power-of-two wrap.
     """
     c = jnp.floor((pos - grid.origin) / grid.cell).astype(jnp.int32)
-    return jnp.clip(c, 0, grid.size - 1)
+    return jnp.clip(c, 0, grid.size_arr - 1)
 
 
 def cell_hash(grid: Grid, coords):

@@ -1,0 +1,319 @@
+"""Pallas TPU neighbor-sweep engine: gather-free SPH pair reductions.
+
+The jnp segment engine (``ops/neighbors.py``) expresses each SPH pass as 9
+windowed gathers per particle — correct everywhere, but XLA lowers both the
+gathers and the per-particle ``searchsorted`` segment queries to row/element
+gathers that run ~100× below HBM bandwidth on TPU, making them >95% of step
+time. This engine eliminates both, using one observation about the
+hash-sorted particle array (hash = (z·gy + y)·gx + x, x fastest):
+
+  For a *block* of B consecutive sorted particles and one (dy, dz) row
+  offset, the union of the particles' neighbor ranges is a contiguous span
+  of the sorted source array of size ≈ B + O(cell occupancy) — consecutive
+  query rows map to consecutive source rows. The only discontinuity is a
+  z-plane crossing inside the block, which splits the span in two.
+
+Per (block, row-offset) the plan locates that span with **block-level**
+binary searches (~nb·9·4 queries — hundreds of times fewer than
+per-particle) and covers it with up to two lane-aligned windows. Windows
+are fetched by the Mosaic pipeline through a scalar-prefetched,
+data-dependent ``pl.Element`` BlockSpec (the block-sparse-attention
+pattern), and pair validity is decided **inside the kernel** by comparing
+each source's cell hash (shipped as a window field) against per-query row
+hash bounds recomputed from the query's position — no per-particle segment
+arrays exist at all:
+
+    grid = (num_blocks, 9 row offsets, 2 window passes)
+    src block   (8, WIN) at element column anchors[b·9·2 + r·2 + p]·128
+    query block (B, Fq)  at row b·B   (revisited across r, p)
+    out block   (B, Fo)  at row b·B   (accumulated across r, p)
+
+Pass 1 only owns columns ≥ pass 0's window end, so overlapping windows
+never double-count a pair. Sources the block needs that fall outside both
+windows are *counted* by the plan and surfaced through the step
+diagnostics (``seg_overflow``) — never silently dropped.
+
+Sources are packed as an (8, M) field-major matrix
+(x, y, z, vx, vy, vz, dens-or-ψ, cell-hash-as-f32); hashes are exact in
+float32 for grids up to 2²⁴ cells. The ψ slot makes the boundary sweep
+(Akinci terms) the same kernel shape with a different pair function.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+WIN = 256          # window width (lanes; multiple of the 128-lane tile)
+ALIGN = 128        # Mosaic requires window starts aligned to the lane tile
+DEF_BLOCK = 96     # particles per block (sublanes; multiple of 8)
+N_PASS = 2
+N_ROWS = 9
+PARK_LIMIT = 1e8   # positions beyond this are parked/inactive slots
+
+
+def round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Row hash bounds (shared definition: jnp plan + in-kernel masks)
+# ---------------------------------------------------------------------------
+
+def row_hash_bounds(coords, gsize, r):
+    """[lo, hi] cell-hash bounds of row offset ``r`` for query cells.
+
+    coords: (..., 3) int32; gsize: (gx, gy, gz) python ints; r: row index
+    0..8 mapping to (dy, dz) = (r%3−1, r//3−1). Out-of-grid rows return
+    lo > hi (empty).
+    """
+    gx, gy, gz = gsize
+    dy = r % 3 - 1
+    dz = r // 3 - 1
+    x, y, z = coords[..., 0], coords[..., 1], coords[..., 2]
+    yy = y + dy
+    zz = z + dz
+    base = (zz * gy + yy) * gx
+    lo = base + jnp.maximum(x - 1, 0)
+    hi = base + jnp.minimum(x + 1, gx - 1)
+    invalid = (yy < 0) | (yy >= gy) | (zz < 0) | (zz >= gz)
+    lo = jnp.where(invalid, 1, lo)
+    hi = jnp.where(invalid, 0, hi)
+    return lo, hi
+
+
+# ---------------------------------------------------------------------------
+# Window planning
+# ---------------------------------------------------------------------------
+
+def _cover_miss(s, e, a0, a1):
+    """Sources in [s, e) not covered by windows [a0, a0+WIN) ∪ [a1, a1+WIN)
+    (a1 ≥ a0). Interval arithmetic; all args int32 arrays."""
+    w0_end = a0 + WIN
+    w1_end = a1 + WIN
+    # uncovered-left: before a0 (cannot happen: a0 ≤ s), uncovered-middle:
+    # [w0_end, a1), uncovered-right: [w1_end, e)
+    mid = jnp.maximum(jnp.minimum(e, a1) - jnp.maximum(s, w0_end), 0)
+    right = jnp.maximum(e - jnp.maximum(s, w1_end), 0)
+    return mid + right
+
+
+def plan_windows(sorted_hash, coords, gsize, block: int,
+                 src_len_padded: int, active_mask=None):
+    """Plan window anchors per (particle-block, row offset).
+
+    sorted_hash: (M,) ascending source hashes (int32, inactive = INT32_MAX).
+    coords: (N, 3) query cell coords (N multiple of ``block``).
+    active_mask: (N,) bool — False rows are excluded from span planning
+    (their in-kernel masks still work; they simply match nothing real).
+
+    Returns ``(anchors (nb·9·2,) int32 in ALIGN units, miss () int32)``.
+    """
+    n = coords.shape[0]
+    nb = n // block
+    big = jnp.int32(2 ** 30)
+    a_cap = max(src_len_padded - WIN, 0) // ALIGN
+
+    # Cluster split: first z-value group vs rest (z-plane crossing).
+    z = coords[..., 2].reshape(nb, block)
+    in_a = z == z[:, :1]
+    if active_mask is not None:
+        act = active_mask.reshape(nb, block)
+    else:
+        act = jnp.ones_like(in_a)
+
+    anchors = []
+    miss = jnp.int32(0)
+    for r in range(N_ROWS):
+        lo, hi = row_hash_bounds(coords, gsize, r)
+        lo = lo.reshape(nb, block)
+        hi = hi.reshape(nb, block)
+        ok = act & (hi >= lo)
+
+        def bounds(sel):
+            l = jnp.min(jnp.where(sel, lo, big), axis=1)
+            h = jnp.max(jnp.where(sel, hi, -1), axis=1)
+            return l, h
+
+        la, ha = bounds(ok & in_a)
+        lb, hb = bounds(ok & ~in_a)
+
+        # positions in the sorted source array (block-level searches)
+        q = jnp.stack([jnp.minimum(la, big - 1), ha + 1,
+                       jnp.minimum(lb, big - 1), hb + 1])  # (4, nb)
+        posn = jnp.searchsorted(sorted_hash, q.reshape(-1),
+                                side="left").astype(jnp.int32).reshape(4, nb)
+        s_a, e_a, s_b, e_b = posn
+        has_a = (ha >= 0) & (e_a > s_a)
+        has_b = (hb >= 0) & (e_b > s_b)
+        s_a = jnp.where(has_a, s_a, 0)
+        e_a = jnp.where(has_a, e_a, 0)
+        s_b = jnp.where(has_b, s_b, 0)
+        e_b = jnp.where(has_b, e_b, 0)
+        none = ~has_a & ~has_b
+
+        # anchor 0 at the first needed position; anchor 1 at the first
+        # needed position window 0 leaves uncovered. A −1 sentinel marks an
+        # unused window — the kernel skips its entire compute. Window 1
+        # always starts at/after window 0's end region, so the pass-1
+        # ownership rule (col ≥ a0·ALIGN+WIN) never double-counts.
+        s_first = jnp.where(has_a, s_a, s_b)
+        a0 = jnp.clip(s_first // ALIGN, 0, a_cap)
+        w0_end = a0 * ALIGN + WIN
+        ua = jnp.where(has_a & (e_a > w0_end), jnp.maximum(s_a, w0_end), big)
+        ub = jnp.where(has_b & (e_b > w0_end), jnp.maximum(s_b, w0_end), big)
+        u_start = jnp.minimum(ua, ub)
+        a1 = jnp.clip(u_start // ALIGN, 0, a_cap)
+
+        m = jnp.where(has_a,
+                      _cover_miss(s_a, e_a, a0 * ALIGN, a1 * ALIGN), 0) + \
+            jnp.where(has_b,
+                      _cover_miss(s_b, e_b, a0 * ALIGN, a1 * ALIGN), 0)
+        miss = miss + jnp.sum(m)
+        a0 = jnp.where(none, -1, a0)
+        a1 = jnp.where(none | (u_start == big), -1, a1)
+        anchors.append(jnp.stack([a0, a1], axis=-1))  # (nb, 2)
+
+    anchors = jnp.stack(anchors, axis=1)              # (nb, 9, 2)
+    return anchors.reshape(-1).astype(jnp.int32), miss
+
+
+def pack_source(pos, hash_f32, vel=None, dens_or_psi=None):
+    """Pack source fields into the (8, M_padded) field-major matrix:
+    rows x, y, z, vx, vy, vz, dens-or-ψ, cell-hash (as float32).
+
+    Padding columns carry parked positions and hash −1 so stray window
+    tails never match a row range nor pass the radius cutoff.
+    """
+    m = pos.shape[0]
+    mp = round_up(m, ALIGN) + WIN
+    zeros = jnp.zeros((m,), pos.dtype)
+    rows = [pos[:, 0], pos[:, 1], pos[:, 2]]
+    if vel is not None:
+        rows += [vel[:, 0], vel[:, 1], vel[:, 2]]
+    else:
+        rows += [zeros, zeros, zeros]
+    rows.append(dens_or_psi if dens_or_psi is not None else zeros)
+    rows.append(hash_f32)
+    src = jnp.stack(rows)                             # (8, m)
+    pad = jnp.full((8, mp - m), -1.0, src.dtype).at[:3].set(1e9).at[3:7].set(0.0)
+    return jnp.concatenate([src, pad], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+def _sweep_kernel(anchors_ref, pvec_ref, q_ref, src_ref, out_ref,
+                  *, pair_fn, block: int, self_excl: bool, gsize,
+                  grid_geom_idx: int):
+    b = pl.program_id(0)
+    r = pl.program_id(1)
+    p = pl.program_id(2)
+
+    @pl.when((r == 0) & (p == 0))
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    flat = (b * N_ROWS + r) * N_PASS
+    a_raw = anchors_ref[flat + p]
+
+    @pl.when(a_raw >= 0)   # −1 sentinel: window unused, skip everything
+    def _window():
+        a_this = a_raw * ALIGN
+        a0 = anchors_ref[flat] * ALIGN
+
+        # query cell coords from position (f32 floor — exact for our grids)
+        ox, oy, oz = (pvec_ref[grid_geom_idx], pvec_ref[grid_geom_idx + 1],
+                      pvec_ref[grid_geom_idx + 2])
+        inv_cell = pvec_ref[grid_geom_idx + 3]
+        gx, gy, gz = gsize
+
+        def cellc(v, o, g):
+            c = jnp.floor((v - o) * inv_cell)
+            return jnp.clip(c, 0.0, float(g - 1))
+
+        qx, qy, qz = q_ref[:, 0:1], q_ref[:, 1:2], q_ref[:, 2:3]
+        cx = cellc(qx, ox, gx)
+        cy = cellc(qy, oy, gy)
+        cz = cellc(qz, oz, gz)
+        dy = (r % 3 - 1).astype(jnp.float32)
+        dz = (r // 3 - 1).astype(jnp.float32)
+        yy = cy + dy
+        zz = cz + dz
+        base = (zz * gy + yy) * gx
+        lo = base + jnp.maximum(cx - 1.0, 0.0)
+        hi = base + jnp.minimum(cx + 1.0, float(gx - 1))
+        row_ok = ((yy >= 0.0) & (yy < float(gy))
+                  & (zz >= 0.0) & (zz < float(gz)))
+
+        src_hash = src_ref[7:8, :]                     # (1, WIN) f32
+        col = a_this + jax.lax.broadcasted_iota(jnp.int32, (1, WIN), 1)
+        owned = (p == 0) | (col >= a0 + WIN)  # overlap belongs to pass 0
+        valid = (owned & row_ok
+                 & (src_hash >= lo) & (src_hash <= hi))  # (B, WIN)
+
+        @pl.when(jnp.any(valid))
+        def _compute():
+            v = valid
+            if self_excl:
+                self_idx = (b * block + jax.lax.broadcasted_iota(
+                    jnp.int32, (block, 1), 0))
+                v = v & (col != self_idx)
+            contrib = pair_fn(q_ref, src_ref, v, pvec_ref)  # (B, Fo)
+            out_ref[:] = out_ref[:] + contrib
+
+
+def neighbor_sweep(pair_fn, *, queries, src, anchors, pvec, gsize,
+                   out_width: int, block: int = DEF_BLOCK,
+                   self_excl: bool, grid_geom_idx: int,
+                   interpret: bool = False):
+    """Run one Pallas neighbor sweep.
+
+    Args:
+      pair_fn: ``(q_ref (B,Fq), src_ref (8,WIN), valid (B,WIN), pvec_ref)
+        -> (B, out_width)`` — masked pair terms reduced over the window.
+      queries: (N, Fq) query fields, rows 0..2 = position; N % block == 0.
+      src: (8, M) packed source matrix from :func:`pack_source`.
+      anchors: flat (nb·9·2,) int32 from :func:`plan_windows`.
+      pvec: (P,) float32 parameter vector; entries
+        [grid_geom_idx .. +3] = (ox, oy, oz, 1/cell).
+      gsize: static (gx, gy, gz).
+      self_excl: exclude the query's own source slot (fluid↔fluid sweep,
+        single-chip layout where query i is source column i).
+
+    Returns (N, out_width).
+    """
+    n, fq = queries.shape
+    assert n % block == 0, (n, block)
+    nb = n // block
+
+    kernel = functools.partial(
+        _sweep_kernel, pair_fn=pair_fn, block=block, self_excl=self_excl,
+        gsize=gsize, grid_geom_idx=grid_geom_idx)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,   # anchors, pvec
+        grid=(nb, N_ROWS, N_PASS),
+        in_specs=[
+            pl.BlockSpec((block, fq), lambda b, r, p, a, pv: (b, 0)),
+            pl.BlockSpec((pl.Element(8), pl.Element(WIN)),
+                         lambda b, r, p, a, pv:
+                         (0, jnp.maximum(
+                             a[(b * N_ROWS + r) * N_PASS + p], 0) * ALIGN)),
+        ],
+        out_specs=pl.BlockSpec((block, out_width),
+                               lambda b, r, p, a, pv: (b, 0)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, out_width), queries.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+    )(anchors, pvec.astype(jnp.float32), queries, src)

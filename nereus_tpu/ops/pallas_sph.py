@@ -1,0 +1,305 @@
+"""SPH pair functions for the Pallas neighbor engine + sweep drivers.
+
+Mirrors the physics of ``solvers/common.py`` / ``solvers/wcsph.py`` (which
+in turn mirror ``sph/sph_kernel_impl.cuh``), expressed as dense masked
+(B, WIN) window math. The jnp segment path remains the reference oracle;
+``tests/test_pallas.py`` checks agreement to float tolerance.
+
+Parameter scalars reach the kernels through a packed float32 vector
+(``build_pvec``) — the Pallas analogue of the reference's ``__constant__
+SphSimParams`` upload (``sph/sph_cuda.cu:183-187``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..params import KernelSet, SimConfig, SimParams, SurfaceTensionModel
+from .pallas_neighbors import neighbor_sweep, pack_source
+
+_EPS = 1e-12
+
+# pvec layout
+PV_H2 = 0
+PV_PM = 1
+PV_KPOLY = 2
+PV_KPRESS = 3
+PV_KVISC = 4
+PV_KVISC_DEN = 5
+PV_H = 6
+PV_KAPPA = 7
+PV_WDIAM = 8       # W(2·particle_radius), precomputed for the Becker clamp
+PV_DIAM2 = 9       # (2·particle_radius)²
+PV_BETA = 10
+PV_VISC = 11
+PV_CS = 12
+PV_RD = 13
+PV_K = 14          # Tait gas stiffness (pd2_j recomputed in-kernel)
+PV_KSURF1 = 15
+PV_KSURF2 = 16
+PV_KPOLY_GRAD = 17
+PV_OX = 18         # grid geometry: origin x/y/z, 1/cell
+PV_OY = 19
+PV_OZ = 20
+PV_INVCELL = 21
+PV_LEN = 22
+
+
+def build_pvec(params: SimParams, cfg: SimConfig, grid):
+    from .. import kernels as K
+    h = params.interaction_radius
+    diam = 2.0 * params.particle_radius
+    dvec = jnp.stack([diam, jnp.zeros_like(diam), jnp.zeros_like(diam)])
+    wdiam = K.w_value(cfg.kernel_set, dvec[None, :], params)[0]
+    vals = [None] * PV_LEN
+    vals[PV_H2] = h * h
+    vals[PV_PM] = params.particle_mass
+    vals[PV_KPOLY] = params.kpoly
+    vals[PV_KPRESS] = params.kpress_grad
+    vals[PV_KVISC] = params.kvisc_grad
+    vals[PV_KVISC_DEN] = params.kvisc_denum
+    vals[PV_H] = h
+    vals[PV_KAPPA] = params.surface_tension
+    vals[PV_WDIAM] = wdiam
+    vals[PV_DIAM2] = diam * diam
+    vals[PV_BETA] = params.beta
+    vals[PV_VISC] = params.viscosity
+    vals[PV_CS] = params.sound_speed
+    vals[PV_RD] = params.rest_density
+    vals[PV_K] = params.gas_stiffness
+    vals[PV_KSURF1] = params.ksurf1
+    vals[PV_KSURF2] = params.ksurf2
+    vals[PV_KPOLY_GRAD] = params.kpoly_grad
+    vals[PV_OX] = grid.origin[0]
+    vals[PV_OY] = grid.origin[1]
+    vals[PV_OZ] = grid.origin[2]
+    vals[PV_INVCELL] = 1.0 / grid.cell[0]
+    return jnp.stack([jnp.asarray(v, jnp.float32) for v in vals])
+
+
+# ---------------------------------------------------------------------------
+# In-kernel smoothing-kernel math on (B, WIN) tiles
+# ---------------------------------------------------------------------------
+
+def _w_value(kernel_set, r2, rl, pv):
+    """W(r) on tiles (cutoff applied by the caller's mask)."""
+    if kernel_set == KernelSet.MULLER:
+        d = jnp.maximum(pv[PV_H2] - r2, 0.0)
+        return pv[PV_KPOLY] * d * d * d
+    h = pv[PV_H]
+    sigma = 1.0 / (4.0 * jnp.pi * h * h * h)
+    q = rl / h
+    a = jnp.maximum(2.0 - q, 0.0)
+    bq = jnp.maximum(1.0 - q, 0.0)
+    return sigma * (a * a * a - 4.0 * bq * bq * bq)
+
+
+def _w_grad_scale_default(kernel_set, r2, rl, pv):
+    """Scale s with ∇W = s·r⃗ for the poly6/default gradient."""
+    if kernel_set == KernelSet.MULLER:
+        d = jnp.maximum(pv[PV_H2] - r2, 0.0)
+        return pv[PV_KPOLY_GRAD] * d * d
+    return _w_grad_scale_monaghan(rl, pv)
+
+
+def _w_grad_scale_press(kernel_set, r2, rl, pv):
+    """Scale for the spiky pressure gradient."""
+    if kernel_set == KernelSet.MULLER:
+        hr = jnp.maximum(pv[PV_H] - rl, 0.0)
+        return jnp.where(rl > _EPS,
+                         pv[PV_KPRESS] * hr * hr / jnp.maximum(rl, _EPS), 0.0)
+    return _w_grad_scale_monaghan(rl, pv)
+
+
+def _w_grad_scale_visc(kernel_set, r2, rl, pv):
+    """Scale for the Müller viscosity-kernel gradient."""
+    if kernel_set == KernelSet.MULLER:
+        h = pv[PV_H]
+        rl3 = jnp.maximum(rl * rl * rl, _EPS)
+        c = (-(3.0 * rl / pv[PV_KVISC_DEN]) + (2.0 / pv[PV_H2])
+             - (h / (2.0 * rl3)))
+        return jnp.where(rl > _EPS, pv[PV_KVISC] * c, 0.0)
+    return _w_grad_scale_monaghan(rl, pv)
+
+
+def _w_grad_scale_monaghan(rl, pv):
+    h = pv[PV_H]
+    sigma = 1.0 / (4.0 * jnp.pi * h * h * h)
+    q = rl / h
+    a = jnp.maximum(2.0 - q, 0.0)
+    bq = jnp.maximum(1.0 - q, 0.0)
+    scalar = -3.0 * a * a + 12.0 * bq * bq
+    return jnp.where(rl > _EPS,
+                     sigma * scalar / (h * jnp.maximum(rl, _EPS)), 0.0)
+
+
+def _pair_geometry(q_ref, src_ref, pv):
+    qx, qy, qz = q_ref[:, 0:1], q_ref[:, 1:2], q_ref[:, 2:3]
+    dx = qx - src_ref[0:1, :]
+    dy = qy - src_ref[1:2, :]
+    dz = qz - src_ref[2:3, :]
+    r2 = dx * dx + dy * dy + dz * dz
+    return dx, dy, dz, r2
+
+
+# ---------------------------------------------------------------------------
+# Pair functions
+# ---------------------------------------------------------------------------
+
+def density_pair(q_ref, src_ref, valid, pv, *, kernel_set):
+    """ρ contribution: Σ ψ_j·W(r). Fluid sources carry ψ = m in slot 6, so
+    one formula serves fluid and boundary sweeps (``computeCellDensity`` /
+    ``computeBoundaryCellDensity``, ``sph_kernel_impl.cuh:290-360``)."""
+    dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv)
+    rl = jnp.sqrt(r2)
+    w = _w_value(kernel_set, r2, rl, pv)
+    ok = valid & (r2 < pv[PV_H2])
+    contrib = jnp.where(ok, src_ref[6:7, :] * w, 0.0)
+    return jnp.sum(contrib, axis=1, keepdims=True)
+
+
+def fluid_force_pair(q_ref, src_ref, valid, pv, *, kernel_set, st_model):
+    """Fused per-pair fluid forces: viscosity + surface tension + pressure,
+    with the trailing scalings of ``computeForces`` folded per pair.
+
+    q fields: x y z vx vy vz dens pd2 ; src fields: same (ψ slot = dens).
+    Output (B, 4): fx fy fz (pad).
+    """
+    dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv)
+    rl = jnp.sqrt(r2)
+    ok = valid & (r2 < pv[PV_H2])
+    okf = ok.astype(q_ref.dtype)
+
+    qvx, qvy, qvz = q_ref[:, 3:4], q_ref[:, 4:5], q_ref[:, 5:6]
+    dvx = qvx - src_ref[3:4, :]
+    dvy = qvy - src_ref[4:5, :]
+    dvz = qvz - src_ref[5:6, :]
+    dens_j = jnp.maximum(src_ref[6:7, :], _EPS)
+
+    # viscosity: 2·m·μ · (m/ρ_j)(r·∇W_v)/(r²+0.01h²) · (v_i − v_j)
+    sv = _w_grad_scale_visc(kernel_set, r2, rl, pv)
+    a = sv * r2                                  # rij·∇W_visc
+    bden = r2 + 0.01 * pv[PV_H2]
+    cvisc = (2.0 * pv[PV_PM] * pv[PV_VISC]) * pv[PV_PM] / dens_j * (a / bden)
+    cvisc = cvisc * okf
+    fx = cvisc * dvx
+    fy = cvisc * dvy
+    fz = cvisc * dvz
+
+    # pressure: −m · m(pd2_i + pd2_j) · ∇W_press. pd2_j is recomputed from
+    # the neighbor's density via the Tait EOS (slot 7 carries the cell hash,
+    # not pd2): p_j = k((ρ_j/ρ₀)⁷ − 1), pd2_j = p_j/ρ_j².
+    ratio = dens_j / pv[PV_RD]
+    ratio2 = ratio * ratio
+    p_j = pv[PV_K] * (ratio2 * ratio2 * ratio2 * ratio - 1.0)
+    pd2_j = p_j / (dens_j * dens_j)
+    sp = _w_grad_scale_press(kernel_set, r2, rl, pv)
+    coef = -pv[PV_PM] * pv[PV_PM] * (q_ref[:, 7:8] + pd2_j) * sp
+    coef = coef * okf
+    fx = fx + coef * dx
+    fy = fy + coef * dy
+    fz = fz + coef * dz
+
+    # surface tension
+    if st_model == SurfaceTensionModel.BECKER:
+        w = _w_value(kernel_set, r2, rl, pv)
+        w_eff = jnp.where(r2 > pv[PV_DIAM2], w, pv[PV_WDIAM])
+        cs = -pv[PV_KAPPA] * w_eff * okf
+        fx = fx + cs * dx
+        fy = fy + cs * dy
+        fz = fz + cs * dz
+    elif st_model == SurfaceTensionModel.AKINCI:
+        hr = jnp.maximum(pv[PV_H] - rl, 0.0)
+        cube = hr * hr * hr * rl * rl * rl
+        near = pv[PV_KSURF1] * (2.0 * cube - pv[PV_KSURF2])
+        far = pv[PV_KSURF1] * cube
+        c = jnp.where((2.0 * rl > pv[PV_H]) & (rl <= pv[PV_H]), far,
+                      jnp.where((rl > _EPS) & (2.0 * rl <= pv[PV_H]),
+                                near, 0.0))
+        kij = 2.0 * pv[PV_RD] / (q_ref[:, 6:7] + dens_j)
+        cs = (-pv[PV_KAPPA] * pv[PV_PM] * pv[PV_PM] * kij * c
+              / jnp.maximum(rl, 1e-12)) * okf
+        fx = fx + cs * dx
+        fy = fy + cs * dy
+        fz = fz + cs * dz
+
+    zero = jnp.zeros_like(fx[:, :1])
+    return jnp.concatenate(
+        [jnp.sum(fx, axis=1, keepdims=True),
+         jnp.sum(fy, axis=1, keepdims=True),
+         jnp.sum(fz, axis=1, keepdims=True), zero], axis=1)
+
+
+def boundary_force_pair(q_ref, src_ref, valid, pv, *, kernel_set):
+    """Fused boundary forces: Akinci adhesion + friction + boundary pressure
+    (``computeCellForces`` boundary loop, ``sph_kernel_impl.cuh:552-602``;
+    pressure term scaling per ``compute_pressure_force``).
+
+    src ψ slot (6) = ρ₀·V_b. Output (B, 4): fx fy fz (pad).
+    """
+    dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv)
+    rl = jnp.sqrt(r2)
+    ok = valid & (r2 < pv[PV_H2])
+    okf = ok.astype(q_ref.dtype)
+    psi = src_ref[6:7, :]
+    dens_i = jnp.maximum(q_ref[:, 6:7], _EPS)
+
+    w = _w_value(kernel_set, r2, rl, pv)
+    sd = _w_grad_scale_default(kernel_set, r2, rl, pv)
+
+    # adhesion: β ψ W(r) r⃗
+    cadh = pv[PV_BETA] * psi * w * okf
+
+    # friction: 2·m·μ · (−m ψ Π) ∇W_dflt, Π = −ν·max(v_i·r, 0)/(1+0.01h²)
+    nu = (pv[PV_VISC] * pv[PV_H] * pv[PV_CS]) / (dens_i * dens_i)
+    vdotr = (q_ref[:, 3:4] * dx + q_ref[:, 4:5] * dy + q_ref[:, 5:6] * dz)
+    pij = -nu * jnp.maximum(vdotr, 0.0) / (1.0 + 0.01 * pv[PV_H2])
+    cfric = (2.0 * pv[PV_PM] * pv[PV_VISC]) * (-pv[PV_PM] * psi * pij) * sd
+
+    # boundary pressure: −m · (−m ψ pd2_i) · ∇W_dflt
+    cpres = pv[PV_PM] * pv[PV_PM] * psi * q_ref[:, 7:8] * sd
+
+    c = (cadh + (cfric + cpres) * okf) * okf
+    zero = jnp.zeros_like(dx[:, :1])
+    return jnp.concatenate(
+        [jnp.sum(c * dx, axis=1, keepdims=True),
+         jnp.sum(c * dy, axis=1, keepdims=True),
+         jnp.sum(c * dz, axis=1, keepdims=True), zero], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Sweep drivers (anchors from pallas_neighbors.plan_windows)
+# ---------------------------------------------------------------------------
+
+def density_sweep(cfg: SimConfig, queries_pos, src, anchors, pvec, gsize,
+                  *, self_excl, interpret=False):
+    pair = functools.partial(density_pair, kernel_set=cfg.kernel_set)
+    out = neighbor_sweep(
+        pair, queries=queries_pos, src=src, anchors=anchors, pvec=pvec,
+        gsize=gsize, out_width=1, self_excl=self_excl,
+        grid_geom_idx=PV_OX, interpret=interpret)
+    return out[:, 0]
+
+
+def fluid_force_sweep(cfg: SimConfig, queries, src, anchors, pvec, gsize,
+                      *, interpret=False):
+    pair = functools.partial(fluid_force_pair, kernel_set=cfg.kernel_set,
+                             st_model=cfg.surface_tension_model)
+    out = neighbor_sweep(
+        pair, queries=queries, src=src, anchors=anchors, pvec=pvec,
+        gsize=gsize, out_width=4, self_excl=True,
+        grid_geom_idx=PV_OX, interpret=interpret)
+    return out[:, :3]
+
+
+def boundary_force_sweep(cfg: SimConfig, queries, bsrc, anchors, pvec, gsize,
+                         *, interpret=False):
+    pair = functools.partial(boundary_force_pair, kernel_set=cfg.kernel_set)
+    out = neighbor_sweep(
+        pair, queries=queries, src=bsrc, anchors=anchors, pvec=pvec,
+        gsize=gsize, out_width=4, self_excl=False,
+        grid_geom_idx=PV_OX, interpret=interpret)
+    return out[:, :3]

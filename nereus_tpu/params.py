@@ -57,6 +57,11 @@ class SimConfig:
     kernel_set: KernelSet = KernelSet.MULLER
     surface_tension_model: SurfaceTensionModel = SurfaceTensionModel.BECKER
     dtype: jnp.dtype = jnp.float32
+    # Neighbor-engine selection: "segments" = jnp windowed gathers (correct
+    # everywhere, slow on TPU); "pallas" = the gather-free Pallas window
+    # kernels (ops/pallas_neighbors.py); "auto" = pallas on TPU backends,
+    # segments elsewhere.
+    engine: str = "auto"
     # Candidate-window size per 3-cell row segment (static shape for the
     # 27-cell gather; see ops/neighbors.py). Must be >= the longest run of
     # particles in any 3 consecutive x-cells; overflow is detected at runtime.
@@ -79,7 +84,16 @@ class SimConfig:
         return hash((self.kernel_set, self.surface_tension_model,
                      str(self.dtype), self.seg_window, self.boundary_seg_window,
                      self.iisph_min_iters, self.iisph_max_iters,
-                     self.pcisph_min_iters, self.pcisph_max_iters))
+                     self.pcisph_min_iters, self.pcisph_max_iters,
+                     self.engine))
+
+    def use_pallas(self) -> bool:
+        import jax
+        if self.engine == "pallas":
+            return True
+        if self.engine == "segments":
+            return False
+        return jax.default_backend() == "tpu"
 
 
 @jax.tree_util.register_dataclass

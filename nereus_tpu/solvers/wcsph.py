@@ -103,8 +103,13 @@ def wcsph_step(state: FluidState, params: SimParams, grid: gridlib.Grid,
     """One WCSPH step (``SPH::update``, ``sph/sph.cpp:215-285``).
 
     Returns ``(new_state, StepDiagnostics)``; the new state is in hash-sorted
-    order (as the reference's is after its reorder+integrate).
+    order (as the reference's is after its reorder+integrate). Dispatches to
+    the Pallas engine on TPU (``SimConfig.engine``); this jnp segment path
+    is the everywhere-correct oracle.
     """
+    if cfg.use_pallas():
+        from .wcsph_pallas import wcsph_step_pallas
+        return wcsph_step_pallas(state, params, grid, cfg, boundary)
     ctx = common.build_ctx(state, grid, cfg, boundary)
     pos, vel = ctx.state.pos, ctx.state.vel
     active = ctx.active
