@@ -189,18 +189,27 @@ def pack_source(pos, hash_f32, vel=None, dens_or_psi=None):
     Padding columns carry parked positions and hash −1 so stray window
     tails never match a row range nor pass the radius cutoff.
     """
+    zeros = jnp.zeros((pos.shape[0],), pos.dtype)
+    cols = [vel[:, 0] if vel is not None else zeros,
+            vel[:, 1] if vel is not None else zeros,
+            vel[:, 2] if vel is not None else zeros,
+            dens_or_psi if dens_or_psi is not None else zeros]
+    return pack_source_wide(pos, hash_f32, cols, rows=8)
+
+
+def pack_source_wide(pos, hash_f32, cols, rows: int = 16):
+    """Pack an arbitrary source matrix: rows 0-2 = x,y,z, then ``cols``
+    (each (M,)), zero filler, and the cell hash in the LAST row
+    (``rows−1``). ``rows`` must be a multiple of 8."""
     m = pos.shape[0]
+    assert len(cols) <= rows - 4, (len(cols), rows)
     mp = round_up(m, ALIGN) + WIN
     zeros = jnp.zeros((m,), pos.dtype)
-    rows = [pos[:, 0], pos[:, 1], pos[:, 2]]
-    if vel is not None:
-        rows += [vel[:, 0], vel[:, 1], vel[:, 2]]
-    else:
-        rows += [zeros, zeros, zeros]
-    rows.append(dens_or_psi if dens_or_psi is not None else zeros)
-    rows.append(hash_f32)
-    src = jnp.stack(rows)                             # (8, m)
-    pad = jnp.full((8, mp - m), -1.0, src.dtype).at[:3].set(1e9).at[3:7].set(0.0)
+    fill = [zeros] * (rows - 4 - len(cols))
+    src = jnp.stack([pos[:, 0], pos[:, 1], pos[:, 2], *cols, *fill,
+                     hash_f32])                        # (rows, m)
+    pad = jnp.full((rows, mp - m), 0.0, src.dtype)
+    pad = pad.at[:3].set(1e9).at[rows - 1].set(-1.0)
     return jnp.concatenate([src, pad], axis=1)
 
 
@@ -210,7 +219,7 @@ def pack_source(pos, hash_f32, vel=None, dens_or_psi=None):
 
 def _sweep_kernel(anchors_ref, pvec_ref, q_ref, src_ref, out_ref,
                   *, pair_fn, block: int, self_excl: bool, gsize,
-                  grid_geom_idx: int):
+                  grid_geom_idx: int, src_rows: int):
     b = pl.program_id(0)
     r = pl.program_id(1)
     p = pl.program_id(2)
@@ -251,7 +260,7 @@ def _sweep_kernel(anchors_ref, pvec_ref, q_ref, src_ref, out_ref,
         row_ok = ((yy >= 0.0) & (yy < float(gy))
                   & (zz >= 0.0) & (zz < float(gz)))
 
-        src_hash = src_ref[7:8, :]                     # (1, WIN) f32
+        src_hash = src_ref[src_rows - 1:src_rows, :]   # (1, WIN) f32
         col = a_this + jax.lax.broadcasted_iota(jnp.int32, (1, WIN), 1)
         owned = (p == 0) | (col >= a0 + WIN)  # overlap belongs to pass 0
         valid = (owned & row_ok
@@ -291,17 +300,19 @@ def neighbor_sweep(pair_fn, *, queries, src, anchors, pvec, gsize,
     n, fq = queries.shape
     assert n % block == 0, (n, block)
     nb = n // block
+    src_rows = src.shape[0]
+    assert src_rows % 8 == 0, src_rows
 
     kernel = functools.partial(
         _sweep_kernel, pair_fn=pair_fn, block=block, self_excl=self_excl,
-        gsize=gsize, grid_geom_idx=grid_geom_idx)
+        gsize=gsize, grid_geom_idx=grid_geom_idx, src_rows=src_rows)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,   # anchors, pvec
         grid=(nb, N_ROWS, N_PASS),
         in_specs=[
             pl.BlockSpec((block, fq), lambda b, r, p, a, pv: (b, 0)),
-            pl.BlockSpec((pl.Element(8), pl.Element(WIN)),
+            pl.BlockSpec((pl.Element(src_rows), pl.Element(WIN)),
                          lambda b, r, p, a, pv:
                          (0, jnp.maximum(
                              a[(b * N_ROWS + r) * N_PASS + p], 0) * ALIGN)),

@@ -45,7 +45,8 @@ PV_OX = 18         # grid geometry: origin x/y/z, 1/cell
 PV_OY = 19
 PV_OZ = 20
 PV_INVCELL = 21
-PV_LEN = 22
+PV_DT = 22
+PV_LEN = 23
 
 
 def build_pvec(params: SimParams, cfg: SimConfig, grid):
@@ -77,6 +78,7 @@ def build_pvec(params: SimParams, cfg: SimConfig, grid):
     vals[PV_OY] = grid.origin[1]
     vals[PV_OZ] = grid.origin[2]
     vals[PV_INVCELL] = 1.0 / grid.cell[0]
+    vals[PV_DT] = params.dt
     return jnp.stack([jnp.asarray(v, jnp.float32) for v in vals])
 
 
@@ -161,9 +163,12 @@ def density_pair(q_ref, src_ref, valid, pv, *, kernel_set):
     return jnp.sum(contrib, axis=1, keepdims=True)
 
 
-def fluid_force_pair(q_ref, src_ref, valid, pv, *, kernel_set, st_model):
-    """Fused per-pair fluid forces: viscosity + surface tension + pressure,
-    with the trailing scalings of ``computeForces`` folded per pair.
+def fluid_force_pair(q_ref, src_ref, valid, pv, *, kernel_set, st_model,
+                     include_pressure=True):
+    """Fused per-pair fluid forces: viscosity + surface tension (+ Tait
+    pressure when ``include_pressure`` — the IISPH/PCISPH advection
+    prediction uses the same pair with it off), with the trailing scalings
+    of ``computeForces`` folded per pair.
 
     q fields: x y z vx vy vz dens pd2 ; src fields: same (ψ slot = dens).
     Output (B, 4): fx fy fz (pad).
@@ -189,19 +194,20 @@ def fluid_force_pair(q_ref, src_ref, valid, pv, *, kernel_set, st_model):
     fy = cvisc * dvy
     fz = cvisc * dvz
 
-    # pressure: −m · m(pd2_i + pd2_j) · ∇W_press. pd2_j is recomputed from
-    # the neighbor's density via the Tait EOS (slot 7 carries the cell hash,
-    # not pd2): p_j = k((ρ_j/ρ₀)⁷ − 1), pd2_j = p_j/ρ_j².
-    ratio = dens_j / pv[PV_RD]
-    ratio2 = ratio * ratio
-    p_j = pv[PV_K] * (ratio2 * ratio2 * ratio2 * ratio - 1.0)
-    pd2_j = p_j / (dens_j * dens_j)
-    sp = _w_grad_scale_press(kernel_set, r2, rl, pv)
-    coef = -pv[PV_PM] * pv[PV_PM] * (q_ref[:, 7:8] + pd2_j) * sp
-    coef = coef * okf
-    fx = fx + coef * dx
-    fy = fy + coef * dy
-    fz = fz + coef * dz
+    if include_pressure:
+        # pressure: −m · m(pd2_i + pd2_j) · ∇W_press. pd2_j is recomputed
+        # from the neighbor's density via the Tait EOS (slot 7 carries the
+        # cell hash, not pd2): p_j = k((ρ_j/ρ₀)⁷ − 1), pd2_j = p_j/ρ_j².
+        ratio = dens_j / pv[PV_RD]
+        ratio2 = ratio * ratio
+        p_j = pv[PV_K] * (ratio2 * ratio2 * ratio2 * ratio - 1.0)
+        pd2_j = p_j / (dens_j * dens_j)
+        sp = _w_grad_scale_press(kernel_set, r2, rl, pv)
+        coef = -pv[PV_PM] * pv[PV_PM] * (q_ref[:, 7:8] + pd2_j) * sp
+        coef = coef * okf
+        fx = fx + coef * dx
+        fy = fy + coef * dy
+        fz = fz + coef * dz
 
     # surface tension
     if st_model == SurfaceTensionModel.BECKER:
@@ -233,7 +239,8 @@ def fluid_force_pair(q_ref, src_ref, valid, pv, *, kernel_set, st_model):
          jnp.sum(fz, axis=1, keepdims=True), zero], axis=1)
 
 
-def boundary_force_pair(q_ref, src_ref, valid, pv, *, kernel_set):
+def boundary_force_pair(q_ref, src_ref, valid, pv, *, kernel_set,
+                        include_pressure=True):
     """Fused boundary forces: Akinci adhesion + friction + boundary pressure
     (``computeCellForces`` boundary loop, ``sph_kernel_impl.cuh:552-602``;
     pressure term scaling per ``compute_pressure_force``).
@@ -260,9 +267,147 @@ def boundary_force_pair(q_ref, src_ref, valid, pv, *, kernel_set):
     cfric = (2.0 * pv[PV_PM] * pv[PV_VISC]) * (-pv[PV_PM] * psi * pij) * sd
 
     # boundary pressure: −m · (−m ψ pd2_i) · ∇W_dflt
-    cpres = pv[PV_PM] * pv[PV_PM] * psi * q_ref[:, 7:8] * sd
+    if include_pressure:
+        cpres = pv[PV_PM] * pv[PV_PM] * psi * q_ref[:, 7:8] * sd
+    else:
+        cpres = 0.0
 
     c = (cadh + (cfric + cpres) * okf) * okf
+    zero = jnp.zeros_like(dx[:, :1])
+    return jnp.concatenate(
+        [jnp.sum(c * dx, axis=1, keepdims=True),
+         jnp.sum(c * dy, axis=1, keepdims=True),
+         jnp.sum(c * dz, axis=1, keepdims=True), zero], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Implicit-solver pair functions (IISPH / PCISPH; all use the default
+# (poly6/Monaghan) gradient, as the reference's implicit kernels do)
+# ---------------------------------------------------------------------------
+
+def dii_rhoadv_pair(q_ref, src_ref, valid, pv, *, kernel_set, vel_q_offset):
+    """Fused IISPH predict terms.
+
+    Per pair: d_ii += −ψ_j·inv_ρ²_i·∇W ; ρ_adv += dt·ψ_j·(v_q − v_j)·∇W,
+    where ψ_j = m for fluid sources; ``vel_q_offset`` selects the query
+    velocity slots (3 = v_adv for the fluid sweep; 6 = pre-advection v for
+    the boundary sweep, whose source velocity slots are zero — matching
+    ``rho_adv_boundary``, sph_kernel_impl.cuh:1007-1036).
+
+    q fields: x y z vax vay vaz vx vy vz inv_d2 — out (B, 4): dii, ρ_adv.
+    """
+    dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv)
+    rl = jnp.sqrt(r2)
+    ok = valid & (r2 < pv[PV_H2])
+    okf = ok.astype(q_ref.dtype)
+    psi = src_ref[6:7, :]
+    s = _w_grad_scale_default(kernel_set, r2, rl, pv)
+
+    cdii = -psi * q_ref[:, 9:10] * s * okf
+    o = vel_q_offset
+    dvx = q_ref[:, o:o + 1] - src_ref[3:4, :]
+    dvy = q_ref[:, o + 1:o + 2] - src_ref[4:5, :]
+    dvz = q_ref[:, o + 2:o + 3] - src_ref[5:6, :]
+    cr = pv[PV_DT] * psi * s * (dvx * dx + dvy * dy + dvz * dz) * okf
+    return jnp.concatenate(
+        [jnp.sum(cdii * dx, axis=1, keepdims=True),
+         jnp.sum(cdii * dy, axis=1, keepdims=True),
+         jnp.sum(cdii * dz, axis=1, keepdims=True),
+         jnp.sum(cr, axis=1, keepdims=True)], axis=1)
+
+
+def aii_pair(q_ref, src_ref, valid, pv, *, kernel_set):
+    """a_ii += ψ_j·(d_ii − d_ji)·∇W with d_ji = (m/ρ_i²)∇W.
+
+    q fields: x y z diix diiy diiz dpi — out (B, 1).
+    Reference: ``compute_aii_cell[_boundary]`` (sph_kernel_impl.cuh:1040-1108).
+    """
+    dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv)
+    rl = jnp.sqrt(r2)
+    ok = valid & (r2 < pv[PV_H2])
+    okf = ok.astype(q_ref.dtype)
+    psi = src_ref[6:7, :]
+    s = _w_grad_scale_default(kernel_set, r2, rl, pv)
+    dii_dot_r = (q_ref[:, 3:4] * dx + q_ref[:, 4:5] * dy
+                 + q_ref[:, 5:6] * dz)
+    term = psi * (s * dii_dot_r - q_ref[:, 6:7] * s * s * r2) * okf
+    return jnp.sum(term, axis=1, keepdims=True)
+
+
+def sum_dij_pair(q_ref, src_ref, valid, pv, *, kernel_set):
+    """Σ_j d_ij p_j = −Σ_j m·(p_j/ρ_j²)·∇W (``dijpjcell``, :1224-1253).
+
+    src ψ slot carries p_j/ρ_j² (repacked every Jacobi iteration).
+    q fields: x y z — out (B, 4): vector + pad.
+    """
+    dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv)
+    rl = jnp.sqrt(r2)
+    ok = valid & (r2 < pv[PV_H2])
+    okf = ok.astype(q_ref.dtype)
+    c = -pv[PV_PM] * src_ref[6:7, :] * \
+        _w_grad_scale_default(kernel_set, r2, rl, pv) * okf
+    zero = jnp.zeros_like(dx[:, :1])
+    return jnp.concatenate(
+        [jnp.sum(c * dx, axis=1, keepdims=True),
+         jnp.sum(c * dy, axis=1, keepdims=True),
+         jnp.sum(c * dz, axis=1, keepdims=True), zero], axis=1)
+
+
+def jacobi_fluid_pair(q_ref, src_ref, valid, pv, *, kernel_set):
+    """Jacobi off-diagonal sum (``computePressure`` fluid loop, :1330-1445):
+
+    fsum += m·(Σd_ij p_j − d_jj p_j − (Σd_jk p_k − d_ji p_i))·∇W
+
+    16-row src: rows 3-5 = d_jj, 6 = p_j, 7-9 = Σd_jk p_k, 15 = hash.
+    q fields: x y z sdx sdy sdz (Σd_ij p_j) and dpi·p_i. Out (B, 1).
+    """
+    dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv)
+    rl = jnp.sqrt(r2)
+    ok = valid & (r2 < pv[PV_H2])
+    okf = ok.astype(q_ref.dtype)
+    s = _w_grad_scale_default(kernel_set, r2, rl, pv)
+    p_j = src_ref[6:7, :]
+    ix = q_ref[:, 3:4] - src_ref[3:4, :] * p_j - src_ref[7:8, :]
+    iy = q_ref[:, 4:5] - src_ref[4:5, :] * p_j - src_ref[8:9, :]
+    iz = q_ref[:, 5:6] - src_ref[5:6, :] * p_j - src_ref[9:10, :]
+    inner_dot = s * (ix * dx + iy * dy + iz * dz) \
+        + q_ref[:, 6:7] * s * s * r2          # + d_ji·p_i · ∇W
+    return jnp.sum(pv[PV_PM] * inner_dot * okf, axis=1, keepdims=True)
+
+
+def jacobi_boundary_pair(q_ref, src_ref, valid, pv, *, kernel_set):
+    """Jacobi boundary sum: ψ_j·(Σd_ij p_j)·∇W (:1445-1460, with the
+    intended boundary segment bounds — SURVEY §5 defect list).
+    q fields: x y z sdx sdy sdz. Out (B, 1)."""
+    dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv)
+    rl = jnp.sqrt(r2)
+    ok = valid & (r2 < pv[PV_H2])
+    okf = ok.astype(q_ref.dtype)
+    s = _w_grad_scale_default(kernel_set, r2, rl, pv)
+    dot = s * (q_ref[:, 3:4] * dx + q_ref[:, 4:5] * dy + q_ref[:, 5:6] * dz)
+    return jnp.sum(src_ref[6:7, :] * dot * okf, axis=1, keepdims=True)
+
+
+def grad_pressure_force_pair(q_ref, src_ref, valid, pv, *, kernel_set,
+                             boundary: bool, boundary_sign: float = 1.0):
+    """Implicit-solver pressure force with the default gradient
+    (``computePressureForce``, :1497-1620):
+
+    fluid:    F += −m²(pd2_i + pd2_j)·∇W     (src ψ slot = pd2_j)
+    boundary: F += boundary_sign·m·ψ·pd2_i·∇W
+
+    q fields: x y z pd2. Out (B, 4): fx fy fz pad.
+    """
+    dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv)
+    rl = jnp.sqrt(r2)
+    ok = valid & (r2 < pv[PV_H2])
+    okf = ok.astype(q_ref.dtype)
+    s = _w_grad_scale_default(kernel_set, r2, rl, pv)
+    if boundary:
+        c = boundary_sign * pv[PV_PM] * src_ref[6:7, :] * q_ref[:, 3:4] * s
+    else:
+        c = -pv[PV_PM] * pv[PV_PM] * (q_ref[:, 3:4] + src_ref[6:7, :]) * s
+    c = c * okf
     zero = jnp.zeros_like(dx[:, :1])
     return jnp.concatenate(
         [jnp.sum(c * dx, axis=1, keepdims=True),
@@ -285,9 +430,10 @@ def density_sweep(cfg: SimConfig, queries_pos, src, anchors, pvec, gsize,
 
 
 def fluid_force_sweep(cfg: SimConfig, queries, src, anchors, pvec, gsize,
-                      *, interpret=False):
+                      *, include_pressure=True, interpret=False):
     pair = functools.partial(fluid_force_pair, kernel_set=cfg.kernel_set,
-                             st_model=cfg.surface_tension_model)
+                             st_model=cfg.surface_tension_model,
+                             include_pressure=include_pressure)
     out = neighbor_sweep(
         pair, queries=queries, src=src, anchors=anchors, pvec=pvec,
         gsize=gsize, out_width=4, self_excl=True,
@@ -296,10 +442,21 @@ def fluid_force_sweep(cfg: SimConfig, queries, src, anchors, pvec, gsize,
 
 
 def boundary_force_sweep(cfg: SimConfig, queries, bsrc, anchors, pvec, gsize,
-                         *, interpret=False):
-    pair = functools.partial(boundary_force_pair, kernel_set=cfg.kernel_set)
+                         *, include_pressure=True, interpret=False):
+    pair = functools.partial(boundary_force_pair, kernel_set=cfg.kernel_set,
+                             include_pressure=include_pressure)
     out = neighbor_sweep(
         pair, queries=queries, src=bsrc, anchors=anchors, pvec=pvec,
         gsize=gsize, out_width=4, self_excl=False,
         grid_geom_idx=PV_OX, interpret=interpret)
     return out[:, :3]
+
+
+def generic_sweep(cfg: SimConfig, pair_fn, queries, src, anchors, pvec,
+                  gsize, *, out_width, self_excl, interpret=False, **kw):
+    """Run any pair function (kernel_set bound automatically)."""
+    pair = functools.partial(pair_fn, kernel_set=cfg.kernel_set, **kw)
+    return neighbor_sweep(
+        pair, queries=queries, src=src, anchors=anchors, pvec=pvec,
+        gsize=gsize, out_width=out_width, self_excl=self_excl,
+        grid_geom_idx=PV_OX, interpret=interpret)

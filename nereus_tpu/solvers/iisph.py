@@ -271,7 +271,12 @@ def iisph_step(state: FluidState, params: SimParams, grid: gridlib.Grid,
     ``tol`` is the mean predicted-density error bound in kg/m³ (the
     reference's ``max_rho_err = 1`` ≙ 0.1% of ρ₀, ``sph_cuda.cu:738-739``).
     Returns ``(new_state, StepDiagnostics)`` with the solver iteration count.
+    Dispatches to the Pallas engine on TPU (``SimConfig.engine``).
     """
+    if cfg.use_pallas():
+        from .iisph_pallas import iisph_step_pallas
+        return iisph_step_pallas(state, params, grid, cfg, boundary,
+                                 tol=tol, omega=omega)
     ctx = common.build_ctx(state, grid, cfg, boundary)
     pos, vel = ctx.state.pos, ctx.state.vel
     active = ctx.active

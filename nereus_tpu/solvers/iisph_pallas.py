@@ -1,0 +1,184 @@
+"""IISPH step on the Pallas neighbor engine (TPU hot path).
+
+Same physics as :func:`nereus_tpu.solvers.iisph.iisph_step` (the jnp oracle,
+including its documented intended-semantics divergences from the reference)
+with every 27-cell gather replaced by gather-free Pallas window sweeps. The
+relaxed-Jacobi solve stays one on-device ``lax.while_loop``; each iteration
+re-packs the pressure-dependent source slots (cheap elementwise) and runs
+three sweeps (Σd_ij·p_j; Jacobi fluid sum over a 16-row source; Jacobi
+boundary sum). Window plans are loop-invariant.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import grid as gridlib
+from .. import kernels as K
+from ..ops import pallas_sph as PS
+from ..ops.pallas_neighbors import pack_source, pack_source_wide
+from ..params import SimConfig, SimParams
+from ..state import BoundaryData, FluidState
+from .pallas_common import build_pallas_ctx
+from .wcsph import StepDiagnostics
+
+
+def iisph_step_pallas(state: FluidState, params: SimParams,
+                      grid: gridlib.Grid, cfg: SimConfig,
+                      boundary: Optional[BoundaryData] = None,
+                      tol: float = 1.0, omega: float = 0.5):
+    ctx = build_pallas_ctx(state, params, grid, cfg, boundary)
+    pos, vel = ctx.pos, ctx.vel
+    c, cb = ctx.c, ctx.cb
+    active = ctx.active
+    nact = jnp.maximum(state.num_active.astype(cfg.dtype), 1.0)
+    dt = params.dt
+    pm = params.particle_mass
+    interp = ctx.interp
+    pvec, gsize = ctx.pvec, ctx.gsize
+
+    if boundary is not None and boundary.num_boundaries > 0:
+        bsrc = pack_source(boundary.pos,
+                           boundary.sorted_hash.astype(pos.dtype),
+                           dens_or_psi=boundary.psi)
+    else:
+        bsrc = None
+
+    def bsum3(q, pair_fn, width=4, **kw):
+        if bsrc is None:
+            return jnp.zeros((cb, width), cfg.dtype)[:, :3] if width == 4 \
+                else jnp.zeros((cb,), cfg.dtype)
+        out = PS.generic_sweep(cfg, pair_fn, q, bsrc, ctx.b_anchors, pvec,
+                               gsize, out_width=width, self_excl=False,
+                               interpret=interp, **kw)
+        return out[:, :3] if width == 4 else out[:, 0]
+
+    # --- density -----------------------------------------------------------
+    q4 = jnp.concatenate([pos, jnp.zeros((cb, 1), pos.dtype)], axis=1)
+    psi_fluid = jnp.full((c,), 1.0, pos.dtype) * pm
+    src_d = pack_source(pos[:c], ctx.hash_f32, dens_or_psi=psi_fluid)
+    dens = PS.density_sweep(cfg, q4, src_d, ctx.anchors, pvec, gsize,
+                            self_excl=True, interpret=interp)
+    if bsrc is not None:
+        dens = dens + PS.density_sweep(cfg, q4, bsrc, ctx.b_anchors, pvec,
+                                       gsize, self_excl=False,
+                                       interpret=interp)
+    zero3 = jnp.zeros((1, 3), dtype=cfg.dtype)
+    dens = dens + pm * K.w_value(cfg.kernel_set, zero3, params)[0]
+    dens_safe = jnp.maximum(dens, 1e-12)
+    inv_d2 = 1.0 / (dens_safe * dens_safe)
+
+    # --- non-pressure (advection) forces ------------------------------------
+    q8 = jnp.concatenate([pos, vel, dens[:, None],
+                          jnp.zeros((cb, 1), pos.dtype)], axis=1)
+    src_f = pack_source(pos[:c], ctx.hash_f32, vel[:c], dens[:c])
+    f_adv = PS.fluid_force_sweep(cfg, q8, src_f, ctx.anchors, pvec, gsize,
+                                 include_pressure=False, interpret=interp)
+    if bsrc is not None:
+        f_adv = f_adv + PS.boundary_force_sweep(
+            cfg, q8, bsrc, ctx.b_anchors, pvec, gsize,
+            include_pressure=False, interpret=interp)
+    f_adv = f_adv + pm * params.gravity
+    vel_adv = vel + (dt / pm) * f_adv
+
+    # --- dii + rho_adv (fused), then aii ------------------------------------
+    q12 = jnp.concatenate([pos, vel_adv, vel, inv_d2[:, None],
+                           jnp.zeros((cb, 2), pos.dtype)], axis=1)
+    src_p = pack_source(pos[:c], ctx.hash_f32, vel_adv[:c], psi_fluid)
+    pr_f = PS.generic_sweep(cfg, PS.dii_rhoadv_pair, q12, src_p, ctx.anchors,
+                            pvec, gsize, out_width=4, self_excl=True,
+                            interpret=interp, vel_q_offset=3)
+    dii = pr_f[:, :3]
+    rho_adv = dens + pr_f[:, 3]
+    if bsrc is not None:
+        pr_b = PS.generic_sweep(cfg, PS.dii_rhoadv_pair, q12, bsrc,
+                                ctx.b_anchors, pvec, gsize, out_width=4,
+                                self_excl=False, interpret=interp,
+                                vel_q_offset=6)
+        dii = dii + pr_b[:, :3]
+        rho_adv = rho_adv + pr_b[:, 3]
+
+    dpi = pm * inv_d2
+    q_aii = jnp.concatenate([pos, dii, dpi[:, None],
+                             jnp.zeros((cb, 1), pos.dtype)], axis=1)
+    aii = PS.generic_sweep(cfg, PS.aii_pair, q_aii, src_p, ctx.anchors,
+                           pvec, gsize, out_width=1, self_excl=True,
+                           interpret=interp)[:, 0]
+    aii = aii + bsum3(q_aii, PS.aii_pair, width=1)
+
+    p0 = 0.5 * ctx.pres_prev  # p⁰ = ½·p_prev (sph_kernel_impl.cuh:1197)
+
+    # --- relaxed-Jacobi solve, fully on device -------------------------------
+    def cond(carry):
+        p, rho_avg, it = carry
+        unconverged = (rho_avg - params.rest_density) > tol
+        return ((unconverged | (it < cfg.iisph_min_iters))
+                & (it < cfg.iisph_max_iters))
+
+    def body(carry):
+        p, _, it = carry
+        pd2 = p * inv_d2
+        src_sd = pack_source(pos[:c], ctx.hash_f32, dens_or_psi=pd2[:c])
+        sum_dij = PS.generic_sweep(
+            cfg, PS.sum_dij_pair, q4, src_sd, ctx.anchors, pvec, gsize,
+            out_width=4, self_excl=True, interpret=interp)[:, :3]
+
+        src16 = pack_source_wide(
+            pos[:c], ctx.hash_f32,
+            [dii[:c, 0], dii[:c, 1], dii[:c, 2], p[:c],
+             sum_dij[:c, 0], sum_dij[:c, 1], sum_dij[:c, 2]], rows=16)
+        qj = jnp.concatenate([pos, sum_dij, (dpi * p)[:, None],
+                              jnp.zeros((cb, 1), pos.dtype)], axis=1)
+        fsum = PS.generic_sweep(cfg, PS.jacobi_fluid_pair, qj, src16,
+                                ctx.anchors, pvec, gsize, out_width=1,
+                                self_excl=True, interpret=interp)[:, 0]
+        bsum = bsum3(qj, PS.jacobi_boundary_pair, width=1)
+
+        dt2 = dt * dt
+        denom = aii * dt2
+        b = params.rest_density - rho_adv
+        p_new = jnp.where(
+            jnp.abs(denom) > 1e-12,
+            (1.0 - omega) * p + (omega / denom) * (b - dt2 * (fsum + bsum)),
+            0.0)
+        p_new = jnp.maximum(p_new, 0.0)
+        rho_corr = rho_adv + dt2 * (fsum + bsum + aii * p)
+        rho_avg = jnp.sum(jnp.where(active, rho_corr, 0.0)) / nact
+        return (p_new, rho_avg, it + 1)
+
+    init = (p0, params.rest_density + 2.0 * tol, jnp.asarray(0, jnp.int32))
+    p, rho_avg, iters = jax.lax.while_loop(cond, body, init)
+
+    # --- pressure force + integration ---------------------------------------
+    pd2 = p * inv_d2
+    q_pf = jnp.concatenate([pos, pd2[:, None]], axis=1)
+    src_pf = pack_source(pos[:c], ctx.hash_f32, dens_or_psi=pd2[:c])
+    f_p = PS.generic_sweep(cfg, PS.grad_pressure_force_pair, q_pf, src_pf,
+                           ctx.anchors, pvec, gsize, out_width=4,
+                           self_excl=True, interpret=interp,
+                           boundary=False)[:, :3]
+    if bsrc is not None:
+        f_p = f_p + PS.generic_sweep(
+            cfg, PS.grad_pressure_force_pair, q_pf, bsrc, ctx.b_anchors,
+            pvec, gsize, out_width=4, self_excl=False, interpret=interp,
+            boundary=True, boundary_sign=1.0)[:, :3]
+
+    new_vel = vel_adv + (dt / pm) * f_p
+    new_pos = pos + dt * new_vel
+    new_vel = jnp.where(active[:, None], new_vel, vel)
+    new_pos = jnp.where(active[:, None], new_pos, pos)
+
+    new_state = FluidState(pos=new_pos[:c], vel=new_vel[:c],
+                           pressure=jnp.where(active, p, 0.0)[:c],
+                           num_active=state.num_active)
+    diag = StepDiagnostics(
+        max_density=jnp.max(jnp.where(active, dens, 0.0)),
+        mean_density_error=(rho_avg - params.rest_density)
+        / params.rest_density,
+        seg_overflow=ctx.miss,
+        solver_iters=iters,
+    )
+    return new_state, diag

@@ -172,8 +172,13 @@ def pcisph_step(state: FluidState, params: SimParams, grid: gridlib.Grid,
         (standard PCISPH targets 1%).
 
     Returns ``(new_state, StepDiagnostics)`` with the corrective iteration
-    count in ``solver_iters``.
+    count in ``solver_iters``. Dispatches to the Pallas engine on TPU
+    (``SimConfig.engine``).
     """
+    if cfg.use_pallas():
+        from .pcisph_pallas import pcisph_step_pallas
+        return pcisph_step_pallas(state, params, grid, cfg, boundary,
+                                  delta=delta, tol_frac=tol_frac)
     if delta is None:
         delta = pcisph_delta(params, cfg)
     delta = jnp.asarray(delta, cfg.dtype)

@@ -1,0 +1,143 @@
+"""PCISPH step on the Pallas neighbor engine (TPU hot path).
+
+Same physics as :func:`nereus_tpu.solvers.pcisph.pcisph_step` (the jnp
+oracle implementing the predictive-corrective loop the reference stubbed
+out). The corrective ``lax.while_loop`` reuses the step's frozen window
+plans and hash masks — standard PCISPH keeps start-of-step neighborhoods
+for every iteration — while the pair *distances* use the predicted
+positions, exactly like the jnp path: the source pack's position rows are
+refreshed each iteration, its hash row is not.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import grid as gridlib
+from .. import kernels as K
+from ..ops import pallas_sph as PS
+from ..ops.pallas_neighbors import pack_source
+from ..params import SimConfig, SimParams
+from ..state import BoundaryData, FluidState
+from .pallas_common import build_pallas_ctx
+from .pcisph import pcisph_delta
+from .wcsph import StepDiagnostics
+
+
+def pcisph_step_pallas(state: FluidState, params: SimParams,
+                       grid: gridlib.Grid, cfg: SimConfig,
+                       boundary: Optional[BoundaryData] = None,
+                       delta=None, tol_frac: float = 0.01):
+    if delta is None:
+        delta = pcisph_delta(params, cfg)
+    delta = jnp.asarray(delta, cfg.dtype)
+
+    ctx = build_pallas_ctx(state, params, grid, cfg, boundary)
+    pos, vel = ctx.pos, ctx.vel
+    c, cb = ctx.c, ctx.cb
+    active = ctx.active
+    dt = params.dt
+    pm = params.particle_mass
+    interp = ctx.interp
+    pvec, gsize = ctx.pvec, ctx.gsize
+
+    if boundary is not None and boundary.num_boundaries > 0:
+        bsrc = pack_source(boundary.pos,
+                           boundary.sorted_hash.astype(pos.dtype),
+                           dens_or_psi=boundary.psi)
+    else:
+        bsrc = None
+
+    # --- density + advection forces -----------------------------------------
+    q4 = jnp.concatenate([pos, jnp.zeros((cb, 1), pos.dtype)], axis=1)
+    psi_fluid = jnp.full((c,), 1.0, pos.dtype) * pm
+    src_d = pack_source(pos[:c], ctx.hash_f32, dens_or_psi=psi_fluid)
+    dens = PS.density_sweep(cfg, q4, src_d, ctx.anchors, pvec, gsize,
+                            self_excl=True, interpret=interp)
+    if bsrc is not None:
+        dens = dens + PS.density_sweep(cfg, q4, bsrc, ctx.b_anchors, pvec,
+                                       gsize, self_excl=False,
+                                       interpret=interp)
+    zero3 = jnp.zeros((1, 3), dtype=cfg.dtype)
+    self_w = pm * K.w_value(cfg.kernel_set, zero3, params)[0]
+    dens = dens + self_w
+    dens_safe = jnp.maximum(dens, 1e-12)
+    inv_d2 = 1.0 / (dens_safe * dens_safe)
+
+    q8 = jnp.concatenate([pos, vel, dens[:, None],
+                          jnp.zeros((cb, 1), pos.dtype)], axis=1)
+    src_f = pack_source(pos[:c], ctx.hash_f32, vel[:c], dens[:c])
+    f_adv = PS.fluid_force_sweep(cfg, q8, src_f, ctx.anchors, pvec, gsize,
+                                 include_pressure=False, interpret=interp)
+    if bsrc is not None:
+        f_adv = f_adv + PS.boundary_force_sweep(
+            cfg, q8, bsrc, ctx.b_anchors, pvec, gsize,
+            include_pressure=False, interpret=interp)
+    f_adv = f_adv + pm * params.gravity
+
+    tol = tol_frac * params.rest_density
+
+    # --- predictive-corrective loop ------------------------------------------
+    def cond(carry):
+        p, f_p, err, it = carry
+        return ((err > tol) | (it < cfg.pcisph_min_iters)) & \
+            (it < cfg.pcisph_max_iters)
+
+    def body(carry):
+        p, f_p, _, it = carry
+        vel_pred = vel + (dt / pm) * (f_adv + f_p)
+        pos_pred = pos + dt * vel_pred
+        # predicted density over the frozen neighbor structure: refresh the
+        # position rows, keep the hash row
+        q4p = jnp.concatenate([pos_pred, jnp.zeros((cb, 1), pos.dtype)],
+                              axis=1)
+        src_dp = pack_source(pos_pred[:c], ctx.hash_f32,
+                             dens_or_psi=psi_fluid)
+        rho_pred = PS.density_sweep(cfg, q4p, src_dp, ctx.anchors, pvec,
+                                    gsize, self_excl=True, interpret=interp)
+        if bsrc is not None:
+            rho_pred = rho_pred + PS.density_sweep(
+                cfg, q4p, bsrc, ctx.b_anchors, pvec, gsize,
+                self_excl=False, interpret=interp)
+        rho_pred = rho_pred + self_w
+        rho_err = jnp.maximum(rho_pred - params.rest_density, 0.0)
+        rho_err = jnp.where(active, rho_err, 0.0)
+        p_new = p + delta * rho_err
+
+        pd2 = p_new * inv_d2
+        q_pf = jnp.concatenate([pos, pd2[:, None]], axis=1)
+        src_pf = pack_source(pos[:c], ctx.hash_f32, dens_or_psi=pd2[:c])
+        f_p_new = PS.generic_sweep(
+            cfg, PS.grad_pressure_force_pair, q_pf, src_pf, ctx.anchors,
+            pvec, gsize, out_width=4, self_excl=True, interpret=interp,
+            boundary=False)[:, :3]
+        if bsrc is not None:
+            f_p_new = f_p_new + PS.generic_sweep(
+                cfg, PS.grad_pressure_force_pair, q_pf, bsrc, ctx.b_anchors,
+                pvec, gsize, out_width=4, self_excl=False, interpret=interp,
+                boundary=True, boundary_sign=-1.0)[:, :3]
+        err = jnp.max(rho_err)
+        return (p_new, f_p_new, err, it + 1)
+
+    init = (jnp.zeros((cb,), cfg.dtype), jnp.zeros_like(pos),
+            jnp.asarray(jnp.inf, cfg.dtype), jnp.asarray(0, jnp.int32))
+    p, f_p, err, iters = jax.lax.while_loop(cond, body, init)
+
+    new_vel = vel + (dt / pm) * (f_adv + f_p)
+    new_pos = pos + dt * new_vel
+    new_vel = jnp.where(active[:, None], new_vel, vel)
+    new_pos = jnp.where(active[:, None], new_pos, pos)
+
+    new_state = FluidState(pos=new_pos[:c], vel=new_vel[:c],
+                           pressure=jnp.where(active, p, 0.0)[:c],
+                           num_active=state.num_active)
+    diag = StepDiagnostics(
+        max_density=jnp.max(jnp.where(active, dens, 0.0)),
+        mean_density_error=err / params.rest_density,
+        seg_overflow=ctx.miss,
+        solver_iters=iters,
+    )
+    return new_state, diag
