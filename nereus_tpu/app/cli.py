@@ -46,6 +46,11 @@ def _build_parser():
                      help="set particle mass so a rest lattice sums to rho0 "
                           "(recommended for PCISPH)")
     run.add_argument("--seg-window", type=int, default=48)
+    run.add_argument("--neighbor-engine", choices=["auto", "pallas",
+                                                   "segments"],
+                     default="auto",
+                     help="auto = Pallas window kernels on TPU, jnp "
+                          "segment gathers elsewhere")
     run.add_argument("--shards", type=int, default=1,
                      help="slab-shard the domain over this many devices "
                           "(WCSPH only for now)")
@@ -77,7 +82,8 @@ def _make_setup(args):
           "becker": nt.SurfaceTensionModel.BECKER,
           "akinci": nt.SurfaceTensionModel.AKINCI}[args.surface_tension]
     cfg = nt.SimConfig(kernel_set=kernel_set, surface_tension_model=st,
-                       seg_window=args.seg_window)
+                       seg_window=args.seg_window,
+                       engine=args.neighbor_engine)
 
     overrides = {}
     if args.dt is not None:

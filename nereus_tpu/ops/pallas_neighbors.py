@@ -219,7 +219,7 @@ def pack_source_wide(pos, hash_f32, cols, rows: int = 16):
 
 def _sweep_kernel(anchors_ref, pvec_ref, q_ref, src_ref, out_ref,
                   *, pair_fn, block: int, self_excl: bool, gsize,
-                  grid_geom_idx: int, src_rows: int):
+                  grid_geom_idx: int, src_rows: int, self_offset: int):
     b = pl.program_id(0)
     r = pl.program_id(1)
     p = pl.program_id(2)
@@ -270,8 +270,9 @@ def _sweep_kernel(anchors_ref, pvec_ref, q_ref, src_ref, out_ref,
         def _compute():
             v = valid
             if self_excl:
-                self_idx = (b * block + jax.lax.broadcasted_iota(
-                    jnp.int32, (block, 1), 0))
+                self_idx = (self_offset + b * block
+                            + jax.lax.broadcasted_iota(
+                                jnp.int32, (block, 1), 0))
                 v = v & (col != self_idx)
             contrib = pair_fn(q_ref, src_ref, v, pvec_ref)  # (B, Fo)
             out_ref[:] = out_ref[:] + contrib
@@ -280,7 +281,7 @@ def _sweep_kernel(anchors_ref, pvec_ref, q_ref, src_ref, out_ref,
 def neighbor_sweep(pair_fn, *, queries, src, anchors, pvec, gsize,
                    out_width: int, block: int = DEF_BLOCK,
                    self_excl: bool, grid_geom_idx: int,
-                   interpret: bool = False):
+                   self_offset: int = 0, interpret: bool = False):
     """Run one Pallas neighbor sweep.
 
     Args:
@@ -305,7 +306,8 @@ def neighbor_sweep(pair_fn, *, queries, src, anchors, pvec, gsize,
 
     kernel = functools.partial(
         _sweep_kernel, pair_fn=pair_fn, block=block, self_excl=self_excl,
-        gsize=gsize, grid_geom_idx=grid_geom_idx, src_rows=src_rows)
+        gsize=gsize, grid_geom_idx=grid_geom_idx, src_rows=src_rows,
+        self_offset=self_offset)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,   # anchors, pvec

@@ -420,24 +420,25 @@ def grad_pressure_force_pair(q_ref, src_ref, valid, pv, *, kernel_set,
 # ---------------------------------------------------------------------------
 
 def density_sweep(cfg: SimConfig, queries_pos, src, anchors, pvec, gsize,
-                  *, self_excl, interpret=False):
+                  *, self_excl, self_offset=0, interpret=False):
     pair = functools.partial(density_pair, kernel_set=cfg.kernel_set)
     out = neighbor_sweep(
         pair, queries=queries_pos, src=src, anchors=anchors, pvec=pvec,
         gsize=gsize, out_width=1, self_excl=self_excl,
-        grid_geom_idx=PV_OX, interpret=interpret)
+        grid_geom_idx=PV_OX, self_offset=self_offset, interpret=interpret)
     return out[:, 0]
 
 
 def fluid_force_sweep(cfg: SimConfig, queries, src, anchors, pvec, gsize,
-                      *, include_pressure=True, interpret=False):
+                      *, include_pressure=True, self_offset=0,
+                      interpret=False):
     pair = functools.partial(fluid_force_pair, kernel_set=cfg.kernel_set,
                              st_model=cfg.surface_tension_model,
                              include_pressure=include_pressure)
     out = neighbor_sweep(
         pair, queries=queries, src=src, anchors=anchors, pvec=pvec,
         gsize=gsize, out_width=4, self_excl=True,
-        grid_geom_idx=PV_OX, interpret=interpret)
+        grid_geom_idx=PV_OX, self_offset=self_offset, interpret=interpret)
     return out[:, :3]
 
 
@@ -453,10 +454,11 @@ def boundary_force_sweep(cfg: SimConfig, queries, bsrc, anchors, pvec, gsize,
 
 
 def generic_sweep(cfg: SimConfig, pair_fn, queries, src, anchors, pvec,
-                  gsize, *, out_width, self_excl, interpret=False, **kw):
+                  gsize, *, out_width, self_excl, self_offset=0,
+                  interpret=False, **kw):
     """Run any pair function (kernel_set bound automatically)."""
     pair = functools.partial(pair_fn, kernel_set=cfg.kernel_set, **kw)
     return neighbor_sweep(
         pair, queries=queries, src=src, anchors=anchors, pvec=pvec,
         gsize=gsize, out_width=out_width, self_excl=self_excl,
-        grid_geom_idx=PV_OX, interpret=interpret)
+        grid_geom_idx=PV_OX, self_offset=self_offset, interpret=interpret)

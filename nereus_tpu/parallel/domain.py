@@ -44,6 +44,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import grid as gridlib
+from .. import kernels as K
 from ..params import SimConfig, SimParams
 from ..state import BoundaryData, FluidState
 from ..solvers import common
@@ -394,46 +395,125 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
             (rhalo_h, rhalo["pos"], rhalo["vel"]),
             n_own, kh)
 
-        # -- neighbor context over [left_halo | owned | right_halo] --------
-        qcoords = gridlib.cell_coords(grid, pos)
-        fs, fe = gridlib.row_segments(grid, src_hash, qcoords)
-        seg_overflow = gridlib.segment_overflow(fs, fe, cfg.seg_window)
-        if boundary is not None and boundary.num_boundaries > 0:
-            bs, be = gridlib.row_segments(grid, boundary.sorted_hash, qcoords)
-            seg_overflow = jnp.maximum(seg_overflow, gridlib.segment_overflow(
-                bs, be, cfg.boundary_seg_window))
-        else:
-            bs = be = None
-
-        qstate = FluidState(pos=pos, vel=vel, pressure=pres, num_active=n_own)
         own_active = jnp.arange(cl, dtype=jnp.int32) < n_own
-        ctx = common.NeighborCtx(
-            state=qstate, sorted_hash=src_hash,
-            self_idx=kh + jnp.arange(cl, dtype=jnp.int32),
-            fluid_start=fs, fluid_end=fe, bnd_start=bs, bnd_end=be,
-            active=own_active, overflow=seg_overflow,
-            src_pos=src_pos, src_vel=src_vel)
+        if cfg.use_pallas():
+            # ---- Pallas window-sweep physics over the spliced source ----
+            from ..ops import pallas_sph as PSs
+            from ..ops.pallas_neighbors import (DEF_BLOCK, pack_source,
+                                                plan_windows, round_up)
+            from ..solvers.pallas_common import interpret_mode, padded_len
+            interp = interpret_mode()
+            clb = round_up(cl, DEF_BLOCK)
+            qpad = clb - cl
 
-        # -- physics -------------------------------------------------------
-        dens = common.compute_density(ctx, params, cfg, boundary)
-        prs = wcsph_mod.tait_pressure(dens, params)
+            def padq(a, fillv):
+                if qpad == 0:
+                    return a
+                fill = jnp.full((qpad,) + a.shape[1:], fillv, a.dtype)
+                return jnp.concatenate([a, fill])
 
-        # second halo hop: density+pressure of the same ghost slots
-        dp = {"dens": dens, "pres": prs}
-        l_dp = _exchange_saved(dp, t_idx, t_valid, ax, d, +1)
-        r_dp = _exchange_saved(dp, b_idx, b_valid, ax, d, -1)
-        src_dens, src_pres = _splice_right_halo(
-            (l_dp["dens"], l_dp["pres"]),
-            (dens, prs),
-            (r_dp["dens"], r_dp["pres"]),
-            n_own, kh)
+            pos_q = padq(pos, PARK)
+            vel_q = padq(vel, 0.0)
+            act_q = padq(own_active, False)
+            qcoords = gridlib.cell_coords(grid, pos_q)
+            src_len = cl + 2 * kh
+            anchors, miss = plan_windows(src_hash, qcoords, grid.size,
+                                         DEF_BLOCK, padded_len(src_len),
+                                         active_mask=act_q)
+            pvec = PSs.build_pvec(params, cfg, grid)
+            hash_f32 = src_hash.astype(pos.dtype)
+            pm = params.particle_mass
+            psi_fluid = jnp.full((src_len,), 1.0, pos.dtype) * pm
 
-        f_np = common.compute_nonpressure_forces(
-            ctx, params, cfg, boundary, dens, src_dens=src_dens)
-        f_p = wcsph_mod.compute_pressure_force(
-            ctx, params, cfg, boundary, dens, prs,
-            src_dens=src_dens, src_pres=src_pres)
-        force = f_np + f_p
+            if boundary is not None and boundary.num_boundaries > 0:
+                b_anchors, b_miss = plan_windows(
+                    boundary.sorted_hash, qcoords, grid.size, DEF_BLOCK,
+                    padded_len(boundary.num_boundaries), active_mask=act_q)
+                bsrc = pack_source(boundary.pos,
+                                   boundary.sorted_hash.astype(pos.dtype),
+                                   dens_or_psi=boundary.psi)
+                miss = miss + b_miss
+            else:
+                bsrc = None
+
+            q4 = jnp.concatenate(
+                [pos_q, jnp.zeros((clb, 1), pos.dtype)], axis=1)
+            src_d = pack_source(src_pos, hash_f32, dens_or_psi=psi_fluid)
+            dens = PSs.density_sweep(cfg, q4, src_d, anchors, pvec,
+                                     grid.size, self_excl=True,
+                                     self_offset=kh, interpret=interp)
+            if bsrc is not None:
+                dens = dens + PSs.density_sweep(
+                    cfg, q4, bsrc, b_anchors, pvec, grid.size,
+                    self_excl=False, interpret=interp)
+            zero3 = jnp.zeros((1, 3), dtype=cfg.dtype)
+            dens = dens + pm * K.w_value(cfg.kernel_set, zero3, params)[0]
+            dens = dens[:cl]
+            prs = wcsph_mod.tait_pressure(dens, params)
+
+            # second halo hop: neighbor densities for the ghost slots
+            l_d = _exchange_saved({"dens": dens}, t_idx, t_valid, ax, d, +1)
+            r_d = _exchange_saved({"dens": dens}, b_idx, b_valid, ax, d, -1)
+            (src_dens,) = _splice_right_halo(
+                (l_d["dens"],), (dens,), (r_d["dens"],), n_own, kh)
+
+            dens_safe = jnp.maximum(dens, 1e-12)
+            pd2 = prs / (dens_safe * dens_safe)
+            q8 = jnp.concatenate(
+                [pos_q, vel_q, padq(dens, 0.0)[:, None],
+                 padq(pd2, 0.0)[:, None]], axis=1)
+            src_f = pack_source(src_pos, hash_f32, src_vel, src_dens)
+            force = PSs.fluid_force_sweep(cfg, q8, src_f, anchors, pvec,
+                                          grid.size, self_offset=kh,
+                                          interpret=interp)
+            if bsrc is not None:
+                force = force + PSs.boundary_force_sweep(
+                    cfg, q8, bsrc, b_anchors, pvec, grid.size,
+                    interpret=interp)
+            force = force[:cl] + pm * params.gravity
+            seg_overflow = miss
+        else:
+            # ---- jnp segment-engine physics ------------------------------
+            qcoords = gridlib.cell_coords(grid, pos)
+            fs, fe = gridlib.row_segments(grid, src_hash, qcoords)
+            seg_overflow = gridlib.segment_overflow(fs, fe, cfg.seg_window)
+            if boundary is not None and boundary.num_boundaries > 0:
+                bs, be = gridlib.row_segments(grid, boundary.sorted_hash,
+                                              qcoords)
+                seg_overflow = jnp.maximum(
+                    seg_overflow, gridlib.segment_overflow(
+                        bs, be, cfg.boundary_seg_window))
+            else:
+                bs = be = None
+
+            qstate = FluidState(pos=pos, vel=vel, pressure=pres,
+                                num_active=n_own)
+            ctx = common.NeighborCtx(
+                state=qstate, sorted_hash=src_hash,
+                self_idx=kh + jnp.arange(cl, dtype=jnp.int32),
+                fluid_start=fs, fluid_end=fe, bnd_start=bs, bnd_end=be,
+                active=own_active, overflow=seg_overflow,
+                src_pos=src_pos, src_vel=src_vel)
+
+            dens = common.compute_density(ctx, params, cfg, boundary)
+            prs = wcsph_mod.tait_pressure(dens, params)
+
+            # second halo hop: density+pressure of the same ghost slots
+            dp = {"dens": dens, "pres": prs}
+            l_dp = _exchange_saved(dp, t_idx, t_valid, ax, d, +1)
+            r_dp = _exchange_saved(dp, b_idx, b_valid, ax, d, -1)
+            src_dens, src_pres = _splice_right_halo(
+                (l_dp["dens"], l_dp["pres"]),
+                (dens, prs),
+                (r_dp["dens"], r_dp["pres"]),
+                n_own, kh)
+
+            f_np = common.compute_nonpressure_forces(
+                ctx, params, cfg, boundary, dens, src_dens=src_dens)
+            f_p = wcsph_mod.compute_pressure_force(
+                ctx, params, cfg, boundary, dens, prs,
+                src_dens=src_dens, src_pres=src_pres)
+            force = f_np + f_p
 
         dt = params.dt
         new_vel = vel + (dt / params.particle_mass) * force

@@ -1,0 +1,57 @@
+"""Sharded step with the Pallas engine (interpret mode) vs single-chip."""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+import nereus_tpu as nt
+from nereus_tpu import scene
+from nereus_tpu.parallel import (ShardConfig, make_sharded_wcsph_step,
+                                 shard_state, unshard_state)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return Mesh(np.array(jax.devices()[:8]), ("shards",))
+
+
+def test_sharded_pallas_matches_single_chip(mesh):
+    cfg = nt.SimConfig(engine="pallas")
+    cfg_seg = nt.SimConfig(engine="segments")
+    params = nt.make_params(dt=5e-4)
+    state, grid, boundary = scene.dam_break(
+        params, cfg, cube_size=(0.3, 0.3, 0.3), cube_center=(-0.3, 0.05, 0.5),
+        box_min=(-0.8, -0.3, 0.0), box_max=(0.2, 0.7, 1.0),
+        with_boundary=True, boundary_radius=0.04)
+    n = int(state.num_active)
+
+    scfg = ShardConfig(n_shards=8, local_capacity=n, halo_capacity=512,
+                       migration_capacity=256)
+    sstate = shard_state(state, grid, scfg, mesh)
+    step_pal = make_sharded_wcsph_step(mesh, params, grid, cfg, scfg,
+                                       boundary)
+
+    @jax.jit
+    def single(s):
+        return nt.wcsph_step(s, params, grid, cfg_seg, boundary)
+
+    for it in range(3):
+        state, d1 = single(state)
+        sstate, dN = step_pal(sstate)
+        assert int(dN.num_active) == n
+        assert int(dN.seg_overflow) == 0, it
+
+        merged = unshard_state(sstate)
+
+        def key(a):
+            a = np.asarray(a)
+            return np.lexsort((a[:, 2], a[:, 1], a[:, 0]))
+
+        p1, pN = np.asarray(state.pos[:n]), np.asarray(merged.pos)
+        k1, kN = key(p1), key(pN)
+        np.testing.assert_allclose(pN[kN], p1[k1], rtol=0, atol=1e-5,
+                                   err_msg=f"step {it}")
+        np.testing.assert_allclose(
+            np.asarray(merged.vel)[kN], np.asarray(state.vel[:n])[k1],
+            rtol=0, atol=1e-4, err_msg=f"step {it}")
