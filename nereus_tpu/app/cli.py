@@ -65,6 +65,15 @@ def _build_parser():
     run.add_argument("--profile-dir", default=None,
                      help="write a jax.profiler trace of the run here")
     run.add_argument("--report-every", type=int, default=100)
+    run.add_argument("--drop-cube-every", type=int, default=0, metavar="K",
+                     help="drop a fresh particle cube every K steps (the "
+                          "reference demo's 'K' key, main.cpp:499-521); "
+                          "single-chip solvers only")
+    run.add_argument("--adaptive-dt", type=float, default=None,
+                     metavar="LAMBDA",
+                     help="CFL timestep dt = LAMBDA*h/|v|max per step (the "
+                          "reference's disabled #if 0 block, sph.cpp:217); "
+                          "wcsph only")
 
     sub.add_parser("info", help="print device/platform info")
     return p
@@ -104,6 +113,10 @@ def _make_setup(args):
         scene_kw.update(cube_center=(0.25, 0.6, 0.25),
                         box_min=(0.0, 0.0, 0.0), box_max=(0.5, 1.0, 0.5),
                         cube_size=(0.3, 0.3, 0.3))
+    if args.drop_cube_every:
+        # leave headroom for dropped cubes (~3 extra fills of the run)
+        drops = args.steps // args.drop_cube_every + 1
+        scene_kw["capacity_factor"] = 1 + drops
     state, grid, boundary = scenelib.dam_break(
         params, cfg, n_target=args.n_target,
         with_boundary=not args.no_boundary, **scene_kw)
@@ -161,6 +174,22 @@ def cmd_run(args):
             delta = nt.pcisph_delta(params, cfg)
             step = jax.jit(lambda s: nt.pcisph_step(
                 s, params, grid, cfg, boundary, delta=delta))
+        elif args.adaptive_dt and args.solver == "wcsph":
+            import dataclasses
+            lam = float(args.adaptive_dt)
+
+            def _adaptive(s):
+                p2 = dataclasses.replace(
+                    params, dt=jnp_minimum_dt(s, params, lam))
+                return nt.wcsph_step(s, p2, grid, cfg, boundary)
+
+            import jax.numpy as jnp
+
+            def jnp_minimum_dt(s, p, lam):
+                # CFL dt, capped at the configured dt (sph.cpp:217-231)
+                return jnp.minimum(nt.cfl_dt(s, p, lam), p.dt)
+
+            step = jax.jit(_adaptive)
         else:
             step = jax.jit(lambda s: solver(s, params, grid, cfg, boundary))
         run_state = state
@@ -173,11 +202,29 @@ def cmd_run(args):
         from .export import FrameExporter
         exporter = FrameExporter(args.out, args.export)
 
+    drop_pts = None
+    if args.drop_cube_every:
+        if args.shards > 1:
+            log.error("--drop-cube-every is single-chip only")
+            return 2
+        from nereus_tpu.scene import particle_cube
+        spacing = float(params.interaction_radius) - 0.005
+        drop_pts = particle_cube((0.25, 0.55, 0.25), (0.12, 0.12, 0.12),
+                                 spacing)
+
     meter = StepMeter(n, report_every=args.report_every, logger=log)
     t0 = time.perf_counter()
     diag = None
     with profile_trace(args.profile_dir):
         for i in range(args.steps):
+            if drop_pts is not None and i and i % args.drop_cube_every == 0:
+                try:
+                    run_state = nt.add_particles(run_state, drop_pts)
+                    n = int(run_state.num_active)
+                    log.info("dropped %d particles (live: %d)",
+                             len(drop_pts), n)
+                except ValueError as e:
+                    log.warning("drop skipped: %s", e)
             run_state, diag = step(run_state)
             meter.tick()
             if exporter is not None and i % args.export_every == 0:

@@ -38,6 +38,7 @@ def dam_break(params: SimParams, cfg: SimConfig, *,
               box_max=(3.0, 3.0, 3.0),
               with_boundary: bool = True,
               capacity: int | None = None,
+              capacity_factor: float = 1.0,
               boundary_radius: float = 0.02):
     """The demo scene (``main.cpp:533-555``): a fluid cube inside a boundary
     box. If ``n_target`` is given, the cube is scaled (at fixed spacing) to
@@ -57,6 +58,8 @@ def dam_break(params: SimParams, cfg: SimConfig, *,
     pts = particle_cube(cube_center, cube_size, spacing)
     grid = gridlib.fit_grid(box_min, box_max, float(params.interaction_radius),
                             dtype=cfg.dtype)
+    if capacity is None and capacity_factor > 1.0:
+        capacity = int(len(pts) * capacity_factor)
     state = make_fluid_state(pts, capacity=capacity, dtype=cfg.dtype)
     boundary = None
     if with_boundary:

@@ -61,6 +61,35 @@ class BoundaryData:
         return self.pos.shape[0]
 
 
+def add_particles(state: FluidState, positions, velocities=None
+                  ) -> FluidState:
+    """Append live particles into free capacity slots.
+
+    The analogue of the demo's particle dropping
+    (``drop_more_particles``/``addNewParticle``, ``main.cpp:499-521`` /
+    ``sph/sph.cpp:341-368``) — which, upstream, can silently run past
+    ``MAX_PARTICLE_NUMBER`` (SURVEY §5 defect list); here exceeding the
+    static capacity raises.
+    """
+    positions = jnp.asarray(positions, dtype=state.pos.dtype)
+    k = positions.shape[0]
+    n = int(state.num_active)
+    if n + k > state.capacity:
+        raise ValueError(
+            f"adding {k} particles exceeds capacity "
+            f"{state.capacity} (live: {n})")
+    if velocities is None:
+        velocities = jnp.zeros_like(positions)
+    velocities = jnp.broadcast_to(
+        jnp.asarray(velocities, dtype=state.vel.dtype), positions.shape)
+    return FluidState(
+        pos=jax.lax.dynamic_update_slice(state.pos, positions, (n, 0)),
+        vel=jax.lax.dynamic_update_slice(state.vel, velocities, (n, 0)),
+        pressure=state.pressure,
+        num_active=state.num_active + k,
+    )
+
+
 def make_fluid_state(positions, velocities=None, capacity=None,
                      dtype=jnp.float32) -> FluidState:
     """Build a FluidState from host arrays, padding to ``capacity``.

@@ -74,3 +74,31 @@ def test_cli_info(capsys):
     assert cli_main(["info"]) == 0
     info = json.loads(capsys.readouterr().out)
     assert info["device_count"] >= 8
+
+
+def test_add_particles_and_drop_cli(tmp_path, capsys):
+    import nereus_tpu as nt2
+    state = nt2.make_fluid_state(np.random.default_rng(0).uniform(
+        0, 0.3, (50, 3)), capacity=80)
+    s2 = nt2.add_particles(state, np.full((20, 3), 0.4),
+                           velocities=(0.0, -1.0, 0.0))
+    assert int(s2.num_active) == 70
+    np.testing.assert_allclose(np.asarray(s2.pos[50:70]), 0.4)
+    np.testing.assert_allclose(np.asarray(s2.vel[50:70, 1]), -1.0)
+    with pytest.raises(ValueError):
+        nt2.add_particles(s2, np.zeros((20, 3)))
+
+    rc = cli_main(["run", "--solver", "wcsph", "--steps", "7",
+                   "--scene", "cube-drop", "--no-boundary",
+                   "--drop-cube-every", "3"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["seg_overflow"] == 0
+
+
+def test_cli_adaptive_dt(capsys):
+    rc = cli_main(["run", "--solver", "wcsph", "--steps", "5",
+                   "--no-boundary", "--adaptive-dt", "0.4"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["seg_overflow"] == 0
