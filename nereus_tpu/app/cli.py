@@ -143,11 +143,12 @@ def cmd_run(args):
              np.asarray(grid.size).tolist())
 
     if args.shards > 1:
-        if args.solver != "wcsph":
-            log.error("--shards currently supports wcsph only")
+        if args.solver not in ("wcsph", "iisph"):
+            log.error("--shards supports wcsph and iisph")
             return 2
         from jax.sharding import Mesh
         from nereus_tpu.parallel import (ShardConfig,
+                                         make_sharded_iisph_step,
                                          make_sharded_wcsph_step,
                                          shard_state, slab_counts,
                                          unshard_state)
@@ -164,8 +165,9 @@ def cmd_run(args):
         log.info("slab occupancy: %s, local capacity %d",
                  counts.tolist(), scfg.local_capacity)
         run_state = shard_state(state, grid, scfg, mesh)
-        step = make_sharded_wcsph_step(mesh, params, grid, cfg, scfg,
-                                       boundary)
+        maker = (make_sharded_wcsph_step if args.solver == "wcsph"
+                 else make_sharded_iisph_step)
+        step = maker(mesh, params, grid, cfg, scfg, boundary)
         to_host = unshard_state
     else:
         solver = {"wcsph": nt.wcsph_step, "iisph": nt.iisph_step}.get(

@@ -83,6 +83,7 @@ class ShardedDiagnostics:
     capacity_overflow: jax.Array   # owned beyond local_capacity (max)
     migration_violation: jax.Array # particles that jumped >1 slab (count)
     num_active: jax.Array          # global live particle count
+    solver_iters: jax.Array        # pressure-solver iterations (IISPH)
 
 
 def _slab_cells(grid: gridlib.Grid, n_shards: int):
@@ -276,6 +277,160 @@ def unshard_state(state: FluidState) -> FluidState:
 # The sharded step
 # ---------------------------------------------------------------------------
 
+@dataclasses.dataclass
+class _ShardCtx:
+    """Per-shard post-migration, post-halo state (inside shard_map)."""
+
+    h: jax.Array            # (cl,) owned sorted hashes (I32_MAX tail)
+    pos: jax.Array
+    vel: jax.Array
+    pres: jax.Array
+    n_own: jax.Array
+    own_active: jax.Array
+    src_hash: jax.Array     # (cl+2kh,) spliced [lhalo | owned | rhalo]
+    src_pos: jax.Array
+    src_vel: jax.Array
+    t_idx: jax.Array        # saved halo-slot indices for later field hops
+    t_valid: jax.Array
+    b_idx: jax.Array
+    b_valid: jax.Array
+    mig_violation: jax.Array
+    mig_overflow: jax.Array
+    halo_overflow: jax.Array
+    cap_overflow: jax.Array
+
+
+def _migrate_and_halo(pos, vel, pres, n_loc, *, grid, scfg) -> _ShardCtx:
+    """Local sort → neighbor-slab migration → ghost-halo exchange.
+
+    Runs inside ``shard_map``; see the module docstring for the scheme.
+    """
+    ax, d = scfg.axis_name, scfg.n_shards
+    cl, kh, km = (scfg.local_capacity, scfg.halo_capacity,
+                  scfg.migration_capacity)
+    s = jax.lax.axis_index(ax)
+    slab = _slab_cells(grid, d)
+    plane = grid.size[0] * grid.size[1]
+    slab_lo_h = (s * slab) * plane
+    slab_hi_h = jnp.minimum((s + 1) * slab, grid.size[2]) * plane
+
+    n0 = n_loc[0]
+    active = jnp.arange(cl, dtype=jnp.int32) < n0
+    h = gridlib.hash_positions(grid, pos, active)
+    order = jnp.argsort(h, stable=True)
+    h, pos, vel, pres = h[order], pos[order], vel[order], pres[order]
+
+    # -- migration accounting ------------------------------------------
+    coords = gridlib.cell_coords(grid, pos)
+    owner = jnp.minimum(coords[..., 2] // slab, d - 1)
+    act = h < I32_MAX
+    mig_violation = jnp.sum(
+        jnp.where(act & (jnp.abs(owner - s) > 1), 1, 0))
+
+    start_own = jnp.searchsorted(h, slab_lo_h, side="left").astype(jnp.int32)
+    end_own = jnp.searchsorted(h, slab_hi_h, side="left").astype(jnp.int32)
+    n_act = jnp.searchsorted(h, I32_MAX, side="left").astype(jnp.int32)
+
+    fields = {"pos": pos, "vel": vel, "pres": pres}
+
+    # leavers → left neighbor: indices [0, start_own)
+    lh, lbuf, _, lvalid, lover = _extract_edge(
+        h, fields, I32_MIN + 1, slab_lo_h, km, pad_front=False)
+    # leavers → right neighbor: [end_own, n_act)
+    rh, rbuf, _, rvalid, rover = _extract_edge(
+        h, fields, slab_hi_h, I32_MAX, km, pad_front=False)
+    mig_overflow = jnp.maximum(lover, rover)
+
+    recv_from_right = jax.tree_util.tree_map(
+        lambda x: _ppermute_shift(x, ax, d, -1), (lh, lbuf))
+    recv_from_left = jax.tree_util.tree_map(
+        lambda x: _ppermute_shift(x, ax, d, +1), (rh, rbuf))
+    rr_h, rr_buf = recv_from_right
+    rl_h, rl_buf = recv_from_left
+    # mesh edges received zeros → invalidate
+    rr_h = jnp.where(s == d - 1, I32_MAX, rr_h)
+    rl_h = jnp.where(s == 0, I32_MAX, rl_h)
+    rr_buf = _mask_buffer(rr_h < I32_MAX, rr_buf)
+    rl_buf = _mask_buffer(rl_h < I32_MAX, rl_buf)
+
+    # keepers: drop leavers + inactive
+    keep = (jnp.arange(cl, dtype=jnp.int32) >= start_own) \
+        & (jnp.arange(cl, dtype=jnp.int32) < end_own)
+    kh_hash = jnp.where(keep, h, I32_MAX)
+    kfields = _mask_buffer(keep, fields)
+
+    mh = jnp.concatenate([kh_hash, rl_h, rr_h])
+    mfields = {k: jnp.concatenate([kfields[k], rl_buf[k], rr_buf[k]])
+               for k in fields}
+    morder_full = jnp.argsort(mh, stable=True)
+    mh_sorted = mh[morder_full]
+    morder = morder_full[:cl]
+    h = mh_sorted[:cl]
+    pos = mfields["pos"][morder]
+    vel = mfields["vel"][morder]
+    pres = mfields["pres"][morder]
+    total_valid = jnp.searchsorted(mh_sorted, I32_MAX,
+                                   side="left").astype(jnp.int32)
+    cap_overflow = jnp.maximum(total_valid - cl, 0)
+    n_own = jnp.minimum(total_valid, cl)
+
+    # -- halo exchange (pos/vel) ---------------------------------------
+    fields = {"pos": pos, "vel": vel}
+    top_lo, top_hi = _row_hashes(grid, jnp.minimum(
+        (s + 1) * slab, grid.size[2]) - 1)
+    bot_lo, bot_hi = _row_hashes(grid, s * slab)
+    # top row → right neighbor (their left halo: padding in front)
+    th, tbuf, t_idx, t_valid, t_over = _extract_edge(
+        h, fields, top_lo, top_hi, kh, pad_front=True)
+    # bottom row → left neighbor (their right halo: padding behind)
+    bh, bbuf, b_idx, b_valid, b_over = _extract_edge(
+        h, fields, bot_lo, bot_hi, kh, pad_front=False)
+    halo_overflow = jnp.maximum(t_over, b_over)
+
+    lhalo_h, lhalo = jax.tree_util.tree_map(
+        lambda x: _ppermute_shift(x, ax, d, +1), (th, tbuf))
+    rhalo_h, rhalo = jax.tree_util.tree_map(
+        lambda x: _ppermute_shift(x, ax, d, -1), (bh, bbuf))
+    lhalo_h = jnp.where(s == 0, I32_MIN, lhalo_h)
+    rhalo_h = jnp.where(s == d - 1, I32_MAX, rhalo_h)
+    lhalo = _mask_buffer((s > 0) & jnp.ones((kh,), bool), lhalo)
+    rhalo = _mask_buffer((s < d - 1) & jnp.ones((kh,), bool), rhalo)
+
+    # Source layout: [left_halo | owned | tail]. The owned block carries
+    # I32_MAX sentinels in its inactive slots [n_own, cl), so the right
+    # halo cannot simply be appended (it would sit *after* those
+    # sentinels, breaking the ascending hash order searchsorted needs).
+    # Instead it is spliced in directly after the last live owned
+    # particle with a dynamic_update_slice; everything beyond stays at
+    # the I32_MAX sentinel. Queries' own indices (kh + i, i < n_own)
+    # always land in the owned block, so self-exclusion is unaffected.
+    src_hash, src_pos, src_vel = _splice_right_halo(
+        (lhalo_h, lhalo["pos"], lhalo["vel"]),
+        (h, pos, vel),
+        (rhalo_h, rhalo["pos"], rhalo["vel"]),
+        n_own, kh)
+
+    return _ShardCtx(
+        h=h, pos=pos, vel=vel, pres=pres, n_own=n_own,
+        own_active=jnp.arange(cl, dtype=jnp.int32) < n_own,
+        src_hash=src_hash, src_pos=src_pos, src_vel=src_vel,
+        t_idx=t_idx, t_valid=t_valid, b_idx=b_idx, b_valid=b_valid,
+        mig_violation=mig_violation, mig_overflow=mig_overflow,
+        halo_overflow=halo_overflow, cap_overflow=cap_overflow)
+
+
+def _halo_hop(fields: dict, sctx: _ShardCtx, scfg: ShardConfig, n_own):
+    """Ship computed per-particle fields for the step's ghost slots and
+    splice them into source order; returns a tuple in ``fields`` order."""
+    ax, d, kh = scfg.axis_name, scfg.n_shards, scfg.halo_capacity
+    l = _exchange_saved(fields, sctx.t_idx, sctx.t_valid, ax, d, +1)
+    r = _exchange_saved(fields, sctx.b_idx, sctx.b_valid, ax, d, -1)
+    keys = list(fields)
+    return _splice_right_halo(
+        tuple(l[k] for k in keys), tuple(fields[k] for k in keys),
+        tuple(r[k] for k in keys), n_own, kh)
+
+
 def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
                             grid: gridlib.Grid, cfg: SimConfig,
                             scfg: ShardConfig,
@@ -288,114 +443,25 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
     """
     ax = scfg.axis_name
     d = scfg.n_shards
+    if mesh.shape[ax] != d:
+        raise ValueError(
+            f"mesh axis {ax!r} has {mesh.shape[ax]} devices but "
+            f"ShardConfig.n_shards={d}")
     cl = scfg.local_capacity
     kh = scfg.halo_capacity
-    km = scfg.migration_capacity
 
     def local_step(pos, vel, pres, n_loc):
-        s = jax.lax.axis_index(ax)
-        slab = _slab_cells(grid, d)
-        plane = grid.size[0] * grid.size[1]
-        slab_lo_h = (s * slab) * plane
-        slab_hi_h = jnp.minimum((s + 1) * slab, grid.size[2]) * plane
+        sctx = _migrate_and_halo(pos, vel, pres, n_loc, grid=grid, scfg=scfg)
+        h, pos, vel, pres = sctx.h, sctx.pos, sctx.vel, sctx.pres
+        n_own = sctx.n_own
+        src_hash, src_pos, src_vel = (sctx.src_hash, sctx.src_pos,
+                                      sctx.src_vel)
+        t_idx, t_valid = sctx.t_idx, sctx.t_valid
+        b_idx, b_valid = sctx.b_idx, sctx.b_valid
+        mig_violation, mig_overflow = sctx.mig_violation, sctx.mig_overflow
+        halo_overflow, cap_overflow = sctx.halo_overflow, sctx.cap_overflow
 
-        n0 = n_loc[0]
-        active = jnp.arange(cl, dtype=jnp.int32) < n0
-        h = gridlib.hash_positions(grid, pos, active)
-        order = jnp.argsort(h, stable=True)
-        h, pos, vel, pres = h[order], pos[order], vel[order], pres[order]
-
-        # -- migration accounting ------------------------------------------
-        coords = gridlib.cell_coords(grid, pos)
-        owner = jnp.minimum(coords[..., 2] // slab, d - 1)
-        act = h < I32_MAX
-        mig_violation = jnp.sum(
-            jnp.where(act & (jnp.abs(owner - s) > 1), 1, 0))
-
-        start_own = jnp.searchsorted(h, slab_lo_h, side="left").astype(jnp.int32)
-        end_own = jnp.searchsorted(h, slab_hi_h, side="left").astype(jnp.int32)
-        n_act = jnp.searchsorted(h, I32_MAX, side="left").astype(jnp.int32)
-
-        fields = {"pos": pos, "vel": vel, "pres": pres}
-
-        # leavers → left neighbor: indices [0, start_own)
-        lh, lbuf, _, lvalid, lover = _extract_edge(
-            h, fields, I32_MIN + 1, slab_lo_h, km, pad_front=False)
-        # leavers → right neighbor: [end_own, n_act)
-        rh, rbuf, _, rvalid, rover = _extract_edge(
-            h, fields, slab_hi_h, I32_MAX, km, pad_front=False)
-        mig_overflow = jnp.maximum(lover, rover)
-
-        recv_from_right = jax.tree_util.tree_map(
-            lambda x: _ppermute_shift(x, ax, d, -1), (lh, lbuf))
-        recv_from_left = jax.tree_util.tree_map(
-            lambda x: _ppermute_shift(x, ax, d, +1), (rh, rbuf))
-        rr_h, rr_buf = recv_from_right
-        rl_h, rl_buf = recv_from_left
-        # mesh edges received zeros → invalidate
-        rr_h = jnp.where(s == d - 1, I32_MAX, rr_h)
-        rl_h = jnp.where(s == 0, I32_MAX, rl_h)
-        rr_buf = _mask_buffer(rr_h < I32_MAX, rr_buf)
-        rl_buf = _mask_buffer(rl_h < I32_MAX, rl_buf)
-
-        # keepers: drop leavers + inactive
-        keep = (jnp.arange(cl, dtype=jnp.int32) >= start_own) \
-            & (jnp.arange(cl, dtype=jnp.int32) < end_own)
-        kh_hash = jnp.where(keep, h, I32_MAX)
-        kfields = _mask_buffer(keep, fields)
-
-        mh = jnp.concatenate([kh_hash, rl_h, rr_h])
-        mfields = {k: jnp.concatenate([kfields[k], rl_buf[k], rr_buf[k]])
-                   for k in fields}
-        morder_full = jnp.argsort(mh, stable=True)
-        mh_sorted = mh[morder_full]
-        morder = morder_full[:cl]
-        h = mh_sorted[:cl]
-        pos = mfields["pos"][morder]
-        vel = mfields["vel"][morder]
-        pres = mfields["pres"][morder]
-        total_valid = jnp.searchsorted(mh_sorted, I32_MAX,
-                                       side="left").astype(jnp.int32)
-        cap_overflow = jnp.maximum(total_valid - cl, 0)
-        n_own = jnp.minimum(total_valid, cl)
-
-        # -- halo exchange (pos/vel) ---------------------------------------
-        fields = {"pos": pos, "vel": vel}
-        top_lo, top_hi = _row_hashes(grid, jnp.minimum(
-            (s + 1) * slab, grid.size[2]) - 1)
-        bot_lo, bot_hi = _row_hashes(grid, s * slab)
-        # top row → right neighbor (their left halo: padding in front)
-        th, tbuf, t_idx, t_valid, t_over = _extract_edge(
-            h, fields, top_lo, top_hi, kh, pad_front=True)
-        # bottom row → left neighbor (their right halo: padding behind)
-        bh, bbuf, b_idx, b_valid, b_over = _extract_edge(
-            h, fields, bot_lo, bot_hi, kh, pad_front=False)
-        halo_overflow = jnp.maximum(t_over, b_over)
-
-        lhalo_h, lhalo = jax.tree_util.tree_map(
-            lambda x: _ppermute_shift(x, ax, d, +1), (th, tbuf))
-        rhalo_h, rhalo = jax.tree_util.tree_map(
-            lambda x: _ppermute_shift(x, ax, d, -1), (bh, bbuf))
-        lhalo_h = jnp.where(s == 0, I32_MIN, lhalo_h)
-        rhalo_h = jnp.where(s == d - 1, I32_MAX, rhalo_h)
-        lhalo = _mask_buffer((s > 0) & jnp.ones((kh,), bool), lhalo)
-        rhalo = _mask_buffer((s < d - 1) & jnp.ones((kh,), bool), rhalo)
-
-        # Source layout: [left_halo | owned | tail]. The owned block carries
-        # I32_MAX sentinels in its inactive slots [n_own, cl), so the right
-        # halo cannot simply be appended (it would sit *after* those
-        # sentinels, breaking the ascending hash order searchsorted needs).
-        # Instead it is spliced in directly after the last live owned
-        # particle with a dynamic_update_slice; everything beyond stays at
-        # the I32_MAX sentinel. Queries' own indices (kh + i, i < n_own)
-        # always land in the owned block, so self-exclusion is unaffected.
-        src_hash, src_pos, src_vel = _splice_right_halo(
-            (lhalo_h, lhalo["pos"], lhalo["vel"]),
-            (h, pos, vel),
-            (rhalo_h, rhalo["pos"], rhalo["vel"]),
-            n_own, kh)
-
-        own_active = jnp.arange(cl, dtype=jnp.int32) < n_own
+        own_active = sctx.own_active
         if cfg.use_pallas():
             # ---- Pallas window-sweep physics over the spliced source ----
             from ..ops import pallas_sph as PSs
@@ -538,6 +604,7 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
             capacity_overflow=jax.lax.pmax(cap_overflow, ax),
             migration_violation=jax.lax.psum(mig_violation, ax),
             num_active=jax.lax.psum(n_own, ax),
+            solver_iters=jnp.asarray(0, jnp.int32),
         )
         return new_pos, new_vel, new_pres, n_own[None], diag
 
@@ -566,4 +633,249 @@ def _diag_struct():
     return ShardedDiagnostics(
         max_density=z, mean_density_error=z, seg_overflow=z,
         halo_overflow=z, migration_overflow=z, capacity_overflow=z,
-        migration_violation=z, num_active=z)
+        migration_violation=z, num_active=z, solver_iters=z)
+
+
+def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
+                            grid: gridlib.Grid, cfg: SimConfig,
+                            scfg: ShardConfig,
+                            boundary: Optional[BoundaryData] = None,
+                            tol: float = 1.0, omega: float = 0.5):
+    """Build the jitted multi-chip IISPH step (Pallas window sweeps;
+    interpret mode off-TPU).
+
+    Same slab-decomposition scheme as the WCSPH step. The relaxed-Jacobi
+    solve runs as one ``lax.while_loop`` whose body performs two extra
+    ghost-field hops per iteration (pressure-dependent source slots, then
+    the fresh Σd_ij·p_j sums); the convergence check is a global ``psum``
+    mean — identical on every shard, so all shards iterate in lockstep.
+    """
+    from ..ops import pallas_sph as PSs
+    from ..ops.pallas_neighbors import (DEF_BLOCK, pack_source,
+                                        pack_source_wide, plan_windows,
+                                        round_up)
+    from ..solvers.pallas_common import interpret_mode, padded_len
+
+    ax = scfg.axis_name
+    d = scfg.n_shards
+    if mesh.shape[ax] != d:
+        raise ValueError(
+            f"mesh axis {ax!r} has {mesh.shape[ax]} devices but "
+            f"ShardConfig.n_shards={d}")
+    cl = scfg.local_capacity
+    kh = scfg.halo_capacity
+    interp = interpret_mode()
+    clb = round_up(cl, DEF_BLOCK)
+    qpad = clb - cl
+    src_len = cl + 2 * kh
+
+    def padq(a, fillv):
+        if qpad == 0:
+            return a
+        fill = jnp.full((qpad,) + a.shape[1:], fillv, a.dtype)
+        return jnp.concatenate([a, fill])
+
+    def local_step(pos0, vel0, pres0, n_loc):
+        sctx = _migrate_and_halo(pos0, vel0, pres0, n_loc,
+                                 grid=grid, scfg=scfg)
+        pos, vel, pres = sctx.pos, sctx.vel, sctx.pres
+        n_own, own_active = sctx.n_own, sctx.own_active
+        src_pos, src_vel = sctx.src_pos, sctx.src_vel
+        hash_f32 = sctx.src_hash.astype(pos.dtype)
+        dt = params.dt
+        pm = params.particle_mass
+
+        pos_q = padq(pos, PARK)
+        vel_q = padq(vel, 0.0)
+        act_q = padq(own_active, False)
+        qcoords = gridlib.cell_coords(grid, pos_q)
+        anchors, miss = plan_windows(sctx.src_hash, qcoords, grid.size,
+                                     DEF_BLOCK, padded_len(src_len),
+                                     active_mask=act_q)
+        pvec = PSs.build_pvec(params, cfg, grid)
+        psi_fluid = jnp.full((src_len,), 1.0, pos.dtype) * pm
+
+        if boundary is not None and boundary.num_boundaries > 0:
+            b_anchors, b_miss = plan_windows(
+                boundary.sorted_hash, qcoords, grid.size, DEF_BLOCK,
+                padded_len(boundary.num_boundaries), active_mask=act_q)
+            bsrc = pack_source(boundary.pos,
+                               boundary.sorted_hash.astype(pos.dtype),
+                               dens_or_psi=boundary.psi)
+            miss = miss + b_miss
+        else:
+            bsrc = None
+
+        def hop(fields):
+            return _halo_hop(fields, sctx, scfg, n_own)
+
+        def bgen(pair, q, width, **kw):
+            if bsrc is None:
+                return jnp.zeros((clb, width), cfg.dtype)
+            return PSs.generic_sweep(cfg, pair, q, bsrc, b_anchors, pvec,
+                                     grid.size, out_width=width,
+                                     self_excl=False, interpret=interp, **kw)
+
+        # --- density --------------------------------------------------------
+        q4 = jnp.concatenate([pos_q, jnp.zeros((clb, 1), pos.dtype)], axis=1)
+        src_d = pack_source(src_pos, hash_f32, dens_or_psi=psi_fluid)
+        dens = PSs.density_sweep(cfg, q4, src_d, anchors, pvec, grid.size,
+                                 self_excl=True, self_offset=kh,
+                                 interpret=interp)
+        if bsrc is not None:
+            dens = dens + PSs.density_sweep(cfg, q4, bsrc, b_anchors, pvec,
+                                            grid.size, self_excl=False,
+                                            interpret=interp)
+        zero3 = jnp.zeros((1, 3), dtype=cfg.dtype)
+        dens = (dens + pm * K.w_value(cfg.kernel_set, zero3, params)[0])[:cl]
+        dens_safe = jnp.maximum(dens, 1e-12)
+        inv_d2 = 1.0 / (dens_safe * dens_safe)
+        (src_dens,) = hop({"dens": dens})
+
+        # --- non-pressure forces → vel_adv ----------------------------------
+        q8 = jnp.concatenate([pos_q, vel_q, padq(dens, 0.0)[:, None],
+                              jnp.zeros((clb, 1), pos.dtype)], axis=1)
+        src_f = pack_source(src_pos, hash_f32, src_vel, src_dens)
+        f_adv = PSs.fluid_force_sweep(cfg, q8, src_f, anchors, pvec,
+                                      grid.size, include_pressure=False,
+                                      self_offset=kh, interpret=interp)
+        if bsrc is not None:
+            f_adv = f_adv + PSs.boundary_force_sweep(
+                cfg, q8, bsrc, b_anchors, pvec, grid.size,
+                include_pressure=False, interpret=interp)
+        f_adv = f_adv[:cl] + pm * params.gravity
+        vel_adv = vel + (dt / pm) * f_adv
+        (src_vel_adv,) = hop({"va": vel_adv})
+
+        # --- dii + rho_adv, then aii -----------------------------------------
+        q12 = jnp.concatenate(
+            [pos_q, padq(vel_adv, 0.0), vel_q, padq(inv_d2, 0.0)[:, None],
+             jnp.zeros((clb, 2), pos.dtype)], axis=1)
+        src_pred = pack_source(src_pos, hash_f32, src_vel_adv, psi_fluid)
+        pr_f = PSs.generic_sweep(cfg, PSs.dii_rhoadv_pair, q12, src_pred,
+                                 anchors, pvec, grid.size, out_width=4,
+                                 self_excl=True, self_offset=kh,
+                                 interpret=interp, vel_q_offset=3)
+        pr_b = bgen(PSs.dii_rhoadv_pair, q12, 4, vel_q_offset=6)
+        dii = (pr_f[:, :3] + pr_b[:, :3])[:cl]
+        rho_adv = dens + (pr_f[:, 3] + pr_b[:, 3])[:cl]
+
+        dpi = pm * inv_d2
+        q_aii = jnp.concatenate([pos_q, padq(dii, 0.0),
+                                 padq(dpi, 0.0)[:, None],
+                                 jnp.zeros((clb, 1), pos.dtype)], axis=1)
+        aii = (PSs.generic_sweep(cfg, PSs.aii_pair, q_aii, src_pred,
+                                 anchors, pvec, grid.size, out_width=1,
+                                 self_excl=True, self_offset=kh,
+                                 interpret=interp)[:, 0]
+               + bgen(PSs.aii_pair, q_aii, 1)[:, 0])[:cl]
+
+        (src_dii,) = hop({"dii": dii})
+        p0 = 0.5 * pres
+        nact_f = jnp.maximum(jax.lax.psum(n_own.astype(cfg.dtype), ax), 1.0)
+
+        # --- relaxed-Jacobi solve --------------------------------------------
+        def cond(carry):
+            p, rho_avg, it = carry
+            unconverged = (rho_avg - params.rest_density) > tol
+            return ((unconverged | (it < cfg.iisph_min_iters))
+                    & (it < cfg.iisph_max_iters))
+
+        def body(carry):
+            p, _, it = carry
+            pd2 = p * inv_d2
+            (src_pd2,) = hop({"pd2": pd2})
+            src_sd = pack_source(src_pos, hash_f32, dens_or_psi=src_pd2)
+            sum_dij = PSs.generic_sweep(
+                cfg, PSs.sum_dij_pair, q4, src_sd, anchors, pvec, grid.size,
+                out_width=4, self_excl=True, self_offset=kh,
+                interpret=interp)[:cl, :3]
+
+            src_sd3, src_p = hop({"sd": sum_dij, "p": p})
+            src16 = pack_source_wide(
+                src_pos, hash_f32,
+                [src_dii[:, 0], src_dii[:, 1], src_dii[:, 2], src_p,
+                 src_sd3[:, 0], src_sd3[:, 1], src_sd3[:, 2]], rows=16)
+            qj = jnp.concatenate(
+                [pos_q, padq(sum_dij, 0.0), padq(dpi * p, 0.0)[:, None],
+                 jnp.zeros((clb, 1), pos.dtype)], axis=1)
+            fsum = PSs.generic_sweep(
+                cfg, PSs.jacobi_fluid_pair, qj, src16, anchors, pvec,
+                grid.size, out_width=1, self_excl=True, self_offset=kh,
+                interpret=interp)[:cl, 0]
+            bsum = bgen(PSs.jacobi_boundary_pair, qj, 1)[:cl, 0]
+
+            dt2 = dt * dt
+            denom = aii * dt2
+            b = params.rest_density - rho_adv
+            p_new = jnp.where(
+                jnp.abs(denom) > 1e-12,
+                (1.0 - omega) * p
+                + (omega / denom) * (b - dt2 * (fsum + bsum)),
+                0.0)
+            p_new = jnp.maximum(p_new, 0.0)
+            rho_corr = rho_adv + dt2 * (fsum + bsum + aii * p)
+            rho_avg = jax.lax.psum(
+                jnp.sum(jnp.where(own_active, rho_corr, 0.0)), ax) / nact_f
+            return (p_new, rho_avg, it + 1)
+
+        init = (p0, params.rest_density + 2.0 * tol,
+                jnp.asarray(0, jnp.int32))
+        p, rho_avg, iters = jax.lax.while_loop(cond, body, init)
+
+        # --- pressure force + integration ------------------------------------
+        pd2 = p * inv_d2
+        (src_pd2,) = hop({"pd2": pd2})
+        q_pf = jnp.concatenate([pos_q, padq(pd2, 0.0)[:, None]], axis=1)
+        src_pf = pack_source(src_pos, hash_f32, dens_or_psi=src_pd2)
+        f_p = PSs.generic_sweep(
+            cfg, PSs.grad_pressure_force_pair, q_pf, src_pf, anchors, pvec,
+            grid.size, out_width=4, self_excl=True, self_offset=kh,
+            interpret=interp, boundary=False)[:cl, :3]
+        if bsrc is not None:
+            f_p = f_p + PSs.generic_sweep(
+                cfg, PSs.grad_pressure_force_pair, q_pf, bsrc, b_anchors,
+                pvec, grid.size, out_width=4, self_excl=False,
+                interpret=interp, boundary=True,
+                boundary_sign=1.0)[:cl, :3]
+
+        new_vel = vel_adv + (dt / pm) * f_p
+        new_pos = pos + dt * new_vel
+        new_vel = jnp.where(own_active[:, None], new_vel,
+                            jnp.zeros_like(vel))
+        new_pos = jnp.where(own_active[:, None], new_pos,
+                            jnp.full_like(pos, PARK))
+        new_pres = jnp.where(own_active, p, 0.0)
+
+        diag = ShardedDiagnostics(
+            max_density=jax.lax.pmax(
+                jnp.max(jnp.where(own_active, dens, 0.0)), ax),
+            mean_density_error=(rho_avg - params.rest_density)
+            / params.rest_density,
+            seg_overflow=jax.lax.pmax(miss, ax),
+            halo_overflow=jax.lax.pmax(sctx.halo_overflow, ax),
+            migration_overflow=jax.lax.pmax(sctx.mig_overflow, ax),
+            capacity_overflow=jax.lax.pmax(sctx.cap_overflow, ax),
+            migration_violation=jax.lax.psum(sctx.mig_violation, ax),
+            num_active=jax.lax.psum(n_own, ax),
+            solver_iters=iters,
+        )
+        return new_pos, new_vel, new_pres, n_own[None], diag
+
+    pspec = P(ax)
+    rep = P()
+    sharded = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(pspec, pspec, pspec, pspec),
+        out_specs=(pspec, pspec, pspec, pspec,
+                   jax.tree_util.tree_map(lambda _: rep, _diag_struct())),
+        check_vma=False)
+
+    @jax.jit
+    def step(state: FluidState):
+        pos, vel, pres, n_loc, diag = sharded(
+            state.pos, state.vel, state.pressure, state.num_active)
+        return FluidState(pos=pos, vel=vel, pressure=pres,
+                          num_active=n_loc), diag
+
+    return step
