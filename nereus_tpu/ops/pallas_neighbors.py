@@ -51,7 +51,8 @@ from jax.experimental.pallas import tpu as pltpu
 WIN = 256          # window width (lanes; multiple of the 128-lane tile)
 ALIGN = 128        # Mosaic requires window starts aligned to the lane tile
 DEF_BLOCK = 96     # particles per block (sublanes; multiple of 8)
-N_PASS = 2
+N_PASS = 3         # windows per (block, row); unused ones sentinel-skip
+N_WORDS = (N_PASS + 1) // 2   # anchors are 16-bit-packed, 2 per int32
 N_ROWS = 9
 PARK_LIMIT = 1e8   # positions beyond this are parked/inactive slots
 
@@ -90,16 +91,52 @@ def row_hash_bounds(coords, gsize, r):
 # Window planning
 # ---------------------------------------------------------------------------
 
-def _cover_miss(s, e, a0, a1):
-    """Sources in [s, e) not covered by windows [a0, a0+WIN) ∪ [a1, a1+WIN)
-    (a1 ≥ a0). Interval arithmetic; all args int32 arrays."""
-    w0_end = a0 + WIN
-    w1_end = a1 + WIN
-    # uncovered-left: before a0 (cannot happen: a0 ≤ s), uncovered-middle:
-    # [w0_end, a1), uncovered-right: [w1_end, e)
-    mid = jnp.maximum(jnp.minimum(e, a1) - jnp.maximum(s, w0_end), 0)
-    right = jnp.maximum(e - jnp.maximum(s, w1_end), 0)
-    return mid + right
+_MERGE_THRESHOLD = 100_000  # above this, sort-merge beats searchsorted
+_KEY_CAP = jnp.int32(2 ** 29)
+
+
+def positions_in_sorted(sorted_hash, queries):
+    """``searchsorted(sorted_hash, queries, side='left')`` via sort-merge.
+
+    TPU lowers ``searchsorted`` to ~log₂N rounds of element gathers at a few
+    GB/s; for large query batches one combined sort + scan is several times
+    faster. Query keys are doubled-and-even so ties sort *before* equal data
+    (= side='left'); I32_MAX sentinels clamp above the key cap so positions
+    always land before the inactive tail. Hash values must stay below 2²⁹
+    (≈ 5.4e8 cells — far beyond any realistic grid).
+    """
+    c = sorted_hash.shape[0]
+    data_keys = jnp.minimum(sorted_hash, _KEY_CAP) * 2 + 1
+    q_keys = jnp.clip(queries, 0, _KEY_CAP - 1) * 2
+    order = jnp.argsort(jnp.concatenate([data_keys, q_keys]))
+    isq = (order >= c).astype(jnp.int32)
+    qrank = jax.lax.associative_scan(jnp.add, isq)   # inclusive
+    data_before = (jnp.arange(order.shape[0], dtype=jnp.int32)
+                   - qrank + 1)
+    inv = jnp.argsort(order)
+    return data_before[inv[c:]]
+
+
+def _positions(sorted_hash, queries):
+    if queries.size >= _MERGE_THRESHOLD:
+        return positions_in_sorted(sorted_hash, queries).astype(jnp.int32)
+    return jnp.searchsorted(sorted_hash, queries,
+                            side="left").astype(jnp.int32)
+
+def _cover_miss(s, e, anchors_elem):
+    """Sources in [s, e) not covered by the union of windows
+    [aₚ, aₚ+WIN); anchors ascending. Interval arithmetic, int32 arrays."""
+    total = jnp.maximum(e - s, 0)
+    covered = jnp.zeros_like(total)
+    prev_end = None
+    for a in anchors_elem:
+        w_s, w_e = a, a + WIN
+        if prev_end is not None:
+            w_s = jnp.maximum(w_s, prev_end)  # don't double-count overlap
+        covered = covered + jnp.maximum(
+            jnp.minimum(e, w_e) - jnp.maximum(s, w_s), 0)
+        prev_end = w_e
+    return jnp.maximum(total - covered, 0)
 
 
 def plan_windows(sorted_hash, coords, gsize, block: int,
@@ -111,7 +148,7 @@ def plan_windows(sorted_hash, coords, gsize, block: int,
     active_mask: (N,) bool — False rows are excluded from span planning
     (their in-kernel masks still work; they simply match nothing real).
 
-    Returns ``(anchors (nb·9·2,) int32 in ALIGN units, miss () int32)``.
+    Returns ``(anchors (nb·9·N_WORDS,) packed int32, miss () int32)``.
     """
     n = coords.shape[0]
     nb = n // block
@@ -126,8 +163,10 @@ def plan_windows(sorted_hash, coords, gsize, block: int,
     else:
         act = jnp.ones_like(in_a)
 
-    anchors = []
-    miss = jnp.int32(0)
+    # Per-row cluster hash bounds, gathered into ONE batched positioning
+    # pass (sort-merge above the threshold — per-row searchsorted is the
+    # dominant plan cost at 1M+ particles).
+    row_bounds = []
     for r in range(N_ROWS):
         lo, hi = row_hash_bounds(coords, gsize, r)
         lo = lo.reshape(nb, block)
@@ -141,13 +180,19 @@ def plan_windows(sorted_hash, coords, gsize, block: int,
 
         la, ha = bounds(ok & in_a)
         lb, hb = bounds(ok & ~in_a)
+        row_bounds.append((la, ha, lb, hb))
 
-        # positions in the sorted source array (block-level searches)
-        q = jnp.stack([jnp.minimum(la, big - 1), ha + 1,
-                       jnp.minimum(lb, big - 1), hb + 1])  # (4, nb)
-        posn = jnp.searchsorted(sorted_hash, q.reshape(-1),
-                                side="left").astype(jnp.int32).reshape(4, nb)
-        s_a, e_a, s_b, e_b = posn
+    all_q = jnp.stack([jnp.stack([jnp.minimum(la, big - 1), ha + 1,
+                                  jnp.minimum(lb, big - 1), hb + 1])
+                       for la, ha, lb, hb in row_bounds])   # (9, 4, nb)
+    all_pos = _positions(sorted_hash, all_q.reshape(-1)).reshape(
+        N_ROWS, 4, nb)
+
+    anchors = []
+    miss = jnp.int32(0)
+    for r in range(N_ROWS):
+        la, ha, lb, hb = row_bounds[r]
+        s_a, e_a, s_b, e_b = all_pos[r]
         has_a = (ha >= 0) & (e_a > s_a)
         has_b = (hb >= 0) & (e_b > s_b)
         s_a = jnp.where(has_a, s_a, 0)
@@ -156,30 +201,51 @@ def plan_windows(sorted_hash, coords, gsize, block: int,
         e_b = jnp.where(has_b, e_b, 0)
         none = ~has_a & ~has_b
 
-        # anchor 0 at the first needed position; anchor 1 at the first
-        # needed position window 0 leaves uncovered. A −1 sentinel marks an
-        # unused window — the kernel skips its entire compute. Window 1
-        # always starts at/after window 0's end region, so the pass-1
-        # ownership rule (col ≥ a0·ALIGN+WIN) never double-counts.
+        # anchor 0 at the first needed position; each further anchor at the
+        # first needed position the previous windows leave uncovered. A −1
+        # sentinel marks an unused window — the kernel skips its compute.
+        # Window p always starts at/after window p−1's end region, so the
+        # per-pass ownership rule (col ≥ end of previous window) never
+        # double-counts.
         s_first = jnp.where(has_a, s_a, s_b)
-        a0 = jnp.clip(s_first // ALIGN, 0, a_cap)
-        w0_end = a0 * ALIGN + WIN
-        ua = jnp.where(has_a & (e_a > w0_end), jnp.maximum(s_a, w0_end), big)
-        ub = jnp.where(has_b & (e_b > w0_end), jnp.maximum(s_b, w0_end), big)
-        u_start = jnp.minimum(ua, ub)
-        a1 = jnp.clip(u_start // ALIGN, 0, a_cap)
+        a_list = [jnp.clip(s_first // ALIGN, 0, a_cap)]
+        sentinel = [none]
+        for _ in range(1, N_PASS):
+            w_end = a_list[-1] * ALIGN + WIN
+            ua = jnp.where(has_a & (e_a > w_end),
+                           jnp.maximum(s_a, w_end), big)
+            ub = jnp.where(has_b & (e_b > w_end),
+                           jnp.maximum(s_b, w_end), big)
+            u_start = jnp.minimum(ua, ub)
+            a_list.append(jnp.clip(u_start // ALIGN, 0, a_cap))
+            sentinel.append(none | (u_start == big))
 
-        m = jnp.where(has_a,
-                      _cover_miss(s_a, e_a, a0 * ALIGN, a1 * ALIGN), 0) + \
-            jnp.where(has_b,
-                      _cover_miss(s_b, e_b, a0 * ALIGN, a1 * ALIGN), 0)
+        elems = [a * ALIGN for a in a_list]
+        m = jnp.where(has_a, _cover_miss(s_a, e_a, elems), 0) + \
+            jnp.where(has_b, _cover_miss(s_b, e_b, elems), 0)
         miss = miss + jnp.sum(m)
-        a0 = jnp.where(none, -1, a0)
-        a1 = jnp.where(none | (u_start == big), -1, a1)
-        anchors.append(jnp.stack([a0, a1], axis=-1))  # (nb, 2)
+        # Encode each anchor as (a+1) in 16 bits (0 = unused sentinel) and
+        # pack two per int32 word — the scalar-prefetch array lives in SMEM
+        # (≈1 MB), which a flat int32-per-anchor layout would overflow at
+        # 1M+ particles.
+        enc = [jnp.where(sent, 0, a + 1) for a, sent in
+               zip(a_list, sentinel)]
+        enc += [jnp.zeros_like(enc[0])] * (2 * N_WORDS - N_PASS)
+        words = [enc[2 * w] | (enc[2 * w + 1] << 16)
+                 for w in range(N_WORDS)]
+        anchors.append(jnp.stack(words, axis=-1))     # (nb, N_WORDS)
 
-    anchors = jnp.stack(anchors, axis=1)              # (nb, 9, 2)
+    anchors = jnp.stack(anchors, axis=1)              # (nb, 9, N_WORDS)
     return anchors.reshape(-1).astype(jnp.int32), miss
+
+
+def _unpack_anchor(anchors_ref, b, r, p):
+    """Decode anchor p of (block b, row r) from the packed words.
+
+    Returns the encoded value: 0 = unused, else anchor+1 (ALIGN units).
+    """
+    word = anchors_ref[(b * N_ROWS + r) * N_WORDS + p // 2]
+    return (word >> (16 * (p % 2))) & 0xFFFF
 
 
 def pack_source(pos, hash_f32, vel=None, dens_or_psi=None):
@@ -228,13 +294,15 @@ def _sweep_kernel(anchors_ref, pvec_ref, q_ref, src_ref, out_ref,
     def _init():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    flat = (b * N_ROWS + r) * N_PASS
-    a_raw = anchors_ref[flat + p]
+    a_enc = _unpack_anchor(anchors_ref, b, r, p)
 
-    @pl.when(a_raw >= 0)   # −1 sentinel: window unused, skip everything
+    @pl.when(a_enc > 0)    # 0 sentinel: window unused, skip everything
     def _window():
-        a_this = a_raw * ALIGN
-        a0 = anchors_ref[flat] * ALIGN
+        a_this = (a_enc - 1) * ALIGN
+        # end of the previous pass's window — this pass owns columns at or
+        # beyond it (pass 0 owns its whole window)
+        a_prev = _unpack_anchor(anchors_ref, b, r, jnp.maximum(p - 1, 0))
+        a_prev_end = (a_prev - 1) * ALIGN + WIN
 
         # query cell coords from position (f32 floor — exact for our grids)
         ox, oy, oz = (pvec_ref[grid_geom_idx], pvec_ref[grid_geom_idx + 1],
@@ -262,7 +330,7 @@ def _sweep_kernel(anchors_ref, pvec_ref, q_ref, src_ref, out_ref,
 
         src_hash = src_ref[src_rows - 1:src_rows, :]   # (1, WIN) f32
         col = a_this + jax.lax.broadcasted_iota(jnp.int32, (1, WIN), 1)
-        owned = (p == 0) | (col >= a0 + WIN)  # overlap belongs to pass 0
+        owned = (p == 0) | (col >= a_prev_end)  # overlap → previous pass
         valid = (owned & row_ok
                  & (src_hash >= lo) & (src_hash <= hi))  # (B, WIN)
 
@@ -317,7 +385,7 @@ def neighbor_sweep(pair_fn, *, queries, src, anchors, pvec, gsize,
             pl.BlockSpec((pl.Element(src_rows), pl.Element(WIN)),
                          lambda b, r, p, a, pv:
                          (0, jnp.maximum(
-                             a[(b * N_ROWS + r) * N_PASS + p], 0) * ALIGN)),
+                             _unpack_anchor(a, b, r, p) - 1, 0) * ALIGN)),
         ],
         out_specs=pl.BlockSpec((block, out_width),
                                lambda b, r, p, a, pv: (b, 0)),

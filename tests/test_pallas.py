@@ -27,7 +27,7 @@ def _scene(with_boundary, kernel_set=nt.KernelSet.MULLER,
 def test_plan_windows_covers_everything():
     cfg, params, state, grid, _ = _scene(False)
     from nereus_tpu import grid as gridlib
-    from nereus_tpu.ops.pallas_neighbors import ALIGN, DEF_BLOCK, WIN, round_up
+    from nereus_tpu.ops.pallas_neighbors import (ALIGN, DEF_BLOCK, N_WORDS, WIN, round_up)
     mask = state.active_mask()
     h = gridlib.hash_positions(grid, state.pos, mask)
     sh, _, (pos,) = gridlib.sort_by_hash(h, state.pos)
@@ -40,7 +40,7 @@ def test_plan_windows_covers_everything():
                                  round_up(c, ALIGN) + WIN,
                                  active_mask=active)
     assert int(miss) == 0
-    assert anchors.shape == (cb // DEF_BLOCK * 9 * 2,)
+    assert anchors.shape == (cb // DEF_BLOCK * 9 * N_WORDS,)
 
 
 @pytest.mark.parametrize("with_boundary", [False, True])
