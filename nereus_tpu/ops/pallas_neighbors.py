@@ -140,7 +140,8 @@ def _cover_miss(s, e, anchors_elem):
 
 
 def plan_windows(sorted_hash, coords, gsize, block: int,
-                 src_len_padded: int, active_mask=None):
+                 src_len_padded: int, active_mask=None,
+                 pos_offset: int = 0):
     """Plan window anchors per (particle-block, row offset).
 
     sorted_hash: (M,) ascending source hashes (int32, inactive = INT32_MAX).
@@ -148,8 +149,12 @@ def plan_windows(sorted_hash, coords, gsize, block: int,
     active_mask: (N,) bool — False rows are excluded from span planning
     (their in-kernel masks still work; they simply match nothing real).
 
+    ``pos_offset`` (elements, ALIGN-multiple) shifts all positions — used
+    when this source occupies a later region of a fused source matrix.
+
     Returns ``(anchors (nb·9·N_WORDS,) packed int32, miss () int32)``.
     """
+    assert pos_offset % ALIGN == 0, pos_offset
     n = coords.shape[0]
     nb = n // block
     big = jnp.int32(2 ** 30)
@@ -192,7 +197,7 @@ def plan_windows(sorted_hash, coords, gsize, block: int,
     miss = jnp.int32(0)
     for r in range(N_ROWS):
         la, ha, lb, hb = row_bounds[r]
-        s_a, e_a, s_b, e_b = all_pos[r]
+        s_a, e_a, s_b, e_b = (x + pos_offset for x in all_pos[r])
         has_a = (ha >= 0) & (e_a > s_a)
         has_b = (hb >= 0) & (e_b > s_b)
         s_a = jnp.where(has_a, s_a, 0)
@@ -239,13 +244,21 @@ def plan_windows(sorted_hash, coords, gsize, block: int,
     return anchors.reshape(-1).astype(jnp.int32), miss
 
 
-def _unpack_anchor(anchors_ref, b, r, p):
+def _unpack_anchor(anchors_ref, b, r, p, n_rows=N_ROWS):
     """Decode anchor p of (block b, row r) from the packed words.
 
     Returns the encoded value: 0 = unused, else anchor+1 (ALIGN units).
     """
-    word = anchors_ref[(b * N_ROWS + r) * N_WORDS + p // 2]
+    word = anchors_ref[(b * n_rows + r) * N_WORDS + p // 2]
     return (word >> (16 * (p % 2))) & 0xFFFF
+
+
+def fuse_plans(anchors_f, anchors_b):
+    """Interleave a fluid plan and a boundary plan into one 18-row plan
+    (rows 0-8 = fluid source region, rows 9-17 = boundary region)."""
+    af = anchors_f.reshape(-1, N_ROWS, N_WORDS)
+    ab = anchors_b.reshape(-1, N_ROWS, N_WORDS)
+    return jnp.concatenate([af, ab], axis=1).reshape(-1)
 
 
 def pack_source(pos, hash_f32, vel=None, dens_or_psi=None):
@@ -267,16 +280,42 @@ def pack_source_wide(pos, hash_f32, cols, rows: int = 16):
     """Pack an arbitrary source matrix: rows 0-2 = x,y,z, then ``cols``
     (each (M,)), zero filler, and the cell hash in the LAST row
     (``rows−1``). ``rows`` must be a multiple of 8."""
+    return _pack_region(pos, hash_f32, cols, rows,
+                        round_up(pos.shape[0], ALIGN) + WIN)
+
+
+def _pack_region(pos, hash_f32, cols, rows: int, width: int):
     m = pos.shape[0]
     assert len(cols) <= rows - 4, (len(cols), rows)
-    mp = round_up(m, ALIGN) + WIN
     zeros = jnp.zeros((m,), pos.dtype)
     fill = [zeros] * (rows - 4 - len(cols))
     src = jnp.stack([pos[:, 0], pos[:, 1], pos[:, 2], *cols, *fill,
                      hash_f32])                        # (rows, m)
-    pad = jnp.full((rows, mp - m), 0.0, src.dtype)
+    pad = jnp.full((rows, width - m), 0.0, src.dtype)
     pad = pad.at[:3].set(1e9).at[rows - 1].set(-1.0)
     return jnp.concatenate([src, pad], axis=1)
+
+
+def fused_offset(mf: int) -> int:
+    """Start column of the boundary region in a fused source matrix. The
+    ≥ WIN gap of hash −1 columns guarantees fluid-row windows (anchor cap)
+    never reach boundary columns and vice versa."""
+    return round_up(mf, ALIGN) + WIN
+
+
+def pack_source_fused(pos_f, hash_f, cols_f, pos_b, hash_b, cols_b,
+                      rows: int = 8):
+    """One source matrix [fluid region | gap | boundary region | pad].
+
+    Row slots may carry *different fields per region* (e.g. slot 6 = pd2_j
+    for fluid, ψ for boundary): fluid sweep rows only ever address fluid
+    columns and boundary rows boundary columns, routed by the fused anchor
+    plan, so the meanings never mix.
+    """
+    f = _pack_region(pos_f, hash_f, cols_f, rows, fused_offset(pos_f.shape[0]))
+    b = _pack_region(pos_b, hash_b, cols_b, rows,
+                     round_up(pos_b.shape[0], ALIGN) + WIN)
+    return jnp.concatenate([f, b], axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -284,8 +323,9 @@ def pack_source_wide(pos, hash_f32, cols, rows: int = 16):
 # ---------------------------------------------------------------------------
 
 def _sweep_kernel(anchors_ref, pvec_ref, q_ref, src_ref, out_ref,
-                  *, pair_fn, block: int, self_excl: bool, gsize,
-                  grid_geom_idx: int, src_rows: int, self_offset: int):
+                  *, pair_fn, pair_fn_b, n_rows: int, block: int,
+                  self_excl: bool, gsize, grid_geom_idx: int,
+                  src_rows: int, self_offset: int):
     b = pl.program_id(0)
     r = pl.program_id(1)
     p = pl.program_id(2)
@@ -294,14 +334,15 @@ def _sweep_kernel(anchors_ref, pvec_ref, q_ref, src_ref, out_ref,
     def _init():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    a_enc = _unpack_anchor(anchors_ref, b, r, p)
+    a_enc = _unpack_anchor(anchors_ref, b, r, p, n_rows)
 
     @pl.when(a_enc > 0)    # 0 sentinel: window unused, skip everything
     def _window():
         a_this = (a_enc - 1) * ALIGN
         # end of the previous pass's window — this pass owns columns at or
         # beyond it (pass 0 owns its whole window)
-        a_prev = _unpack_anchor(anchors_ref, b, r, jnp.maximum(p - 1, 0))
+        a_prev = _unpack_anchor(anchors_ref, b, r,
+                                jnp.maximum(p - 1, 0), n_rows)
         a_prev_end = (a_prev - 1) * ALIGN + WIN
 
         # query cell coords from position (f32 floor — exact for our grids)
@@ -318,8 +359,9 @@ def _sweep_kernel(anchors_ref, pvec_ref, q_ref, src_ref, out_ref,
         cx = cellc(qx, ox, gx)
         cy = cellc(qy, oy, gy)
         cz = cellc(qz, oz, gz)
-        dy = (r % 3 - 1).astype(jnp.float32)
-        dz = (r // 3 - 1).astype(jnp.float32)
+        rr = jax.lax.rem(r, N_ROWS)   # rows 9-17 = boundary region sweep
+        dy = (rr % 3 - 1).astype(jnp.float32)
+        dz = (rr // 3 - 1).astype(jnp.float32)
         yy = cy + dy
         zz = cz + dz
         base = (zz * gy + yy) * gx
@@ -342,14 +384,27 @@ def _sweep_kernel(anchors_ref, pvec_ref, q_ref, src_ref, out_ref,
                             + jax.lax.broadcasted_iota(
                                 jnp.int32, (block, 1), 0))
                 v = v & (col != self_idx)
-            contrib = pair_fn(q_ref, src_ref, v, pvec_ref)  # (B, Fo)
-            out_ref[:] = out_ref[:] + contrib
+            if pair_fn_b is None:
+                out_ref[:] = out_ref[:] + pair_fn(q_ref, src_ref, v,
+                                                  pvec_ref)
+            else:
+                # fused sweep: rows 0-8 fluid formula, 9-17 boundary formula
+                @pl.when(r < N_ROWS)
+                def _fluid():
+                    out_ref[:] = out_ref[:] + pair_fn(q_ref, src_ref, v,
+                                                      pvec_ref)
+
+                @pl.when(r >= N_ROWS)
+                def _bnd():
+                    out_ref[:] = out_ref[:] + pair_fn_b(q_ref, src_ref, v,
+                                                        pvec_ref)
 
 
 def neighbor_sweep(pair_fn, *, queries, src, anchors, pvec, gsize,
                    out_width: int, block: int = DEF_BLOCK,
                    self_excl: bool, grid_geom_idx: int,
-                   self_offset: int = 0, interpret: bool = False):
+                   self_offset: int = 0, pair_fn_b=None,
+                   n_rows: int = N_ROWS, interpret: bool = False):
     """Run one Pallas neighbor sweep.
 
     Args:
@@ -373,19 +428,21 @@ def neighbor_sweep(pair_fn, *, queries, src, anchors, pvec, gsize,
     assert src_rows % 8 == 0, src_rows
 
     kernel = functools.partial(
-        _sweep_kernel, pair_fn=pair_fn, block=block, self_excl=self_excl,
-        gsize=gsize, grid_geom_idx=grid_geom_idx, src_rows=src_rows,
+        _sweep_kernel, pair_fn=pair_fn, pair_fn_b=pair_fn_b, n_rows=n_rows,
+        block=block, self_excl=self_excl, gsize=gsize,
+        grid_geom_idx=grid_geom_idx, src_rows=src_rows,
         self_offset=self_offset)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,   # anchors, pvec
-        grid=(nb, N_ROWS, N_PASS),
+        grid=(nb, n_rows, N_PASS),
         in_specs=[
             pl.BlockSpec((block, fq), lambda b, r, p, a, pv: (b, 0)),
             pl.BlockSpec((pl.Element(src_rows), pl.Element(WIN)),
-                         lambda b, r, p, a, pv:
+                         lambda b, r, p, a, pv, _nr=n_rows:
                          (0, jnp.maximum(
-                             _unpack_anchor(a, b, r, p) - 1, 0) * ALIGN)),
+                             _unpack_anchor(a, b, r, p, _nr) - 1,
+                             0) * ALIGN)),
         ],
         out_specs=pl.BlockSpec((block, out_width),
                                lambda b, r, p, a, pv: (b, 0)),

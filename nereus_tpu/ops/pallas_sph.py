@@ -420,25 +420,35 @@ def grad_pressure_force_pair(q_ref, src_ref, valid, pv, *, kernel_set,
 # ---------------------------------------------------------------------------
 
 def density_sweep(cfg: SimConfig, queries_pos, src, anchors, pvec, gsize,
-                  *, self_excl, self_offset=0, interpret=False):
+                  *, self_excl, self_offset=0, n_rows=9, interpret=False):
+    """Density over fluid (and, when ``n_rows=18``, the fused boundary
+    region — the ψ-slot formula is identical for both)."""
     pair = functools.partial(density_pair, kernel_set=cfg.kernel_set)
     out = neighbor_sweep(
         pair, queries=queries_pos, src=src, anchors=anchors, pvec=pvec,
-        gsize=gsize, out_width=1, self_excl=self_excl,
+        gsize=gsize, out_width=1, self_excl=self_excl, n_rows=n_rows,
         grid_geom_idx=PV_OX, self_offset=self_offset, interpret=interpret)
     return out[:, 0]
 
 
 def fluid_force_sweep(cfg: SimConfig, queries, src, anchors, pvec, gsize,
-                      *, include_pressure=True, self_offset=0,
+                      *, include_pressure=True, self_offset=0, n_rows=9,
                       interpret=False):
+    """WCSPH forces; with ``n_rows=18`` the boundary terms (adhesion +
+    friction + boundary pressure) run fused as rows 9-17."""
     pair = functools.partial(fluid_force_pair, kernel_set=cfg.kernel_set,
                              st_model=cfg.surface_tension_model,
                              include_pressure=include_pressure)
+    pair_b = None
+    if n_rows > 9:
+        pair_b = functools.partial(boundary_force_pair,
+                                   kernel_set=cfg.kernel_set,
+                                   include_pressure=include_pressure)
     out = neighbor_sweep(
         pair, queries=queries, src=src, anchors=anchors, pvec=pvec,
-        gsize=gsize, out_width=4, self_excl=True,
-        grid_geom_idx=PV_OX, self_offset=self_offset, interpret=interpret)
+        gsize=gsize, out_width=4, self_excl=True, n_rows=n_rows,
+        pair_fn_b=pair_b, grid_geom_idx=PV_OX, self_offset=self_offset,
+        interpret=interpret)
     return out[:, :3]
 
 
@@ -455,10 +465,17 @@ def boundary_force_sweep(cfg: SimConfig, queries, bsrc, anchors, pvec, gsize,
 
 def generic_sweep(cfg: SimConfig, pair_fn, queries, src, anchors, pvec,
                   gsize, *, out_width, self_excl, self_offset=0,
+                  pair_fn_b=None, pair_b_kw=None, n_rows=9,
                   interpret=False, **kw):
-    """Run any pair function (kernel_set bound automatically)."""
+    """Run any pair function (kernel_set bound automatically); an optional
+    second pair function handles the fused boundary rows."""
     pair = functools.partial(pair_fn, kernel_set=cfg.kernel_set, **kw)
+    pb = None
+    if pair_fn_b is not None:
+        pb = functools.partial(pair_fn_b, kernel_set=cfg.kernel_set,
+                               **(pair_b_kw or {}))
     return neighbor_sweep(
         pair, queries=queries, src=src, anchors=anchors, pvec=pvec,
         gsize=gsize, out_width=out_width, self_excl=self_excl,
-        grid_geom_idx=PV_OX, self_offset=self_offset, interpret=interpret)
+        pair_fn_b=pb, n_rows=n_rows, grid_geom_idx=PV_OX,
+        self_offset=self_offset, interpret=interpret)

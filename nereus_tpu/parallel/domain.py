@@ -465,7 +465,9 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
         if cfg.use_pallas():
             # ---- Pallas window-sweep physics over the spliced source ----
             from ..ops import pallas_sph as PSs
-            from ..ops.pallas_neighbors import (DEF_BLOCK, pack_source,
+            from ..ops.pallas_neighbors import (DEF_BLOCK, fuse_plans,
+                                                pack_source,
+                                                pack_source_fused,
                                                 plan_windows, round_up)
             from ..solvers.pallas_common import interpret_mode, padded_len
             interp = interpret_mode()
@@ -490,28 +492,41 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
             hash_f32 = src_hash.astype(pos.dtype)
             pm = params.particle_mass
             psi_fluid = jnp.full((src_len,), 1.0, pos.dtype) * pm
+            zsrc = jnp.zeros((src_len,), pos.dtype)
 
-            if boundary is not None and boundary.num_boundaries > 0:
+            has_b = boundary is not None and boundary.num_boundaries > 0
+            if has_b:
                 b_anchors, b_miss = plan_windows(
                     boundary.sorted_hash, qcoords, grid.size, DEF_BLOCK,
-                    padded_len(boundary.num_boundaries), active_mask=act_q)
-                bsrc = pack_source(boundary.pos,
-                                   boundary.sorted_hash.astype(pos.dtype),
-                                   dens_or_psi=boundary.psi)
+                    padded_len(src_len)
+                    + padded_len(boundary.num_boundaries),
+                    active_mask=act_q, pos_offset=padded_len(src_len))
+                anchors = fuse_plans(anchors, b_anchors)
                 miss = miss + b_miss
+                b_hash_f32 = boundary.sorted_hash.astype(pos.dtype)
+                bzero = jnp.zeros_like(boundary.psi)
+                n_rows = 18
+
+                def pack(vel_cols, slot6):
+                    return pack_source_fused(
+                        src_pos, hash_f32,
+                        [vel_cols[:, 0], vel_cols[:, 1], vel_cols[:, 2],
+                         slot6],
+                        boundary.pos, b_hash_f32,
+                        [bzero, bzero, bzero, boundary.psi], rows=8)
             else:
-                bsrc = None
+                n_rows = 9
+
+                def pack(vel_cols, slot6):
+                    return pack_source(src_pos, hash_f32, vel_cols, slot6)
 
             q4 = jnp.concatenate(
                 [pos_q, jnp.zeros((clb, 1), pos.dtype)], axis=1)
-            src_d = pack_source(src_pos, hash_f32, dens_or_psi=psi_fluid)
-            dens = PSs.density_sweep(cfg, q4, src_d, anchors, pvec,
-                                     grid.size, self_excl=True,
-                                     self_offset=kh, interpret=interp)
-            if bsrc is not None:
-                dens = dens + PSs.density_sweep(
-                    cfg, q4, bsrc, b_anchors, pvec, grid.size,
-                    self_excl=False, interpret=interp)
+            zvel = jnp.zeros((src_len, 3), pos.dtype)
+            dens = PSs.density_sweep(cfg, q4, pack(zvel, psi_fluid),
+                                     anchors, pvec, grid.size,
+                                     self_excl=True, self_offset=kh,
+                                     n_rows=n_rows, interpret=interp)
             zero3 = jnp.zeros((1, 3), dtype=cfg.dtype)
             dens = dens + pm * K.w_value(cfg.kernel_set, zero3, params)[0]
             dens = dens[:cl]
@@ -528,14 +543,10 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
             q8 = jnp.concatenate(
                 [pos_q, vel_q, padq(dens, 0.0)[:, None],
                  padq(pd2, 0.0)[:, None]], axis=1)
-            src_f = pack_source(src_pos, hash_f32, src_vel, src_dens)
-            force = PSs.fluid_force_sweep(cfg, q8, src_f, anchors, pvec,
-                                          grid.size, self_offset=kh,
+            force = PSs.fluid_force_sweep(cfg, q8, pack(src_vel, src_dens),
+                                          anchors, pvec, grid.size,
+                                          self_offset=kh, n_rows=n_rows,
                                           interpret=interp)
-            if bsrc is not None:
-                force = force + PSs.boundary_force_sweep(
-                    cfg, q8, bsrc, b_anchors, pvec, grid.size,
-                    interpret=interp)
             force = force[:cl] + pm * params.gravity
             seg_overflow = miss
         else:
@@ -644,16 +655,17 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
     """Build the jitted multi-chip IISPH step (Pallas window sweeps;
     interpret mode off-TPU).
 
-    Same slab-decomposition scheme as the WCSPH step. The relaxed-Jacobi
-    solve runs as one ``lax.while_loop`` whose body performs two extra
-    ghost-field hops per iteration (pressure-dependent source slots, then
-    the fresh Σd_ij·p_j sums); the convergence check is a global ``psum``
-    mean — identical on every shard, so all shards iterate in lockstep.
+    Same slab-decomposition scheme as the WCSPH step; boundary terms run
+    fused (rows 9-17 of each sweep). The relaxed-Jacobi solve runs as one
+    ``lax.while_loop`` whose body performs two extra ghost-field hops per
+    iteration (pressure-dependent source slots, then the fresh Σd_ij·p_j
+    sums); the convergence check is a global ``psum`` mean — identical on
+    every shard, so all shards iterate in lockstep.
     """
     from ..ops import pallas_sph as PSs
-    from ..ops.pallas_neighbors import (DEF_BLOCK, pack_source,
-                                        pack_source_wide, plan_windows,
-                                        round_up)
+    from ..ops.pallas_neighbors import (DEF_BLOCK, fuse_plans, pack_source,
+                                        pack_source_fused, pack_source_wide,
+                                        plan_windows, round_up)
     from ..solvers.pallas_common import interpret_mode, padded_len
 
     ax = scfg.axis_name
@@ -668,6 +680,8 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
     clb = round_up(cl, DEF_BLOCK)
     qpad = clb - cl
     src_len = cl + 2 * kh
+    has_b = boundary is not None and boundary.num_boundaries > 0
+    n_rows = 18 if has_b else 9
 
     def padq(a, fillv):
         if qpad == 0:
@@ -689,92 +703,97 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
         vel_q = padq(vel, 0.0)
         act_q = padq(own_active, False)
         qcoords = gridlib.cell_coords(grid, pos_q)
-        anchors, miss = plan_windows(sctx.src_hash, qcoords, grid.size,
-                                     DEF_BLOCK, padded_len(src_len),
-                                     active_mask=act_q)
+        anchors_f, miss = plan_windows(sctx.src_hash, qcoords, grid.size,
+                                       DEF_BLOCK, padded_len(src_len),
+                                       active_mask=act_q)
+        anchors = anchors_f
         pvec = PSs.build_pvec(params, cfg, grid)
         psi_fluid = jnp.full((src_len,), 1.0, pos.dtype) * pm
+        zsrc = jnp.zeros((src_len,), pos.dtype)
 
-        if boundary is not None and boundary.num_boundaries > 0:
+        if has_b:
             b_anchors, b_miss = plan_windows(
                 boundary.sorted_hash, qcoords, grid.size, DEF_BLOCK,
-                padded_len(boundary.num_boundaries), active_mask=act_q)
-            bsrc = pack_source(boundary.pos,
-                               boundary.sorted_hash.astype(pos.dtype),
-                               dens_or_psi=boundary.psi)
+                padded_len(src_len) + padded_len(boundary.num_boundaries),
+                active_mask=act_q, pos_offset=padded_len(src_len))
+            anchors = fuse_plans(anchors_f, b_anchors)
             miss = miss + b_miss
+            b_hash_f32 = boundary.sorted_hash.astype(pos.dtype)
+            bzero = jnp.zeros_like(boundary.psi)
+
+            def pack(cols_f, rows=8):
+                return pack_source_fused(
+                    src_pos, hash_f32, cols_f, boundary.pos, b_hash_f32,
+                    [bzero, bzero, bzero, boundary.psi], rows=rows)
         else:
-            bsrc = None
+            def pack(cols_f, rows=8):
+                return pack_source_wide(src_pos, hash_f32, cols_f,
+                                        rows=rows)
+
+        def pack8(vel3=None, slot6=None):
+            v = vel3 if vel3 is not None else jnp.zeros((src_len, 3),
+                                                        pos.dtype)
+            s6 = slot6 if slot6 is not None else zsrc
+            return pack([v[:, 0], v[:, 1], v[:, 2], s6], rows=8)
 
         def hop(fields):
             return _halo_hop(fields, sctx, scfg, n_own)
 
-        def bgen(pair, q, width, **kw):
-            if bsrc is None:
-                return jnp.zeros((clb, width), cfg.dtype)
-            return PSs.generic_sweep(cfg, pair, q, bsrc, b_anchors, pvec,
-                                     grid.size, out_width=width,
-                                     self_excl=False, interpret=interp, **kw)
-
-        # --- density --------------------------------------------------------
-        q4 = jnp.concatenate([pos_q, jnp.zeros((clb, 1), pos.dtype)], axis=1)
-        src_d = pack_source(src_pos, hash_f32, dens_or_psi=psi_fluid)
-        dens = PSs.density_sweep(cfg, q4, src_d, anchors, pvec, grid.size,
-                                 self_excl=True, self_offset=kh,
+        # --- density ------------------------------------------------------
+        q4 = jnp.concatenate([pos_q, jnp.zeros((clb, 1), pos.dtype)],
+                             axis=1)
+        dens = PSs.density_sweep(cfg, q4, pack8(slot6=psi_fluid), anchors,
+                                 pvec, grid.size, self_excl=True,
+                                 self_offset=kh, n_rows=n_rows,
                                  interpret=interp)
-        if bsrc is not None:
-            dens = dens + PSs.density_sweep(cfg, q4, bsrc, b_anchors, pvec,
-                                            grid.size, self_excl=False,
-                                            interpret=interp)
         zero3 = jnp.zeros((1, 3), dtype=cfg.dtype)
         dens = (dens + pm * K.w_value(cfg.kernel_set, zero3, params)[0])[:cl]
         dens_safe = jnp.maximum(dens, 1e-12)
         inv_d2 = 1.0 / (dens_safe * dens_safe)
         (src_dens,) = hop({"dens": dens})
 
-        # --- non-pressure forces → vel_adv ----------------------------------
+        # --- non-pressure forces → vel_adv ---------------------------------
         q8 = jnp.concatenate([pos_q, vel_q, padq(dens, 0.0)[:, None],
                               jnp.zeros((clb, 1), pos.dtype)], axis=1)
-        src_f = pack_source(src_pos, hash_f32, src_vel, src_dens)
-        f_adv = PSs.fluid_force_sweep(cfg, q8, src_f, anchors, pvec,
-                                      grid.size, include_pressure=False,
-                                      self_offset=kh, interpret=interp)
-        if bsrc is not None:
-            f_adv = f_adv + PSs.boundary_force_sweep(
-                cfg, q8, bsrc, b_anchors, pvec, grid.size,
-                include_pressure=False, interpret=interp)
+        f_adv = PSs.fluid_force_sweep(cfg, q8, pack8(src_vel, src_dens),
+                                      anchors, pvec, grid.size,
+                                      include_pressure=False,
+                                      self_offset=kh, n_rows=n_rows,
+                                      interpret=interp)
         f_adv = f_adv[:cl] + pm * params.gravity
         vel_adv = vel + (dt / pm) * f_adv
         (src_vel_adv,) = hop({"va": vel_adv})
 
-        # --- dii + rho_adv, then aii -----------------------------------------
+        # --- dii + rho_adv (fused), then aii --------------------------------
         q12 = jnp.concatenate(
             [pos_q, padq(vel_adv, 0.0), vel_q, padq(inv_d2, 0.0)[:, None],
              jnp.zeros((clb, 2), pos.dtype)], axis=1)
-        src_pred = pack_source(src_pos, hash_f32, src_vel_adv, psi_fluid)
-        pr_f = PSs.generic_sweep(cfg, PSs.dii_rhoadv_pair, q12, src_pred,
-                                 anchors, pvec, grid.size, out_width=4,
-                                 self_excl=True, self_offset=kh,
-                                 interpret=interp, vel_q_offset=3)
-        pr_b = bgen(PSs.dii_rhoadv_pair, q12, 4, vel_q_offset=6)
-        dii = (pr_f[:, :3] + pr_b[:, :3])[:cl]
-        rho_adv = dens + (pr_f[:, 3] + pr_b[:, 3])[:cl]
+        src_pred = pack8(src_vel_adv, psi_fluid)
+        pr = PSs.generic_sweep(cfg, PSs.dii_rhoadv_pair, q12, src_pred,
+                               anchors, pvec, grid.size, out_width=4,
+                               self_excl=True, self_offset=kh,
+                               n_rows=n_rows, interpret=interp,
+                               vel_q_offset=3,
+                               pair_fn_b=(PSs.dii_rhoadv_pair if has_b
+                                          else None),
+                               pair_b_kw=dict(vel_q_offset=6))
+        dii = pr[:cl, :3]
+        rho_adv = dens + pr[:cl, 3]
 
         dpi = pm * inv_d2
         q_aii = jnp.concatenate([pos_q, padq(dii, 0.0),
                                  padq(dpi, 0.0)[:, None],
                                  jnp.zeros((clb, 1), pos.dtype)], axis=1)
-        aii = (PSs.generic_sweep(cfg, PSs.aii_pair, q_aii, src_pred,
-                                 anchors, pvec, grid.size, out_width=1,
-                                 self_excl=True, self_offset=kh,
-                                 interpret=interp)[:, 0]
-               + bgen(PSs.aii_pair, q_aii, 1)[:, 0])[:cl]
+        aii = PSs.generic_sweep(cfg, PSs.aii_pair, q_aii, src_pred,
+                                anchors, pvec, grid.size, out_width=1,
+                                self_excl=True, self_offset=kh,
+                                n_rows=n_rows, interpret=interp)[:cl, 0]
 
         (src_dii,) = hop({"dii": dii})
         p0 = 0.5 * pres
         nact_f = jnp.maximum(jax.lax.psum(n_own.astype(cfg.dtype), ax), 1.0)
 
-        # --- relaxed-Jacobi solve --------------------------------------------
+        # --- relaxed-Jacobi solve -------------------------------------------
         def cond(carry):
             p, rho_avg, it = carry
             unconverged = (rho_avg - params.rest_density) > tol
@@ -785,25 +804,25 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
             p, _, it = carry
             pd2 = p * inv_d2
             (src_pd2,) = hop({"pd2": pd2})
-            src_sd = pack_source(src_pos, hash_f32, dens_or_psi=src_pd2)
+            # Σd_ij·p_j: fluid region only (9-row plan, same fused matrix)
             sum_dij = PSs.generic_sweep(
-                cfg, PSs.sum_dij_pair, q4, src_sd, anchors, pvec, grid.size,
-                out_width=4, self_excl=True, self_offset=kh,
-                interpret=interp)[:cl, :3]
+                cfg, PSs.sum_dij_pair, q4, pack8(slot6=src_pd2), anchors_f,
+                pvec, grid.size, out_width=4, self_excl=True,
+                self_offset=kh, n_rows=9, interpret=interp)[:cl, :3]
 
             src_sd3, src_p = hop({"sd": sum_dij, "p": p})
-            src16 = pack_source_wide(
-                src_pos, hash_f32,
+            src16 = pack(
                 [src_dii[:, 0], src_dii[:, 1], src_dii[:, 2], src_p,
                  src_sd3[:, 0], src_sd3[:, 1], src_sd3[:, 2]], rows=16)
             qj = jnp.concatenate(
                 [pos_q, padq(sum_dij, 0.0), padq(dpi * p, 0.0)[:, None],
                  jnp.zeros((clb, 1), pos.dtype)], axis=1)
-            fsum = PSs.generic_sweep(
+            fb = PSs.generic_sweep(
                 cfg, PSs.jacobi_fluid_pair, qj, src16, anchors, pvec,
                 grid.size, out_width=1, self_excl=True, self_offset=kh,
-                interpret=interp)[:cl, 0]
-            bsum = bgen(PSs.jacobi_boundary_pair, qj, 1)[:cl, 0]
+                n_rows=n_rows, interpret=interp,
+                pair_fn_b=(PSs.jacobi_boundary_pair if has_b
+                           else None))[:cl, 0]
 
             dt2 = dt * dt
             denom = aii * dt2
@@ -811,10 +830,10 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
             p_new = jnp.where(
                 jnp.abs(denom) > 1e-12,
                 (1.0 - omega) * p
-                + (omega / denom) * (b - dt2 * (fsum + bsum)),
+                + (omega / denom) * (b - dt2 * fb),
                 0.0)
             p_new = jnp.maximum(p_new, 0.0)
-            rho_corr = rho_adv + dt2 * (fsum + bsum + aii * p)
+            rho_corr = rho_adv + dt2 * (fb + aii * p)
             rho_avg = jax.lax.psum(
                 jnp.sum(jnp.where(own_active, rho_corr, 0.0)), ax) / nact_f
             return (p_new, rho_avg, it + 1)
@@ -823,21 +842,16 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
                 jnp.asarray(0, jnp.int32))
         p, rho_avg, iters = jax.lax.while_loop(cond, body, init)
 
-        # --- pressure force + integration ------------------------------------
+        # --- pressure force + integration -----------------------------------
         pd2 = p * inv_d2
         (src_pd2,) = hop({"pd2": pd2})
         q_pf = jnp.concatenate([pos_q, padq(pd2, 0.0)[:, None]], axis=1)
-        src_pf = pack_source(src_pos, hash_f32, dens_or_psi=src_pd2)
         f_p = PSs.generic_sweep(
-            cfg, PSs.grad_pressure_force_pair, q_pf, src_pf, anchors, pvec,
-            grid.size, out_width=4, self_excl=True, self_offset=kh,
-            interpret=interp, boundary=False)[:cl, :3]
-        if bsrc is not None:
-            f_p = f_p + PSs.generic_sweep(
-                cfg, PSs.grad_pressure_force_pair, q_pf, bsrc, b_anchors,
-                pvec, grid.size, out_width=4, self_excl=False,
-                interpret=interp, boundary=True,
-                boundary_sign=1.0)[:cl, :3]
+            cfg, PSs.grad_pressure_force_pair, q_pf, pack8(slot6=src_pd2),
+            anchors, pvec, grid.size, out_width=4, self_excl=True,
+            self_offset=kh, n_rows=n_rows, interpret=interp, boundary=False,
+            pair_fn_b=(PSs.grad_pressure_force_pair if has_b else None),
+            pair_b_kw=dict(boundary=True, boundary_sign=1.0))[:cl, :3]
 
         new_vel = vel_adv + (dt / pm) * f_p
         new_pos = pos + dt * new_vel

@@ -2,11 +2,12 @@
 
 Same physics as :func:`nereus_tpu.solvers.iisph.iisph_step` (the jnp oracle,
 including its documented intended-semantics divergences from the reference)
-with every 27-cell gather replaced by gather-free Pallas window sweeps. The
-relaxed-Jacobi solve stays one on-device ``lax.while_loop``; each iteration
-re-packs the pressure-dependent source slots (cheap elementwise) and runs
-three sweeps (Σd_ij·p_j; Jacobi fluid sum over a 16-row source; Jacobi
-boundary sum). Window plans are loop-invariant.
+with every 27-cell gather replaced by gather-free Pallas window sweeps.
+Boundary terms run *fused* (rows 9-17 of each sweep over one concatenated
+source matrix). The relaxed-Jacobi solve stays one on-device
+``lax.while_loop``; each iteration re-packs the pressure-dependent source
+slots (cheap elementwise) and runs two sweeps (fluid-only Σd_ij·p_j; the
+fused fluid+boundary Jacobi sum). Window plans are loop-invariant.
 """
 
 from __future__ import annotations
@@ -19,7 +20,6 @@ import jax.numpy as jnp
 from .. import grid as gridlib
 from .. import kernels as K
 from ..ops import pallas_sph as PS
-from ..ops.pallas_neighbors import pack_source, pack_source_wide
 from ..params import SimConfig, SimParams
 from ..state import BoundaryData, FluidState
 from .pallas_common import build_pallas_ctx
@@ -38,34 +38,14 @@ def iisph_step_pallas(state: FluidState, params: SimParams,
     dt = params.dt
     pm = params.particle_mass
     interp = ctx.interp
-    pvec, gsize = ctx.pvec, ctx.gsize
-
-    if boundary is not None and boundary.num_boundaries > 0:
-        bsrc = pack_source(boundary.pos,
-                           boundary.sorted_hash.astype(pos.dtype),
-                           dens_or_psi=boundary.psi)
-    else:
-        bsrc = None
-
-    def bsum3(q, pair_fn, width=4, **kw):
-        if bsrc is None:
-            return jnp.zeros((cb, width), cfg.dtype)[:, :3] if width == 4 \
-                else jnp.zeros((cb,), cfg.dtype)
-        out = PS.generic_sweep(cfg, pair_fn, q, bsrc, ctx.b_anchors, pvec,
-                               gsize, out_width=width, self_excl=False,
-                               interpret=interp, **kw)
-        return out[:, :3] if width == 4 else out[:, 0]
+    pvec, gsize, n_rows = ctx.pvec, ctx.gsize, ctx.n_rows
 
     # --- density -----------------------------------------------------------
     q4 = jnp.concatenate([pos, jnp.zeros((cb, 1), pos.dtype)], axis=1)
     psi_fluid = jnp.full((c,), 1.0, pos.dtype) * pm
-    src_d = pack_source(pos[:c], ctx.hash_f32, dens_or_psi=psi_fluid)
-    dens = PS.density_sweep(cfg, q4, src_d, ctx.anchors, pvec, gsize,
-                            self_excl=True, interpret=interp)
-    if bsrc is not None:
-        dens = dens + PS.density_sweep(cfg, q4, bsrc, ctx.b_anchors, pvec,
-                                       gsize, self_excl=False,
-                                       interpret=interp)
+    dens = PS.density_sweep(cfg, q4, ctx.pack(slot6=psi_fluid), ctx.anchors,
+                            pvec, gsize, self_excl=True, n_rows=n_rows,
+                            interpret=interp)
     zero3 = jnp.zeros((1, 3), dtype=cfg.dtype)
     dens = dens + pm * K.w_value(cfg.kernel_set, zero3, params)[0]
     dens_safe = jnp.maximum(dens, 1e-12)
@@ -74,40 +54,32 @@ def iisph_step_pallas(state: FluidState, params: SimParams,
     # --- non-pressure (advection) forces ------------------------------------
     q8 = jnp.concatenate([pos, vel, dens[:, None],
                           jnp.zeros((cb, 1), pos.dtype)], axis=1)
-    src_f = pack_source(pos[:c], ctx.hash_f32, vel[:c], dens[:c])
-    f_adv = PS.fluid_force_sweep(cfg, q8, src_f, ctx.anchors, pvec, gsize,
-                                 include_pressure=False, interpret=interp)
-    if bsrc is not None:
-        f_adv = f_adv + PS.boundary_force_sweep(
-            cfg, q8, bsrc, ctx.b_anchors, pvec, gsize,
-            include_pressure=False, interpret=interp)
+    f_adv = PS.fluid_force_sweep(cfg, q8, ctx.pack(vel=vel, slot6=dens),
+                                 ctx.anchors, pvec, gsize,
+                                 include_pressure=False, n_rows=n_rows,
+                                 interpret=interp)
     f_adv = f_adv + pm * params.gravity
     vel_adv = vel + (dt / pm) * f_adv
 
-    # --- dii + rho_adv (fused), then aii ------------------------------------
+    # --- dii + rho_adv (fused fluid+boundary), then aii ----------------------
     q12 = jnp.concatenate([pos, vel_adv, vel, inv_d2[:, None],
                            jnp.zeros((cb, 2), pos.dtype)], axis=1)
-    src_p = pack_source(pos[:c], ctx.hash_f32, vel_adv[:c], psi_fluid)
-    pr_f = PS.generic_sweep(cfg, PS.dii_rhoadv_pair, q12, src_p, ctx.anchors,
-                            pvec, gsize, out_width=4, self_excl=True,
-                            interpret=interp, vel_q_offset=3)
-    dii = pr_f[:, :3]
-    rho_adv = dens + pr_f[:, 3]
-    if bsrc is not None:
-        pr_b = PS.generic_sweep(cfg, PS.dii_rhoadv_pair, q12, bsrc,
-                                ctx.b_anchors, pvec, gsize, out_width=4,
-                                self_excl=False, interpret=interp,
-                                vel_q_offset=6)
-        dii = dii + pr_b[:, :3]
-        rho_adv = rho_adv + pr_b[:, 3]
+    src_p = ctx.pack(vel=vel_adv, slot6=psi_fluid)
+    pr = PS.generic_sweep(cfg, PS.dii_rhoadv_pair, q12, src_p, ctx.anchors,
+                          pvec, gsize, out_width=4, self_excl=True,
+                          n_rows=n_rows, interpret=interp, vel_q_offset=3,
+                          pair_fn_b=PS.dii_rhoadv_pair,
+                          pair_b_kw=dict(vel_q_offset=6))
+    dii = pr[:, :3]
+    rho_adv = dens + pr[:, 3]
 
     dpi = pm * inv_d2
     q_aii = jnp.concatenate([pos, dii, dpi[:, None],
                              jnp.zeros((cb, 1), pos.dtype)], axis=1)
+    # aii formula is identical for fluid (ψ = m) and boundary (ψ) rows
     aii = PS.generic_sweep(cfg, PS.aii_pair, q_aii, src_p, ctx.anchors,
                            pvec, gsize, out_width=1, self_excl=True,
-                           interpret=interp)[:, 0]
-    aii = aii + bsum3(q_aii, PS.aii_pair, width=1)
+                           n_rows=n_rows, interpret=interp)[:, 0]
 
     p0 = 0.5 * ctx.pres_prev  # p⁰ = ½·p_prev (sph_kernel_impl.cuh:1197)
 
@@ -121,31 +93,34 @@ def iisph_step_pallas(state: FluidState, params: SimParams,
     def body(carry):
         p, _, it = carry
         pd2 = p * inv_d2
-        src_sd = pack_source(pos[:c], ctx.hash_f32, dens_or_psi=pd2[:c])
+        # Σd_ij·p_j runs over the FLUID region only (9-row plan over the
+        # same fused matrix — windows never reach the boundary region)
+        src_sd = ctx.pack(slot6=pd2)
         sum_dij = PS.generic_sweep(
-            cfg, PS.sum_dij_pair, q4, src_sd, ctx.anchors, pvec, gsize,
-            out_width=4, self_excl=True, interpret=interp)[:, :3]
+            cfg, PS.sum_dij_pair, q4, src_sd, ctx.anchors_f, pvec, gsize,
+            out_width=4, self_excl=True, n_rows=9, interpret=interp)[:, :3]
 
-        src16 = pack_source_wide(
-            pos[:c], ctx.hash_f32,
-            [dii[:c, 0], dii[:c, 1], dii[:c, 2], p[:c],
-             sum_dij[:c, 0], sum_dij[:c, 1], sum_dij[:c, 2]], rows=16)
+        src16 = ctx.pack_wide(
+            [dii[:, 0], dii[:, 1], dii[:, 2], p,
+             sum_dij[:, 0], sum_dij[:, 1], sum_dij[:, 2]], rows=16)
         qj = jnp.concatenate([pos, sum_dij, (dpi * p)[:, None],
                               jnp.zeros((cb, 1), pos.dtype)], axis=1)
-        fsum = PS.generic_sweep(cfg, PS.jacobi_fluid_pair, qj, src16,
-                                ctx.anchors, pvec, gsize, out_width=1,
-                                self_excl=True, interpret=interp)[:, 0]
-        bsum = bsum3(qj, PS.jacobi_boundary_pair, width=1)
+        # fused: fluid Jacobi sum + boundary ψ term in one sweep
+        fb = PS.generic_sweep(cfg, PS.jacobi_fluid_pair, qj, src16,
+                              ctx.anchors, pvec, gsize, out_width=1,
+                              self_excl=True, n_rows=n_rows,
+                              interpret=interp,
+                              pair_fn_b=PS.jacobi_boundary_pair)[:, 0]
 
         dt2 = dt * dt
         denom = aii * dt2
         b = params.rest_density - rho_adv
         p_new = jnp.where(
             jnp.abs(denom) > 1e-12,
-            (1.0 - omega) * p + (omega / denom) * (b - dt2 * (fsum + bsum)),
+            (1.0 - omega) * p + (omega / denom) * (b - dt2 * fb),
             0.0)
         p_new = jnp.maximum(p_new, 0.0)
-        rho_corr = rho_adv + dt2 * (fsum + bsum + aii * p)
+        rho_corr = rho_adv + dt2 * (fb + aii * p)
         rho_avg = jnp.sum(jnp.where(active, rho_corr, 0.0)) / nact
         return (p_new, rho_avg, it + 1)
 
@@ -155,16 +130,13 @@ def iisph_step_pallas(state: FluidState, params: SimParams,
     # --- pressure force + integration ---------------------------------------
     pd2 = p * inv_d2
     q_pf = jnp.concatenate([pos, pd2[:, None]], axis=1)
-    src_pf = pack_source(pos[:c], ctx.hash_f32, dens_or_psi=pd2[:c])
-    f_p = PS.generic_sweep(cfg, PS.grad_pressure_force_pair, q_pf, src_pf,
-                           ctx.anchors, pvec, gsize, out_width=4,
-                           self_excl=True, interpret=interp,
-                           boundary=False)[:, :3]
-    if bsrc is not None:
-        f_p = f_p + PS.generic_sweep(
-            cfg, PS.grad_pressure_force_pair, q_pf, bsrc, ctx.b_anchors,
-            pvec, gsize, out_width=4, self_excl=False, interpret=interp,
-            boundary=True, boundary_sign=1.0)[:, :3]
+    src_pf = ctx.pack(slot6=pd2)   # boundary region slot6 = ψ
+    f_p = PS.generic_sweep(
+        cfg, PS.grad_pressure_force_pair, q_pf, src_pf, ctx.anchors, pvec,
+        gsize, out_width=4, self_excl=True, n_rows=n_rows,
+        interpret=interp, boundary=False,
+        pair_fn_b=PS.grad_pressure_force_pair,
+        pair_b_kw=dict(boundary=True, boundary_sign=1.0))[:, :3]
 
     new_vel = vel_adv + (dt / pm) * f_p
     new_pos = pos + dt * new_vel

@@ -1,8 +1,10 @@
 """Shared scaffolding for the Pallas solver steps (WCSPH/IISPH/PCISPH).
 
-One :class:`PallasCtx` per step: hash-sort, block padding, window plans for
-the fluid set and (optionally) the static boundary set, and the packed
-parameter vector. The solver steps then run their sweeps against it.
+One :class:`PallasCtx` per step: hash-sort, block padding, a window plan,
+and the packed parameter vector. With a boundary set present the plan is
+*fused*: rows 0-8 sweep the fluid region of a single concatenated source
+matrix, rows 9-17 the boundary region — one kernel launch covers both
+particle sets (the reference's fluid and boundary neighbor loops).
 """
 
 from __future__ import annotations
@@ -15,8 +17,10 @@ import jax.numpy as jnp
 
 from .. import grid as gridlib
 from ..ops import pallas_sph as PS
-from ..ops.pallas_neighbors import (ALIGN, DEF_BLOCK, WIN, plan_windows,
-                                    round_up)
+from ..ops.pallas_neighbors import (ALIGN, DEF_BLOCK, N_ROWS, WIN,
+                                    fuse_plans, pack_source,
+                                    pack_source_fused, pack_source_wide,
+                                    plan_windows, round_up)
 from ..params import SimConfig, SimParams
 from ..state import BoundaryData, FluidState
 
@@ -26,13 +30,13 @@ def interpret_mode() -> bool:
 
 
 def padded_len(m: int) -> int:
-    """Matches pack_source's column padding."""
+    """Region width in the (fused) source matrix for m source particles."""
     return round_up(m, ALIGN) + WIN
 
 
 @dataclasses.dataclass
 class PallasCtx:
-    """Per-step sorted state + window plans (plain container, built inside
+    """Per-step sorted state + window plan (plain container, built inside
     the jitted step; not a pytree)."""
 
     pos: jax.Array          # (cb, 3) sorted, padded (parked tail)
@@ -41,14 +45,53 @@ class PallasCtx:
     active: jax.Array       # (cb,) bool
     sorted_hash: jax.Array  # (c,) int32
     hash_f32: jax.Array     # (c,) f32
-    anchors: jax.Array      # fluid window plan
-    b_anchors: Optional[jax.Array]
+    anchors: jax.Array      # window plan (fused when boundary present)
     pvec: jax.Array
-    miss: jax.Array         # () int32 plan-coverage misses (fluid+boundary)
-    c: int                  # capacity (source length)
+    miss: jax.Array         # () int32 plan-coverage misses
+    c: int                  # capacity (fluid source length)
     cb: int                 # block-padded query length
     gsize: tuple
+    n_rows: int             # 9 (fluid only) or 18 (fused boundary)
     interp: bool
+    b_pos: Optional[jax.Array] = None      # boundary fields (static)
+    b_hash_f32: Optional[jax.Array] = None
+    b_psi: Optional[jax.Array] = None
+    anchors_f: Optional[jax.Array] = None  # fluid-only 9-row plan
+
+    # -- fused source packing -------------------------------------------
+    def _bcols(self, slot6_b):
+        zeros = jnp.zeros_like(self.b_psi)
+        return [zeros, zeros, zeros,
+                self.b_psi if slot6_b is None else slot6_b]
+
+    def pack(self, vel=None, slot6=None, slot6_b=None, pos_override=None):
+        """8-row source: fluid cols (vel, slot6) + boundary region
+        (vel 0, slot6 = ψ unless overridden). ``pos_override`` substitutes
+        the fluid position rows (PCISPH predicted positions) while keeping
+        the hash row — the frozen-neighborhood semantics."""
+        c = self.c
+        posf = (self.pos if pos_override is None else pos_override)[:c]
+        zeros = jnp.zeros((c,), self.pos.dtype)
+        cols_f = [vel[:c, 0] if vel is not None else zeros,
+                  vel[:c, 1] if vel is not None else zeros,
+                  vel[:c, 2] if vel is not None else zeros,
+                  slot6[:c] if slot6 is not None else zeros]
+        if self.b_pos is None:
+            return pack_source_wide(posf, self.hash_f32, cols_f, rows=8)
+        return pack_source_fused(posf, self.hash_f32, cols_f,
+                                 self.b_pos, self.b_hash_f32,
+                                 self._bcols(slot6_b), rows=8)
+
+    def pack_wide(self, cols_f, rows=16):
+        """Wide source; boundary region carries ψ in slot 6 (boundary pair
+        functions read it there regardless of the fluid slot meanings)."""
+        cols_f = [col[:self.c] for col in cols_f]
+        if self.b_pos is None:
+            return pack_source_wide(self.pos[:self.c], self.hash_f32,
+                                    cols_f, rows=rows)
+        return pack_source_fused(self.pos[:self.c], self.hash_f32, cols_f,
+                                 self.b_pos, self.b_hash_f32,
+                                 self._bcols(None), rows=rows)
 
 
 def build_pallas_ctx(state: FluidState, params: SimParams,
@@ -71,16 +114,23 @@ def build_pallas_ctx(state: FluidState, params: SimParams,
     coords = gridlib.cell_coords(grid, pos)
     anchors, miss = plan_windows(sorted_hash, coords, grid.size, DEF_BLOCK,
                                  padded_len(c), active_mask=active)
+    kwargs = {"anchors_f": anchors}
+    n_rows = N_ROWS
     if boundary is not None and boundary.num_boundaries > 0:
+        mb = boundary.num_boundaries
         b_anchors, b_miss = plan_windows(
             boundary.sorted_hash, coords, grid.size, DEF_BLOCK,
-            padded_len(boundary.num_boundaries), active_mask=active)
+            padded_len(c) + padded_len(mb), active_mask=active,
+            pos_offset=padded_len(c))
+        anchors = fuse_plans(anchors, b_anchors)
         miss = miss + b_miss
-    else:
-        b_anchors = None
+        n_rows = 2 * N_ROWS
+        kwargs.update(b_pos=boundary.pos,
+                      b_hash_f32=boundary.sorted_hash.astype(pos.dtype),
+                      b_psi=boundary.psi)
     return PallasCtx(
         pos=pos, vel=vel, pres_prev=pres_prev, active=active,
         sorted_hash=sorted_hash, hash_f32=sorted_hash.astype(pos.dtype),
-        anchors=anchors, b_anchors=b_anchors,
-        pvec=PS.build_pvec(params, cfg, grid), miss=miss,
-        c=c, cb=cb, gsize=grid.size, interp=interp)
+        anchors=anchors, pvec=PS.build_pvec(params, cfg, grid), miss=miss,
+        c=c, cb=cb, gsize=grid.size, n_rows=n_rows, interp=interp,
+        **kwargs)

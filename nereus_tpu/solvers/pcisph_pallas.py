@@ -2,11 +2,11 @@
 
 Same physics as :func:`nereus_tpu.solvers.pcisph.pcisph_step` (the jnp
 oracle implementing the predictive-corrective loop the reference stubbed
-out). The corrective ``lax.while_loop`` reuses the step's frozen window
-plans and hash masks — standard PCISPH keeps start-of-step neighborhoods
-for every iteration — while the pair *distances* use the predicted
-positions, exactly like the jnp path: the source pack's position rows are
-refreshed each iteration, its hash row is not.
+out). Boundary terms run fused (rows 9-17 of each sweep). The corrective
+``lax.while_loop`` reuses the step's frozen window plans and hash masks —
+standard PCISPH keeps start-of-step neighborhoods for every iteration —
+while the pair *distances* use the predicted positions: the source pack's
+fluid position rows are refreshed each iteration, its hash row is not.
 """
 
 from __future__ import annotations
@@ -19,7 +19,6 @@ import jax.numpy as jnp
 from .. import grid as gridlib
 from .. import kernels as K
 from ..ops import pallas_sph as PS
-from ..ops.pallas_neighbors import pack_source
 from ..params import SimConfig, SimParams
 from ..state import BoundaryData, FluidState
 from .pallas_common import build_pallas_ctx
@@ -42,25 +41,14 @@ def pcisph_step_pallas(state: FluidState, params: SimParams,
     dt = params.dt
     pm = params.particle_mass
     interp = ctx.interp
-    pvec, gsize = ctx.pvec, ctx.gsize
-
-    if boundary is not None and boundary.num_boundaries > 0:
-        bsrc = pack_source(boundary.pos,
-                           boundary.sorted_hash.astype(pos.dtype),
-                           dens_or_psi=boundary.psi)
-    else:
-        bsrc = None
+    pvec, gsize, n_rows = ctx.pvec, ctx.gsize, ctx.n_rows
 
     # --- density + advection forces -----------------------------------------
     q4 = jnp.concatenate([pos, jnp.zeros((cb, 1), pos.dtype)], axis=1)
     psi_fluid = jnp.full((c,), 1.0, pos.dtype) * pm
-    src_d = pack_source(pos[:c], ctx.hash_f32, dens_or_psi=psi_fluid)
-    dens = PS.density_sweep(cfg, q4, src_d, ctx.anchors, pvec, gsize,
-                            self_excl=True, interpret=interp)
-    if bsrc is not None:
-        dens = dens + PS.density_sweep(cfg, q4, bsrc, ctx.b_anchors, pvec,
-                                       gsize, self_excl=False,
-                                       interpret=interp)
+    dens = PS.density_sweep(cfg, q4, ctx.pack(slot6=psi_fluid), ctx.anchors,
+                            pvec, gsize, self_excl=True, n_rows=n_rows,
+                            interpret=interp)
     zero3 = jnp.zeros((1, 3), dtype=cfg.dtype)
     self_w = pm * K.w_value(cfg.kernel_set, zero3, params)[0]
     dens = dens + self_w
@@ -69,13 +57,10 @@ def pcisph_step_pallas(state: FluidState, params: SimParams,
 
     q8 = jnp.concatenate([pos, vel, dens[:, None],
                           jnp.zeros((cb, 1), pos.dtype)], axis=1)
-    src_f = pack_source(pos[:c], ctx.hash_f32, vel[:c], dens[:c])
-    f_adv = PS.fluid_force_sweep(cfg, q8, src_f, ctx.anchors, pvec, gsize,
-                                 include_pressure=False, interpret=interp)
-    if bsrc is not None:
-        f_adv = f_adv + PS.boundary_force_sweep(
-            cfg, q8, bsrc, ctx.b_anchors, pvec, gsize,
-            include_pressure=False, interpret=interp)
+    f_adv = PS.fluid_force_sweep(cfg, q8, ctx.pack(vel=vel, slot6=dens),
+                                 ctx.anchors, pvec, gsize,
+                                 include_pressure=False, n_rows=n_rows,
+                                 interpret=interp)
     f_adv = f_adv + pm * params.gravity
 
     tol = tol_frac * params.rest_density
@@ -91,34 +76,25 @@ def pcisph_step_pallas(state: FluidState, params: SimParams,
         vel_pred = vel + (dt / pm) * (f_adv + f_p)
         pos_pred = pos + dt * vel_pred
         # predicted density over the frozen neighbor structure: refresh the
-        # position rows, keep the hash row
+        # fluid position rows, keep the hash row (and static boundary region)
         q4p = jnp.concatenate([pos_pred, jnp.zeros((cb, 1), pos.dtype)],
                               axis=1)
-        src_dp = pack_source(pos_pred[:c], ctx.hash_f32,
-                             dens_or_psi=psi_fluid)
+        src_dp = ctx.pack(slot6=psi_fluid, pos_override=pos_pred)
         rho_pred = PS.density_sweep(cfg, q4p, src_dp, ctx.anchors, pvec,
-                                    gsize, self_excl=True, interpret=interp)
-        if bsrc is not None:
-            rho_pred = rho_pred + PS.density_sweep(
-                cfg, q4p, bsrc, ctx.b_anchors, pvec, gsize,
-                self_excl=False, interpret=interp)
-        rho_pred = rho_pred + self_w
+                                    gsize, self_excl=True, n_rows=n_rows,
+                                    interpret=interp) + self_w
         rho_err = jnp.maximum(rho_pred - params.rest_density, 0.0)
         rho_err = jnp.where(active, rho_err, 0.0)
         p_new = p + delta * rho_err
 
         pd2 = p_new * inv_d2
         q_pf = jnp.concatenate([pos, pd2[:, None]], axis=1)
-        src_pf = pack_source(pos[:c], ctx.hash_f32, dens_or_psi=pd2[:c])
         f_p_new = PS.generic_sweep(
-            cfg, PS.grad_pressure_force_pair, q_pf, src_pf, ctx.anchors,
-            pvec, gsize, out_width=4, self_excl=True, interpret=interp,
-            boundary=False)[:, :3]
-        if bsrc is not None:
-            f_p_new = f_p_new + PS.generic_sweep(
-                cfg, PS.grad_pressure_force_pair, q_pf, bsrc, ctx.b_anchors,
-                pvec, gsize, out_width=4, self_excl=False, interpret=interp,
-                boundary=True, boundary_sign=-1.0)[:, :3]
+            cfg, PS.grad_pressure_force_pair, q_pf, ctx.pack(slot6=pd2),
+            ctx.anchors, pvec, gsize, out_width=4, self_excl=True,
+            n_rows=n_rows, interpret=interp, boundary=False,
+            pair_fn_b=PS.grad_pressure_force_pair,
+            pair_b_kw=dict(boundary=True, boundary_sign=-1.0))[:, :3]
         err = jnp.max(rho_err)
         return (p_new, f_p_new, err, it + 1)
 

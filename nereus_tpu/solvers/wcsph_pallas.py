@@ -1,12 +1,11 @@
 """WCSPH step on the Pallas neighbor engine (TPU hot path).
 
 Same physics and integration as :func:`nereus_tpu.solvers.wcsph.wcsph_step`
-— the jnp segment path remains the oracle — but the three 27-cell gather
-sweeps become two gather-free Pallas window sweeps (density; fused
-viscosity+surface-tension+pressure forces), plus the boundary sweeps when a
-boundary set is present. No per-particle ``searchsorted`` exists here: the
-window plan does ~(N/96)·9·4 block-level binary searches and pair validity
-is decided in-kernel from cell hashes. See ``ops/pallas_neighbors.py``.
+— the jnp segment path remains the oracle — but the gather sweeps run as
+two gather-free Pallas window sweeps: density, then fused
+viscosity+surface-tension+pressure forces. With a boundary set present each
+sweep covers the boundary terms too (rows 9-17 of a fused source matrix) —
+one kernel launch per sweep total. See ``ops/pallas_neighbors.py``.
 """
 
 from __future__ import annotations
@@ -18,7 +17,6 @@ import jax.numpy as jnp
 from .. import grid as gridlib
 from .. import kernels as K
 from ..ops import pallas_sph as PS
-from ..ops.pallas_neighbors import pack_source
 from ..params import SimConfig, SimParams
 from ..state import BoundaryData, FluidState
 from .pallas_common import build_pallas_ctx
@@ -38,46 +36,32 @@ def wcsph_step_pallas(state: FluidState, params: SimParams,
     c, cb = ctx.c, ctx.cb
     active = ctx.active
     interp = ctx.interp
-    pvec, gsize = ctx.pvec, ctx.gsize
+    pvec, gsize, n_rows = ctx.pvec, ctx.gsize, ctx.n_rows
+    pm = params.particle_mass
 
-    if boundary is not None and boundary.num_boundaries > 0:
-        bsrc = pack_source(boundary.pos,
-                           boundary.sorted_hash.astype(pos.dtype),
-                           dens_or_psi=boundary.psi)
-    else:
-        bsrc = None
-
-    # -- density -----------------------------------------------------------
+    # -- density (fluid ψ slot = m; boundary region ψ real) -----------------
     q4 = jnp.concatenate([pos, jnp.zeros((cb, 1), pos.dtype)], axis=1)
-    psi_fluid = jnp.full((c,), 1.0, pos.dtype) * params.particle_mass
-    src_d = pack_source(pos[:c], ctx.hash_f32, dens_or_psi=psi_fluid)
+    psi_fluid = jnp.full((c,), 1.0, pos.dtype) * pm
+    src_d = ctx.pack(slot6=psi_fluid)
     dens = PS.density_sweep(cfg, q4, src_d, ctx.anchors, pvec, gsize,
-                            self_excl=True, interpret=interp)
-    if bsrc is not None:
-        dens = dens + PS.density_sweep(cfg, q4, bsrc, ctx.b_anchors, pvec,
-                                       gsize, self_excl=False,
-                                       interpret=interp)
+                            self_excl=True, n_rows=n_rows, interpret=interp)
     zero = jnp.zeros((1, 3), dtype=cfg.dtype)
-    dens = dens + params.particle_mass * K.w_value(
-        cfg.kernel_set, zero, params)[0]
+    dens = dens + pm * K.w_value(cfg.kernel_set, zero, params)[0]
     pres = tait_pressure(dens, params)
 
-    # -- forces (fused viscosity + surface tension + pressure) -------------
+    # -- forces (viscosity + surface tension + pressure + boundary terms) ---
     dens_safe = jnp.maximum(dens, 1e-12)
     pd2 = pres / (dens_safe * dens_safe)
     q8 = jnp.concatenate(
         [pos, vel, dens[:, None], pd2[:, None]], axis=1)
-    src_f = pack_source(pos[:c], ctx.hash_f32, vel[:c], dens[:c])
+    src_f = ctx.pack(vel=vel, slot6=dens)
     force = PS.fluid_force_sweep(cfg, q8, src_f, ctx.anchors, pvec, gsize,
-                                 interpret=interp)
-    if bsrc is not None:
-        force = force + PS.boundary_force_sweep(
-            cfg, q8, bsrc, ctx.b_anchors, pvec, gsize, interpret=interp)
-    force = force + params.particle_mass * params.gravity
+                                 n_rows=n_rows, interpret=interp)
+    force = force + pm * params.gravity
 
     # -- symplectic Euler (``integrate_functor``) --------------------------
     dt = params.dt
-    new_vel = vel + (dt / params.particle_mass) * force
+    new_vel = vel + (dt / pm) * force
     new_pos = pos + dt * new_vel
     new_vel = jnp.where(active[:, None], new_vel, vel)
     new_pos = jnp.where(active[:, None], new_pos, pos)
