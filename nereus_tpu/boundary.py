@@ -25,7 +25,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from . import grid as gridlib
-from .kernels import w_poly6, w_monaghan
+
 from .params import KernelSet, SimParams
 from .state import BoundaryData
 

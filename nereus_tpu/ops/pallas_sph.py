@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..params import KernelSet, SimConfig, SimParams, SurfaceTensionModel
-from .pallas_neighbors import neighbor_sweep, pack_source
+from .pallas_neighbors import neighbor_sweep
 
 _EPS = 1e-12
 

@@ -35,7 +35,7 @@ silently corrupting the simulation.
 from __future__ import annotations
 
 import dataclasses
-import functools
+
 from typing import Optional
 
 import jax

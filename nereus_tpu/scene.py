@@ -12,7 +12,7 @@ import numpy as np
 from . import boundary as bnd
 from . import grid as gridlib
 from .params import SimConfig, SimParams
-from .state import BoundaryData, FluidState, make_fluid_state
+from .state import make_fluid_state
 
 
 def particle_cube(center, size, spacing):

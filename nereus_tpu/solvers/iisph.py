@@ -27,7 +27,7 @@ Deliberate divergences from the reference (intended-semantics fixes, SURVEY §5)
 
 from __future__ import annotations
 
-import dataclasses
+
 from typing import Optional
 
 import jax

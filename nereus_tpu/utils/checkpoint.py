@@ -10,7 +10,7 @@ checkpointing of the same pytree.
 
 from __future__ import annotations
 
-import dataclasses
+
 import json
 
 import jax
