@@ -107,33 +107,42 @@ def _w_grad_scale_default(kernel_set, r2, rl, pv):
     return _w_grad_scale_monaghan(rl, pv)
 
 
-def _w_grad_scale_press(kernel_set, r2, rl, pv):
+def _w_grad_scale_press(kernel_set, r2, rl, pv, invrl=None):
     """Scale for the spiky pressure gradient."""
     if kernel_set == KernelSet.MULLER:
         hr = jnp.maximum(pv[PV_H] - rl, 0.0)
+        if invrl is not None:
+            return jnp.where(rl > _EPS, pv[PV_KPRESS] * hr * hr * invrl, 0.0)
         return jnp.where(rl > _EPS,
                          pv[PV_KPRESS] * hr * hr / jnp.maximum(rl, _EPS), 0.0)
-    return _w_grad_scale_monaghan(rl, pv)
+    return _w_grad_scale_monaghan(rl, pv, invrl)
 
 
-def _w_grad_scale_visc(kernel_set, r2, rl, pv):
+def _w_grad_scale_visc(kernel_set, r2, rl, pv, invrl=None):
     """Scale for the Müller viscosity-kernel gradient."""
     if kernel_set == KernelSet.MULLER:
         h = pv[PV_H]
-        rl3 = jnp.maximum(rl * rl * rl, _EPS)
-        c = (-(3.0 * rl / pv[PV_KVISC_DEN]) + (2.0 / pv[PV_H2])
-             - (h / (2.0 * rl3)))
+        if invrl is not None:
+            inv3 = invrl * invrl * invrl
+            c = (-(3.0 * rl / pv[PV_KVISC_DEN]) + (2.0 / pv[PV_H2])
+                 - (h * 0.5) * inv3)
+        else:
+            rl3 = jnp.maximum(rl * rl * rl, _EPS)
+            c = (-(3.0 * rl / pv[PV_KVISC_DEN]) + (2.0 / pv[PV_H2])
+                 - (h / (2.0 * rl3)))
         return jnp.where(rl > _EPS, pv[PV_KVISC] * c, 0.0)
-    return _w_grad_scale_monaghan(rl, pv)
+    return _w_grad_scale_monaghan(rl, pv, invrl)
 
 
-def _w_grad_scale_monaghan(rl, pv):
+def _w_grad_scale_monaghan(rl, pv, invrl=None):
     h = pv[PV_H]
     sigma = 1.0 / (4.0 * jnp.pi * h * h * h)
     q = rl / h
     a = jnp.maximum(2.0 - q, 0.0)
     bq = jnp.maximum(1.0 - q, 0.0)
     scalar = -3.0 * a * a + 12.0 * bq * bq
+    if invrl is not None:
+        return jnp.where(rl > _EPS, sigma * scalar / h * invrl, 0.0)
     return jnp.where(rl > _EPS,
                      sigma * scalar / (h * jnp.maximum(rl, _EPS)), 0.0)
 
@@ -145,6 +154,13 @@ def _pair_geometry(q_ref, src_ref, pv):
     dz = qz - src_ref[2:3, :]
     r2 = dx * dx + dy * dy + dz * dz
     return dx, dy, dz, r2
+
+
+def _rl_invrl(r2):
+    """|r| and 1/|r| from one rsqrt (VPU-cheap; divisions are multi-cycle).
+    Both are exactly 0-safe: inv is clamped via the r² floor."""
+    inv = jax.lax.rsqrt(jnp.maximum(r2, _EPS * _EPS))
+    return r2 * inv, inv
 
 
 # ---------------------------------------------------------------------------
@@ -165,16 +181,19 @@ def density_pair(q_ref, src_ref, valid, pv, *, kernel_set):
 
 def fluid_force_pair(q_ref, src_ref, valid, pv, *, kernel_set, st_model,
                      include_pressure=True):
-    """Fused per-pair fluid forces: viscosity + surface tension (+ Tait
-    pressure when ``include_pressure`` — the IISPH/PCISPH advection
-    prediction uses the same pair with it off), with the trailing scalings
-    of ``computeForces`` folded per pair.
+    """Fused per-pair fluid forces: viscosity + surface tension (+ pressure
+    when ``include_pressure`` — the IISPH/PCISPH advection prediction uses
+    the same pair with it off), with the trailing scalings of
+    ``computeForces`` folded per pair.
 
-    q fields: x y z vx vy vz dens pd2 ; src fields: same (ψ slot = dens).
+    q fields: x y z vx vy vz dens pd2_i ; src fields: same (ψ slot = dens;
+    pd2_j is recomputed per pair from the neighbor density via the Tait EOS
+    — measured faster than shipping it in a 16-row source, whose doubled
+    window fetch costs more than the EOS math saves).
     Output (B, 4): fx fy fz (pad).
     """
     dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv)
-    rl = jnp.sqrt(r2)
+    rl, invrl = _rl_invrl(r2)
     ok = valid & (r2 < pv[PV_H2])
     okf = ok.astype(q_ref.dtype)
 
@@ -185,7 +204,7 @@ def fluid_force_pair(q_ref, src_ref, valid, pv, *, kernel_set, st_model,
     dens_j = jnp.maximum(src_ref[6:7, :], _EPS)
 
     # viscosity: 2·m·μ · (m/ρ_j)(r·∇W_v)/(r²+0.01h²) · (v_i − v_j)
-    sv = _w_grad_scale_visc(kernel_set, r2, rl, pv)
+    sv = _w_grad_scale_visc(kernel_set, r2, rl, pv, invrl)
     a = sv * r2                                  # rij·∇W_visc
     bden = r2 + 0.01 * pv[PV_H2]
     cvisc = (2.0 * pv[PV_PM] * pv[PV_VISC]) * pv[PV_PM] / dens_j * (a / bden)
@@ -195,14 +214,11 @@ def fluid_force_pair(q_ref, src_ref, valid, pv, *, kernel_set, st_model,
     fz = cvisc * dvz
 
     if include_pressure:
-        # pressure: −m · m(pd2_i + pd2_j) · ∇W_press. pd2_j is recomputed
-        # from the neighbor's density via the Tait EOS (slot 7 carries the
-        # cell hash, not pd2): p_j = k((ρ_j/ρ₀)⁷ − 1), pd2_j = p_j/ρ_j².
         ratio = dens_j / pv[PV_RD]
         ratio2 = ratio * ratio
         p_j = pv[PV_K] * (ratio2 * ratio2 * ratio2 * ratio - 1.0)
         pd2_j = p_j / (dens_j * dens_j)
-        sp = _w_grad_scale_press(kernel_set, r2, rl, pv)
+        sp = _w_grad_scale_press(kernel_set, r2, rl, pv, invrl)
         coef = -pv[PV_PM] * pv[PV_PM] * (q_ref[:, 7:8] + pd2_j) * sp
         coef = coef * okf
         fx = fx + coef * dx

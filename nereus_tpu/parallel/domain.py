@@ -514,11 +514,13 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
                          slot6],
                         boundary.pos, b_hash_f32,
                         [bzero, bzero, bzero, boundary.psi], rows=8)
+
             else:
                 n_rows = 9
 
                 def pack(vel_cols, slot6):
                     return pack_source(src_pos, hash_f32, vel_cols, slot6)
+
 
             q4 = jnp.concatenate(
                 [pos_q, jnp.zeros((clb, 1), pos.dtype)], axis=1)
@@ -543,10 +545,10 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
             q8 = jnp.concatenate(
                 [pos_q, vel_q, padq(dens, 0.0)[:, None],
                  padq(pd2, 0.0)[:, None]], axis=1)
-            force = PSs.fluid_force_sweep(cfg, q8, pack(src_vel, src_dens),
-                                          anchors, pvec, grid.size,
-                                          self_offset=kh, n_rows=n_rows,
-                                          interpret=interp)
+            force = PSs.fluid_force_sweep(
+                cfg, q8, pack(src_vel, src_dens), anchors,
+                pvec, grid.size, self_offset=kh, n_rows=n_rows,
+                interpret=interp)
             force = force[:cl] + pm * params.gravity
             seg_overflow = miss
         else:
