@@ -54,6 +54,7 @@ DEF_BLOCK = 96     # particles per block (sublanes; multiple of 8)
 N_PASS = 3         # windows per (block, row); unused ones sentinel-skip
 N_WORDS = (N_PASS + 1) // 2   # anchors are 16-bit-packed, 2 per int32
 N_ROWS = 9
+SMEM_ANCHOR_BUDGET = 800 * 1024   # anchor-plan bytes per pallas_call (SMEM)
 PARK_LIMIT = 1e8   # positions beyond this are parked/inactive slots
 
 
@@ -426,6 +427,25 @@ def neighbor_sweep(pair_fn, *, queries, src, anchors, pvec, gsize,
     nb = n // block
     src_rows = src.shape[0]
     assert src_rows % 8 == 0, src_rows
+
+    # The anchor plan is a scalar-prefetch operand and must fit in ~1MB of
+    # SMEM; beyond ~10k blocks (per fused row count) the sweep is chunked
+    # into independent pallas_calls over disjoint query-block ranges.
+    bytes_per_block = n_rows * N_WORDS * 4
+    max_blocks = max(SMEM_ANCHOR_BUDGET // bytes_per_block, 1)
+    if nb > max_blocks:
+        outs = []
+        stride = n_rows * N_WORDS
+        for b0 in range(0, nb, max_blocks):
+            b1 = min(b0 + max_blocks, nb)
+            outs.append(neighbor_sweep(
+                pair_fn, queries=queries[b0 * block:b1 * block], src=src,
+                anchors=anchors[b0 * stride:b1 * stride], pvec=pvec,
+                gsize=gsize, out_width=out_width, block=block,
+                self_excl=self_excl, grid_geom_idx=grid_geom_idx,
+                self_offset=self_offset + b0 * block, pair_fn_b=pair_fn_b,
+                n_rows=n_rows, interpret=interpret))
+        return jnp.concatenate(outs)
 
     kernel = functools.partial(
         _sweep_kernel, pair_fn=pair_fn, pair_fn_b=pair_fn_b, n_rows=n_rows,

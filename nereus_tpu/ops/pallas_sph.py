@@ -167,12 +167,21 @@ def _rl_invrl(r2):
 # Pair functions
 # ---------------------------------------------------------------------------
 
+def _maybe_rl(kernel_set, r2):
+    """|r| only when the kernel set actually needs it (the Müller poly6 /
+    default-gradient formulas are pure functions of r² — skipping the sqrt
+    is a measurable win in the implicit-solver sweeps)."""
+    if kernel_set == KernelSet.MULLER:
+        return None
+    return jnp.sqrt(r2)
+
+
 def density_pair(q_ref, src_ref, valid, pv, *, kernel_set):
     """ρ contribution: Σ ψ_j·W(r). Fluid sources carry ψ = m in slot 6, so
     one formula serves fluid and boundary sweeps (``computeCellDensity`` /
     ``computeBoundaryCellDensity``, ``sph_kernel_impl.cuh:290-360``)."""
     dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv)
-    rl = jnp.sqrt(r2)
+    rl = _maybe_rl(kernel_set, r2)
     w = _w_value(kernel_set, r2, rl, pv)
     ok = valid & (r2 < pv[PV_H2])
     contrib = jnp.where(ok, src_ref[6:7, :] * w, 0.0)
@@ -264,7 +273,7 @@ def boundary_force_pair(q_ref, src_ref, valid, pv, *, kernel_set,
     src ψ slot (6) = ρ₀·V_b. Output (B, 4): fx fy fz (pad).
     """
     dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv)
-    rl = jnp.sqrt(r2)
+    rl = _maybe_rl(kernel_set, r2)
     ok = valid & (r2 < pv[PV_H2])
     okf = ok.astype(q_ref.dtype)
     psi = src_ref[6:7, :]
@@ -313,7 +322,7 @@ def dii_rhoadv_pair(q_ref, src_ref, valid, pv, *, kernel_set, vel_q_offset):
     q fields: x y z vax vay vaz vx vy vz inv_d2 — out (B, 4): dii, ρ_adv.
     """
     dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv)
-    rl = jnp.sqrt(r2)
+    rl = _maybe_rl(kernel_set, r2)
     ok = valid & (r2 < pv[PV_H2])
     okf = ok.astype(q_ref.dtype)
     psi = src_ref[6:7, :]
@@ -339,7 +348,7 @@ def aii_pair(q_ref, src_ref, valid, pv, *, kernel_set):
     Reference: ``compute_aii_cell[_boundary]`` (sph_kernel_impl.cuh:1040-1108).
     """
     dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv)
-    rl = jnp.sqrt(r2)
+    rl = _maybe_rl(kernel_set, r2)
     ok = valid & (r2 < pv[PV_H2])
     okf = ok.astype(q_ref.dtype)
     psi = src_ref[6:7, :]
@@ -357,7 +366,7 @@ def sum_dij_pair(q_ref, src_ref, valid, pv, *, kernel_set):
     q fields: x y z — out (B, 4): vector + pad.
     """
     dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv)
-    rl = jnp.sqrt(r2)
+    rl = _maybe_rl(kernel_set, r2)
     ok = valid & (r2 < pv[PV_H2])
     okf = ok.astype(q_ref.dtype)
     c = -pv[PV_PM] * src_ref[6:7, :] * \
@@ -378,7 +387,7 @@ def jacobi_fluid_pair(q_ref, src_ref, valid, pv, *, kernel_set):
     q fields: x y z sdx sdy sdz (Σd_ij p_j) and dpi·p_i. Out (B, 1).
     """
     dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv)
-    rl = jnp.sqrt(r2)
+    rl = _maybe_rl(kernel_set, r2)
     ok = valid & (r2 < pv[PV_H2])
     okf = ok.astype(q_ref.dtype)
     s = _w_grad_scale_default(kernel_set, r2, rl, pv)
@@ -396,7 +405,7 @@ def jacobi_boundary_pair(q_ref, src_ref, valid, pv, *, kernel_set):
     intended boundary segment bounds — SURVEY §5 defect list).
     q fields: x y z sdx sdy sdz. Out (B, 1)."""
     dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv)
-    rl = jnp.sqrt(r2)
+    rl = _maybe_rl(kernel_set, r2)
     ok = valid & (r2 < pv[PV_H2])
     okf = ok.astype(q_ref.dtype)
     s = _w_grad_scale_default(kernel_set, r2, rl, pv)
@@ -415,7 +424,7 @@ def grad_pressure_force_pair(q_ref, src_ref, valid, pv, *, kernel_set,
     q fields: x y z pd2. Out (B, 4): fx fy fz pad.
     """
     dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv)
-    rl = jnp.sqrt(r2)
+    rl = _maybe_rl(kernel_set, r2)
     ok = valid & (r2 < pv[PV_H2])
     okf = ok.astype(q_ref.dtype)
     s = _w_grad_scale_default(kernel_set, r2, rl, pv)

@@ -88,3 +88,20 @@ def test_pallas_multi_step_stability():
     assert int(diag.seg_overflow) == 0
     assert not bool(jnp.isnan(diag.mean_density_error))
     assert np.isfinite(np.asarray(state.pos[:int(state.num_active)])).all()
+
+
+def test_chunked_sweeps_match(monkeypatch):
+    """Force the SMEM anchor budget tiny so sweeps split into many
+    pallas_calls; results must be identical to the unchunked step."""
+    from nereus_tpu.ops import pallas_neighbors as PN
+    cfg, params, state, grid, boundary = _scene(True)
+    s_ref, d_ref = jax.jit(
+        lambda s: wcsph_step_pallas(s, params, grid, cfg, boundary))(state)
+    monkeypatch.setattr(PN, "SMEM_ANCHOR_BUDGET", 3 * 18 * PN.N_WORDS * 4)
+    s_chk, d_chk = jax.jit(
+        lambda s: wcsph_step_pallas(s, params, grid, cfg, boundary))(state)
+    assert int(d_chk.seg_overflow) == 0
+    np.testing.assert_allclose(np.asarray(s_chk.pos), np.asarray(s_ref.pos),
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(s_chk.vel), np.asarray(s_ref.vel),
+                               rtol=0, atol=0)
