@@ -62,8 +62,9 @@ def test_cli_run_npz_export(tmp_path, capsys):
         assert z["pos"].shape[0] == summary["particles"]
 
 
-def test_cli_sharded_run(capsys):
-    rc = cli_main(["run", "--solver", "wcsph", "--steps", "3",
+@pytest.mark.parametrize("solver", ["wcsph", "iisph"])
+def test_cli_sharded_run(capsys, solver):
+    rc = cli_main(["run", "--solver", solver, "--steps", "3",
                    "--shards", "8", "--no-boundary"])
     assert rc == 0
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
