@@ -52,8 +52,7 @@ def _build_parser():
                      help="auto = Pallas window kernels on TPU, jnp "
                           "segment gathers elsewhere")
     run.add_argument("--shards", type=int, default=1,
-                     help="slab-shard the domain over this many devices "
-                          "(WCSPH only for now)")
+                     help="slab-shard the domain over this many devices")
     run.add_argument("--export", choices=["none", "png", "npz", "mp4"],
                      default="none")
     run.add_argument("--export-every", type=int, default=10,
@@ -143,12 +142,10 @@ def cmd_run(args):
              np.asarray(grid.size).tolist())
 
     if args.shards > 1:
-        if args.solver not in ("wcsph", "iisph"):
-            log.error("--shards supports wcsph and iisph")
-            return 2
         from jax.sharding import Mesh
         from nereus_tpu.parallel import (ShardConfig,
                                          make_sharded_iisph_step,
+                                         make_sharded_pcisph_step,
                                          make_sharded_wcsph_step,
                                          shard_state, slab_counts,
                                          unshard_state)
@@ -165,9 +162,16 @@ def cmd_run(args):
         log.info("slab occupancy: %s, local capacity %d",
                  counts.tolist(), scfg.local_capacity)
         run_state = shard_state(state, grid, scfg, mesh)
-        maker = (make_sharded_wcsph_step if args.solver == "wcsph"
-                 else make_sharded_iisph_step)
-        step = maker(mesh, params, grid, cfg, scfg, boundary)
+        if args.solver == "wcsph":
+            step = make_sharded_wcsph_step(mesh, params, grid, cfg, scfg,
+                                           boundary)
+        elif args.solver == "iisph":
+            step = make_sharded_iisph_step(mesh, params, grid, cfg, scfg,
+                                           boundary)
+        else:
+            step = make_sharded_pcisph_step(
+                mesh, params, grid, cfg, scfg, boundary,
+                delta=nt.pcisph_delta(params, cfg))
         to_host = unshard_state
     else:
         solver = {"wcsph": nt.wcsph_step, "iisph": nt.iisph_step}.get(

@@ -895,3 +895,205 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
                           num_active=n_loc), diag
 
     return step
+
+
+def make_sharded_pcisph_step(mesh: Mesh, params: SimParams,
+                             grid: gridlib.Grid, cfg: SimConfig,
+                             scfg: ShardConfig,
+                             boundary: Optional[BoundaryData] = None,
+                             delta=None, tol_frac: float = 0.01):
+    """Build the jitted multi-chip PCISPH step (Pallas window sweeps).
+
+    The predictive-corrective ``lax.while_loop`` hops the *predicted* ghost
+    positions each iteration (the frozen-neighborhood structure and window
+    plans stay fixed), then the corrected-pressure pd2 ghosts for the force
+    sweep. Convergence uses a global ``pmax`` so shards iterate in lockstep.
+    """
+    from ..ops import pallas_sph as PSs
+    from ..ops.pallas_neighbors import (DEF_BLOCK, fuse_plans, pack_source,
+                                        pack_source_fused, pack_source_wide,
+                                        plan_windows, round_up)
+    from ..solvers.pallas_common import interpret_mode, padded_len
+    from ..solvers.pcisph import pcisph_delta
+
+    if delta is None:
+        delta = pcisph_delta(params, cfg)
+
+    ax = scfg.axis_name
+    d = scfg.n_shards
+    if mesh.shape[ax] != d:
+        raise ValueError(
+            f"mesh axis {ax!r} has {mesh.shape[ax]} devices but "
+            f"ShardConfig.n_shards={d}")
+    cl = scfg.local_capacity
+    kh = scfg.halo_capacity
+    interp = interpret_mode()
+    clb = round_up(cl, DEF_BLOCK)
+    qpad = clb - cl
+    src_len = cl + 2 * kh
+    has_b = boundary is not None and boundary.num_boundaries > 0
+    n_rows = 18 if has_b else 9
+    delta_c = jnp.asarray(delta, cfg.dtype)
+
+    def padq(a, fillv):
+        if qpad == 0:
+            return a
+        fill = jnp.full((qpad,) + a.shape[1:], fillv, a.dtype)
+        return jnp.concatenate([a, fill])
+
+    def local_step(pos0, vel0, pres0, n_loc):
+        sctx = _migrate_and_halo(pos0, vel0, pres0, n_loc,
+                                 grid=grid, scfg=scfg)
+        pos, vel = sctx.pos, sctx.vel
+        n_own, own_active = sctx.n_own, sctx.own_active
+        src_pos, src_vel = sctx.src_pos, sctx.src_vel
+        hash_f32 = sctx.src_hash.astype(pos.dtype)
+        dt = params.dt
+        pm = params.particle_mass
+
+        pos_q = padq(pos, PARK)
+        vel_q = padq(vel, 0.0)
+        act_q = padq(own_active, False)
+        qcoords = gridlib.cell_coords(grid, pos_q)
+        anchors, miss = plan_windows(sctx.src_hash, qcoords, grid.size,
+                                     DEF_BLOCK, padded_len(src_len),
+                                     active_mask=act_q)
+        pvec = PSs.build_pvec(params, cfg, grid)
+        psi_fluid = jnp.full((src_len,), 1.0, pos.dtype) * pm
+
+        if has_b:
+            b_anchors, b_miss = plan_windows(
+                boundary.sorted_hash, qcoords, grid.size, DEF_BLOCK,
+                padded_len(src_len) + padded_len(boundary.num_boundaries),
+                active_mask=act_q, pos_offset=padded_len(src_len))
+            anchors = fuse_plans(anchors, b_anchors)
+            miss = miss + b_miss
+            b_hash_f32 = boundary.sorted_hash.astype(pos.dtype)
+            bzero = jnp.zeros_like(boundary.psi)
+
+            def pack8(vel3=None, slot6=None, posf=None):
+                v = vel3 if vel3 is not None else jnp.zeros(
+                    (src_len, 3), pos.dtype)
+                s6 = slot6 if slot6 is not None else jnp.zeros(
+                    (src_len,), pos.dtype)
+                return pack_source_fused(
+                    posf if posf is not None else src_pos, hash_f32,
+                    [v[:, 0], v[:, 1], v[:, 2], s6],
+                    boundary.pos, b_hash_f32,
+                    [bzero, bzero, bzero, boundary.psi], rows=8)
+        else:
+            def pack8(vel3=None, slot6=None, posf=None):
+                v = vel3 if vel3 is not None else jnp.zeros(
+                    (src_len, 3), pos.dtype)
+                s6 = slot6 if slot6 is not None else jnp.zeros(
+                    (src_len,), pos.dtype)
+                return pack_source(posf if posf is not None else src_pos,
+                                   hash_f32, v, s6)
+
+        def hop(fields):
+            return _halo_hop(fields, sctx, scfg, n_own)
+
+        # --- density + advection forces ------------------------------------
+        q4 = jnp.concatenate([pos_q, jnp.zeros((clb, 1), pos.dtype)],
+                             axis=1)
+        dens = PSs.density_sweep(cfg, q4, pack8(slot6=psi_fluid), anchors,
+                                 pvec, grid.size, self_excl=True,
+                                 self_offset=kh, n_rows=n_rows,
+                                 interpret=interp)
+        zero3 = jnp.zeros((1, 3), dtype=cfg.dtype)
+        self_w = pm * K.w_value(cfg.kernel_set, zero3, params)[0]
+        dens = (dens + self_w)[:cl]
+        dens_safe = jnp.maximum(dens, 1e-12)
+        inv_d2 = 1.0 / (dens_safe * dens_safe)
+        (src_dens,) = hop({"dens": dens})
+
+        q8 = jnp.concatenate([pos_q, vel_q, padq(dens, 0.0)[:, None],
+                              jnp.zeros((clb, 1), pos.dtype)], axis=1)
+        f_adv = PSs.fluid_force_sweep(cfg, q8, pack8(src_vel, src_dens),
+                                      anchors, pvec, grid.size,
+                                      include_pressure=False,
+                                      self_offset=kh, n_rows=n_rows,
+                                      interpret=interp)
+        f_adv = f_adv[:cl] + pm * params.gravity
+
+        tol = tol_frac * params.rest_density
+
+        # --- predictive-corrective loop -------------------------------------
+        def cond(carry):
+            p, f_p, err, it = carry
+            return ((err > tol) | (it < cfg.pcisph_min_iters)) & \
+                (it < cfg.pcisph_max_iters)
+
+        def body(carry):
+            p, f_p, _, it = carry
+            vel_pred = vel + (dt / pm) * (f_adv + f_p)
+            pos_pred = pos + dt * vel_pred
+            (src_pos_pred,) = hop({"pp": pos_pred})
+            q4p = jnp.concatenate(
+                [padq(pos_pred, PARK), jnp.zeros((clb, 1), pos.dtype)],
+                axis=1)
+            rho_pred = PSs.density_sweep(
+                cfg, q4p, pack8(slot6=psi_fluid, posf=src_pos_pred),
+                anchors, pvec, grid.size, self_excl=True, self_offset=kh,
+                n_rows=n_rows, interpret=interp)[:cl] + self_w
+            rho_err = jnp.maximum(rho_pred - params.rest_density, 0.0)
+            rho_err = jnp.where(own_active, rho_err, 0.0)
+            p_new = p + delta_c * rho_err
+
+            pd2 = p_new * inv_d2
+            (src_pd2,) = hop({"pd2": pd2})
+            q_pf = jnp.concatenate([pos_q, padq(pd2, 0.0)[:, None]], axis=1)
+            f_p_new = PSs.generic_sweep(
+                cfg, PSs.grad_pressure_force_pair, q_pf,
+                pack8(slot6=src_pd2), anchors, pvec, grid.size, out_width=4,
+                self_excl=True, self_offset=kh, n_rows=n_rows,
+                interpret=interp, boundary=False,
+                pair_fn_b=(PSs.grad_pressure_force_pair if has_b else None),
+                pair_b_kw=dict(boundary=True,
+                               boundary_sign=-1.0))[:cl, :3]
+            err = jax.lax.pmax(jnp.max(rho_err), ax)
+            return (p_new, f_p_new, err, it + 1)
+
+        init = (jnp.zeros((cl,), cfg.dtype), jnp.zeros((cl, 3), cfg.dtype),
+                jnp.asarray(jnp.inf, cfg.dtype), jnp.asarray(0, jnp.int32))
+        p, f_p, err, iters = jax.lax.while_loop(cond, body, init)
+
+        new_vel = vel + (dt / pm) * (f_adv + f_p)
+        new_pos = pos + dt * new_vel
+        new_vel = jnp.where(own_active[:, None], new_vel,
+                            jnp.zeros_like(vel))
+        new_pos = jnp.where(own_active[:, None], new_pos,
+                            jnp.full_like(pos, PARK))
+        new_pres = jnp.where(own_active, p, 0.0)
+
+        diag = ShardedDiagnostics(
+            max_density=jax.lax.pmax(
+                jnp.max(jnp.where(own_active, dens, 0.0)), ax),
+            mean_density_error=err / params.rest_density,
+            seg_overflow=jax.lax.pmax(miss, ax),
+            halo_overflow=jax.lax.pmax(sctx.halo_overflow, ax),
+            migration_overflow=jax.lax.pmax(sctx.mig_overflow, ax),
+            capacity_overflow=jax.lax.pmax(sctx.cap_overflow, ax),
+            migration_violation=jax.lax.psum(sctx.mig_violation, ax),
+            num_active=jax.lax.psum(n_own, ax),
+            solver_iters=iters,
+        )
+        return new_pos, new_vel, new_pres, n_own[None], diag
+
+    pspec = P(ax)
+    rep = P()
+    sharded = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(pspec, pspec, pspec, pspec),
+        out_specs=(pspec, pspec, pspec, pspec,
+                   jax.tree_util.tree_map(lambda _: rep, _diag_struct())),
+        check_vma=False)
+
+    @jax.jit
+    def step(state: FluidState):
+        pos, vel, pres, n_loc, diag = sharded(
+            state.pos, state.vel, state.pressure, state.num_active)
+        return FluidState(pos=pos, vel=vel, pressure=pres,
+                          num_active=n_loc), diag
+
+    return step
