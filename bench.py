@@ -22,6 +22,8 @@ BASELINE_PARTICLE_STEPS_PER_SEC = 1.0e7
 
 
 def run(n_target=2 ** 20, n_time_steps=10, seg_window=64):
+    import jax.numpy as jnp
+    import numpy as np
     import nereus_tpu as nt
     from nereus_tpu import scene
 
@@ -31,25 +33,30 @@ def run(n_target=2 ** 20, n_time_steps=10, seg_window=64):
         params, cfg, n_target=n_target, with_boundary=False)
     n = int(state.num_active)
 
+    # All steps chained inside ONE jit (lax.fori_loop) and the result
+    # forced to host — per-step dispatch latency over a remote/tunneled
+    # runtime otherwise dominates and block_until_ready alone is not a
+    # reliable fence there.
     @jax.jit
-    def step(s):
-        new_state, diag = nt.wcsph_step(s, params, grid, cfg)
-        return new_state, diag
+    def chain(s):
+        def body(i, carry):
+            st, ovf, derr = carry
+            st2, d = nt.wcsph_step(st, params, grid, cfg)
+            return (st2, ovf + d.seg_overflow,
+                    derr + d.mean_density_error)
+        return jax.lax.fori_loop(
+            0, n_time_steps, body,
+            (s, jnp.int32(0), jnp.float32(0)))
 
-    # Warmup: compile + 2 steps.
-    state, diag = step(state)
-    state, diag = step(state)
-    jax.block_until_ready(state.pos)
-
+    st, ovf, derr = chain(state)           # compile + warm run
+    float(np.asarray(derr))
     t0 = time.perf_counter()
-    for _ in range(n_time_steps):
-        state, diag = step(state)
-    jax.block_until_ready(state.pos)
+    st, ovf, derr = chain(state)
+    derr_total = float(np.asarray(derr))   # forces completion
     t1 = time.perf_counter()
 
-    steps_per_sec = n_time_steps / (t1 - t0)
-    value = steps_per_sec * n
-    return value, n, float(diag.seg_overflow), float(diag.mean_density_error)
+    value = n_time_steps / (t1 - t0) * n
+    return value, n, float(np.asarray(ovf)), derr_total / n_time_steps
 
 
 def main():
