@@ -14,29 +14,35 @@ hash-sorted particle array (hash = (z·gy + y)·gx + x, x fastest):
   z-plane crossing inside the block, which splits the span in two.
 
 Per (block, row-offset) the plan locates that span with **block-level**
-binary searches (~nb·9·4 queries — hundreds of times fewer than
-per-particle) and covers it with up to two lane-aligned windows. Windows
-are fetched by the Mosaic pipeline through a scalar-prefetched,
-data-dependent ``pl.Element`` BlockSpec (the block-sparse-attention
-pattern), and pair validity is decided **inside the kernel** by comparing
-each source's cell hash (shipped as a window field) against per-query row
-hash bounds recomputed from the query's position — no per-particle segment
-arrays exist at all:
+positioning (one batched sort-merge pass — hundreds of times fewer
+lookups than per-particle searchsorted) and covers it with up to
+``N_PASS`` lane-aligned windows. Windows are fetched by the Mosaic
+pipeline through a scalar-prefetched, data-dependent ``pl.Element``
+BlockSpec (the block-sparse-attention pattern), and pair validity is
+decided **inside the kernel** by comparing each source's cell hash
+(shipped as a window field) against per-query row hash bounds recomputed
+from the query's position — no per-particle segment arrays exist at all:
 
-    grid = (num_blocks, 9 row offsets, 2 window passes)
-    src block   (8, WIN) at element column anchors[b·9·2 + r·2 + p]·128
+    grid = (num_blocks, n_rows row offsets, N_PASS window passes)
+    src block   (rows, WIN) at element column anchor(b, r, p)·ALIGN
     query block (B, Fq)  at row b·B   (revisited across r, p)
     out block   (B, Fo)  at row b·B   (accumulated across r, p)
 
-Pass 1 only owns columns ≥ pass 0's window end, so overlapping windows
-never double-count a pair. Sources the block needs that fall outside both
-windows are *counted* by the plan and surfaced through the step
+Each pass only owns columns ≥ the previous pass's window end, so
+overlapping windows never double-count a pair; unused passes carry a
+sentinel and skip all compute. Sources a block needs that fall outside
+every window are *counted* by the plan and surfaced through the step
 diagnostics (``seg_overflow``) — never silently dropped.
 
-Sources are packed as an (8, M) field-major matrix
-(x, y, z, vx, vy, vz, dens-or-ψ, cell-hash-as-f32); hashes are exact in
-float32 for grids up to 2²⁴ cells. The ψ slot makes the boundary sweep
-(Akinci terms) the same kernel shape with a different pair function.
+Sources are packed field-major with the cell hash (as float32 — exact for
+grids up to 2²⁴ cells) in the last row; default layout (8, M): x, y, z,
+vx, vy, vz, dens-or-ψ, hash. With a boundary set, a *fused* source
+concatenates a fluid region and a boundary region separated by a ≥ WIN
+gap of invalid-hash columns; rows 0-8 of the (then 18-row) plan address
+the fluid region and rows 9-17 the boundary region, each with its own
+pair formula, in one kernel launch. Anchor plans are 16-bit-packed into
+the ~1MB SMEM scalar-prefetch budget; beyond it, sweeps transparently
+chunk into multiple calls over disjoint query-block ranges.
 """
 
 from __future__ import annotations
