@@ -9,7 +9,7 @@ TPU: static shapes, one fully-jitted step with zero host sync, sorted
 
 from .params import (KernelSet, SimConfig, SimParams, SurfaceTensionModel,
                      iisph_params, make_params, pcisph_params)
-from .grid import Grid, fit_grid, make_grid
+from .grid import Grid, fit_grid, make_grid, refit_grid
 from .state import BoundaryData, FluidState, add_particles, make_fluid_state
 from .solvers.wcsph import wcsph_step, tait_pressure, cfl_dt
 from .solvers.iisph import iisph_step
@@ -20,7 +20,7 @@ __version__ = "0.1.0"
 __all__ = [
     "KernelSet", "SimConfig", "SimParams", "SurfaceTensionModel",
     "iisph_params", "make_params", "pcisph_params",
-    "Grid", "fit_grid", "make_grid",
+    "Grid", "fit_grid", "make_grid", "refit_grid",
     "BoundaryData", "FluidState", "add_particles", "make_fluid_state",
     "wcsph_step", "tait_pressure", "cfl_dt",
     "iisph_step", "pcisph_step", "pcisph_delta",

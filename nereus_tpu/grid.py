@@ -87,6 +87,28 @@ def fit_grid(lo, hi, cell_size, margin: float = 0.1, dtype=jnp.float32) -> Grid:
     return make_grid(origin.astype(dtype), size, cell_size, dtype=dtype)
 
 
+def refit_grid(state, cell_size, boundary=None, margin: float = 0.1,
+               dtype=jnp.float32) -> Grid:
+    """Refit the grid to the AABB of the live particles (and boundary set).
+
+    The reference's ``SPH::updateGrid`` flow (``sph/sph.cpp:290-337``):
+    thrust min/max over positions → origin/extent → grid realloc. Here it
+    is a host-side helper; since :class:`Grid.size` is static, stepping
+    with the refit grid recompiles — the analogue of the reference's
+    ``_initializeGrid`` reallocation. Call it between runs or when
+    particles approach the current grid's edges.
+    """
+    n = int(np.asarray(state.num_active).sum())
+    pos = np.asarray(state.pos)[:n]
+    lo = pos.min(axis=0)
+    hi = pos.max(axis=0)
+    if boundary is not None and boundary.num_boundaries > 0:
+        bpos = np.asarray(boundary.pos)
+        lo = np.minimum(lo, bpos.min(axis=0))
+        hi = np.maximum(hi, bpos.max(axis=0))
+    return fit_grid(lo, hi, cell_size, margin=margin, dtype=dtype)
+
+
 def cell_coords(grid: Grid, pos):
     """Integer cell coordinates, clamped to the grid.
 

@@ -95,3 +95,18 @@ def test_fit_grid_covers_domain():
     assert np.all(np.asarray(grid.size) >= 75)
     c = G.cell_coords(grid, jnp.asarray([[2.99, 2.99, 2.99]]))
     assert np.all(np.asarray(c) < np.asarray(grid.size))
+
+
+def test_refit_grid_covers_live_particles():
+    import nereus_tpu as nt
+    import numpy as np
+    rng = np.random.default_rng(0)
+    state = nt.make_fluid_state(rng.uniform(-2.0, 3.0, (200, 3)),
+                                capacity=256)
+    g = nt.refit_grid(state, 0.1)
+    lo = np.asarray(g.origin)
+    hi = lo + np.asarray(g.size) * np.asarray(g.cell)
+    pos = np.asarray(state.pos)[:200]
+    assert (pos > lo).all() and (pos < hi).all()
+    # parked capacity slots (1e9) must NOT blow up the grid
+    assert max(g.size) < 100
