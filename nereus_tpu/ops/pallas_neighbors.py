@@ -56,7 +56,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 WIN = 256          # window width (lanes; multiple of the 128-lane tile)
 ALIGN = 128        # Mosaic requires window starts aligned to the lane tile
-DEF_BLOCK = 96     # particles per block (sublanes; multiple of 8)
+DEF_BLOCK = 88     # particles per block (sublanes; multiple of 8)
 N_PASS = 3         # windows per (block, row); unused ones sentinel-skip
 N_WORDS = (N_PASS + 1) // 2   # anchors are 16-bit-packed, 2 per int32
 N_ROWS = 9
