@@ -46,6 +46,9 @@ def _build_parser():
                      help="set particle mass so a rest lattice sums to rho0 "
                           "(recommended for PCISPH)")
     run.add_argument("--seg-window", type=int, default=48)
+    run.add_argument("--sweep-block", type=int, default=88,
+                     help="particles per Pallas sweep block (multiple of "
+                          "8; 88 tuned for WCSPH, ~96 for IISPH/PCISPH)")
     run.add_argument("--neighbor-engine", choices=["auto", "pallas",
                                                    "segments"],
                      default="auto",
@@ -91,7 +94,8 @@ def _make_setup(args):
           "akinci": nt.SurfaceTensionModel.AKINCI}[args.surface_tension]
     cfg = nt.SimConfig(kernel_set=kernel_set, surface_tension_model=st,
                        seg_window=args.seg_window,
-                       engine=args.neighbor_engine)
+                       engine=args.neighbor_engine,
+                       sweep_block=args.sweep_block)
 
     overrides = {}
     if args.dt is not None:

@@ -452,7 +452,8 @@ def density_sweep(cfg: SimConfig, queries_pos, src, anchors, pvec, gsize,
     out = neighbor_sweep(
         pair, queries=queries_pos, src=src, anchors=anchors, pvec=pvec,
         gsize=gsize, out_width=1, self_excl=self_excl, n_rows=n_rows,
-        grid_geom_idx=PV_OX, self_offset=self_offset, interpret=interpret)
+        block=cfg.sweep_block, grid_geom_idx=PV_OX,
+        self_offset=self_offset, interpret=interpret)
     return out[:, 0]
 
 
@@ -472,8 +473,8 @@ def fluid_force_sweep(cfg: SimConfig, queries, src, anchors, pvec, gsize,
     out = neighbor_sweep(
         pair, queries=queries, src=src, anchors=anchors, pvec=pvec,
         gsize=gsize, out_width=4, self_excl=True, n_rows=n_rows,
-        pair_fn_b=pair_b, grid_geom_idx=PV_OX, self_offset=self_offset,
-        interpret=interpret)
+        block=cfg.sweep_block, pair_fn_b=pair_b, grid_geom_idx=PV_OX,
+        self_offset=self_offset, interpret=interpret)
     return out[:, :3]
 
 
@@ -502,5 +503,5 @@ def generic_sweep(cfg: SimConfig, pair_fn, queries, src, anchors, pvec,
     return neighbor_sweep(
         pair, queries=queries, src=src, anchors=anchors, pvec=pvec,
         gsize=gsize, out_width=out_width, self_excl=self_excl,
-        pair_fn_b=pb, n_rows=n_rows, grid_geom_idx=PV_OX,
-        self_offset=self_offset, interpret=interpret)
+        block=cfg.sweep_block, pair_fn_b=pb, n_rows=n_rows,
+        grid_geom_idx=PV_OX, self_offset=self_offset, interpret=interpret)

@@ -471,7 +471,7 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
                                                 plan_windows, round_up)
             from ..solvers.pallas_common import interpret_mode, padded_len
             interp = interpret_mode()
-            clb = round_up(cl, DEF_BLOCK)
+            clb = round_up(cl, cfg.sweep_block)
             qpad = clb - cl
 
             def padq(a, fillv):
@@ -486,7 +486,8 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
             qcoords = gridlib.cell_coords(grid, pos_q)
             src_len = cl + 2 * kh
             anchors, miss = plan_windows(src_hash, qcoords, grid.size,
-                                         DEF_BLOCK, padded_len(src_len),
+                                         cfg.sweep_block,
+                                         padded_len(src_len),
                                          active_mask=act_q)
             pvec = PSs.build_pvec(params, cfg, grid)
             hash_f32 = src_hash.astype(pos.dtype)
@@ -497,8 +498,8 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
             has_b = boundary is not None and boundary.num_boundaries > 0
             if has_b:
                 b_anchors, b_miss = plan_windows(
-                    boundary.sorted_hash, qcoords, grid.size, DEF_BLOCK,
-                    padded_len(src_len)
+                    boundary.sorted_hash, qcoords, grid.size,
+                    cfg.sweep_block, padded_len(src_len)
                     + padded_len(boundary.num_boundaries),
                     active_mask=act_q, pos_offset=padded_len(src_len))
                 anchors = fuse_plans(anchors, b_anchors)
@@ -679,7 +680,7 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
     cl = scfg.local_capacity
     kh = scfg.halo_capacity
     interp = interpret_mode()
-    clb = round_up(cl, DEF_BLOCK)
+    clb = round_up(cl, cfg.sweep_block)
     qpad = clb - cl
     src_len = cl + 2 * kh
     has_b = boundary is not None and boundary.num_boundaries > 0
@@ -706,7 +707,8 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
         act_q = padq(own_active, False)
         qcoords = gridlib.cell_coords(grid, pos_q)
         anchors_f, miss = plan_windows(sctx.src_hash, qcoords, grid.size,
-                                       DEF_BLOCK, padded_len(src_len),
+                                       cfg.sweep_block,
+                                       padded_len(src_len),
                                        active_mask=act_q)
         anchors = anchors_f
         pvec = PSs.build_pvec(params, cfg, grid)
@@ -715,7 +717,7 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
 
         if has_b:
             b_anchors, b_miss = plan_windows(
-                boundary.sorted_hash, qcoords, grid.size, DEF_BLOCK,
+                boundary.sorted_hash, qcoords, grid.size, cfg.sweep_block,
                 padded_len(src_len) + padded_len(boundary.num_boundaries),
                 active_mask=act_q, pos_offset=padded_len(src_len))
             anchors = fuse_plans(anchors_f, b_anchors)
@@ -928,7 +930,7 @@ def make_sharded_pcisph_step(mesh: Mesh, params: SimParams,
     cl = scfg.local_capacity
     kh = scfg.halo_capacity
     interp = interpret_mode()
-    clb = round_up(cl, DEF_BLOCK)
+    clb = round_up(cl, cfg.sweep_block)
     qpad = clb - cl
     src_len = cl + 2 * kh
     has_b = boundary is not None and boundary.num_boundaries > 0
@@ -956,14 +958,14 @@ def make_sharded_pcisph_step(mesh: Mesh, params: SimParams,
         act_q = padq(own_active, False)
         qcoords = gridlib.cell_coords(grid, pos_q)
         anchors, miss = plan_windows(sctx.src_hash, qcoords, grid.size,
-                                     DEF_BLOCK, padded_len(src_len),
+                                     cfg.sweep_block, padded_len(src_len),
                                      active_mask=act_q)
         pvec = PSs.build_pvec(params, cfg, grid)
         psi_fluid = jnp.full((src_len,), 1.0, pos.dtype) * pm
 
         if has_b:
             b_anchors, b_miss = plan_windows(
-                boundary.sorted_hash, qcoords, grid.size, DEF_BLOCK,
+                boundary.sorted_hash, qcoords, grid.size, cfg.sweep_block,
                 padded_len(src_len) + padded_len(boundary.num_boundaries),
                 active_mask=act_q, pos_offset=padded_len(src_len))
             anchors = fuse_plans(anchors, b_anchors)

@@ -62,6 +62,10 @@ class SimConfig:
     # kernels (ops/pallas_neighbors.py); "auto" = pallas on TPU backends,
     # segments elsewhere.
     engine: str = "auto"
+    # Particles per Pallas sweep block (multiple of 8). Scan-tuned: 88 is
+    # the WCSPH headline optimum; the implicit solvers measure ~7% faster
+    # at 96 — retune after kernel changes.
+    sweep_block: int = 88
     # Candidate-window size per 3-cell row segment (static shape for the
     # 27-cell gather; see ops/neighbors.py). Must be >= the longest run of
     # particles in any 3 consecutive x-cells; overflow is detected at runtime.
@@ -85,7 +89,7 @@ class SimConfig:
                      str(self.dtype), self.seg_window, self.boundary_seg_window,
                      self.iisph_min_iters, self.iisph_max_iters,
                      self.pcisph_min_iters, self.pcisph_max_iters,
-                     self.engine))
+                     self.engine, self.sweep_block))
 
     def use_pallas(self) -> bool:
         import jax

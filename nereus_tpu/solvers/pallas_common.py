@@ -99,7 +99,7 @@ def build_pallas_ctx(state: FluidState, params: SimParams,
                      boundary: Optional[BoundaryData]) -> PallasCtx:
     interp = interpret_mode()
     c = state.capacity
-    cb = round_up(c, DEF_BLOCK)
+    cb = round_up(c, cfg.sweep_block)
     mask = state.active_mask()
     h = gridlib.hash_positions(grid, state.pos, mask)
     sorted_hash, _, (pos, vel, pres_prev) = gridlib.sort_by_hash(
@@ -112,14 +112,15 @@ def build_pallas_ctx(state: FluidState, params: SimParams,
             [pres_prev, jnp.zeros((pad,), pres_prev.dtype)])
     active = jnp.arange(cb, dtype=jnp.int32) < state.num_active
     coords = gridlib.cell_coords(grid, pos)
-    anchors, miss = plan_windows(sorted_hash, coords, grid.size, DEF_BLOCK,
-                                 padded_len(c), active_mask=active)
+    anchors, miss = plan_windows(sorted_hash, coords, grid.size,
+                                 cfg.sweep_block, padded_len(c),
+                                 active_mask=active)
     kwargs = {"anchors_f": anchors}
     n_rows = N_ROWS
     if boundary is not None and boundary.num_boundaries > 0:
         mb = boundary.num_boundaries
         b_anchors, b_miss = plan_windows(
-            boundary.sorted_hash, coords, grid.size, DEF_BLOCK,
+            boundary.sorted_hash, coords, grid.size, cfg.sweep_block,
             padded_len(c) + padded_len(mb), active_mask=active,
             pos_offset=padded_len(c))
         anchors = fuse_plans(anchors, b_anchors)
