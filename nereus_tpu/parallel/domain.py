@@ -447,6 +447,10 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
         raise ValueError(
             f"mesh axis {ax!r} has {mesh.shape[ax]} devices but "
             f"ShardConfig.n_shards={d}")
+    if cfg.use_pallas() and grid.num_cells >= 2 ** 24:
+        raise ValueError(
+            f"grid has {grid.num_cells} cells; the Pallas engine ships "
+            "cell hashes as float32 (exact < 2^24)")
     cl = scfg.local_capacity
     kh = scfg.halo_capacity
 
@@ -677,6 +681,10 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
         raise ValueError(
             f"mesh axis {ax!r} has {mesh.shape[ax]} devices but "
             f"ShardConfig.n_shards={d}")
+    if cfg.use_pallas() and grid.num_cells >= 2 ** 24:
+        raise ValueError(
+            f"grid has {grid.num_cells} cells; the Pallas engine ships "
+            "cell hashes as float32 (exact < 2^24)")
     cl = scfg.local_capacity
     kh = scfg.halo_capacity
     interp = interpret_mode()
@@ -927,6 +935,10 @@ def make_sharded_pcisph_step(mesh: Mesh, params: SimParams,
         raise ValueError(
             f"mesh axis {ax!r} has {mesh.shape[ax]} devices but "
             f"ShardConfig.n_shards={d}")
+    if cfg.use_pallas() and grid.num_cells >= 2 ** 24:
+        raise ValueError(
+            f"grid has {grid.num_cells} cells; the Pallas engine ships "
+            "cell hashes as float32 (exact < 2^24)")
     cl = scfg.local_capacity
     kh = scfg.halo_capacity
     interp = interpret_mode()

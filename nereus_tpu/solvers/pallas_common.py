@@ -97,6 +97,11 @@ class PallasCtx:
 def build_pallas_ctx(state: FluidState, params: SimParams,
                      grid: gridlib.Grid, cfg: SimConfig,
                      boundary: Optional[BoundaryData]) -> PallasCtx:
+    if grid.num_cells >= 2 ** 24:
+        raise ValueError(
+            f"grid has {grid.num_cells} cells; the Pallas engine ships cell "
+            "hashes as float32 (exact < 2^24). Use a coarser grid or "
+            "SimConfig(engine='segments').")
     interp = interpret_mode()
     c = state.capacity
     cb = round_up(c, cfg.sweep_block)
