@@ -2,6 +2,8 @@
 
 from .logging_utils import get_logger
 from .metrics import StepMeter
-from .checkpoint import save_checkpoint, load_checkpoint
+from .checkpoint import (load_checkpoint, load_checkpoint_orbax,
+                         save_checkpoint, save_checkpoint_orbax)
 
-__all__ = ["get_logger", "StepMeter", "save_checkpoint", "load_checkpoint"]
+__all__ = ["get_logger", "StepMeter", "save_checkpoint", "load_checkpoint",
+           "save_checkpoint_orbax", "load_checkpoint_orbax"]

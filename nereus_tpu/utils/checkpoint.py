@@ -43,6 +43,34 @@ def save_checkpoint(path: str, state: FluidState, *, step: int = 0,
     np.savez_compressed(path, **arrays)
 
 
+def save_checkpoint_orbax(path: str, state: FluidState, *, step: int = 0,
+                          extra: dict | None = None) -> None:
+    """Orbax-backed checkpoint (async-capable, multi-host-aware) of the
+    same pytree; ``path`` must be an absolute directory path."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, {
+            "state": {"pos": state.pos, "vel": state.vel,
+                      "pressure": state.pressure,
+                      "num_active": state.num_active},
+            "meta": {"step": jnp.asarray(step, jnp.int32)},
+        }, force=True)
+
+
+def load_checkpoint_orbax(path: str):
+    """Returns ``(FluidState, step)`` from :func:`save_checkpoint_orbax`."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        tree = ckptr.restore(path)
+    s = tree["state"]
+    state = FluidState(pos=jnp.asarray(s["pos"]), vel=jnp.asarray(s["vel"]),
+                       pressure=jnp.asarray(s["pressure"]),
+                       num_active=jnp.asarray(s["num_active"]))
+    return state, int(tree["meta"]["step"])
+
+
 def load_checkpoint(path: str):
     """Returns ``(FluidState, header_dict)``."""
     with np.load(path) as z:

@@ -103,3 +103,17 @@ def test_cli_adaptive_dt(capsys):
     assert rc == 0
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["seg_overflow"] == 0
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    import nereus_tpu as nt2
+    from nereus_tpu.utils import load_checkpoint_orbax, save_checkpoint_orbax
+    rng = np.random.default_rng(2)
+    state = nt2.make_fluid_state(rng.uniform(0, 1, (64, 3)), capacity=96)
+    path = str(tmp_path / "ckpt_orbax")
+    save_checkpoint_orbax(path, state, step=7)
+    loaded, step = load_checkpoint_orbax(path)
+    assert step == 7
+    np.testing.assert_array_equal(np.asarray(loaded.pos),
+                                  np.asarray(state.pos))
+    assert int(loaded.num_active) == 64
