@@ -46,9 +46,10 @@ def _build_parser():
                      help="set particle mass so a rest lattice sums to rho0 "
                           "(recommended for PCISPH)")
     run.add_argument("--seg-window", type=int, default=48)
-    run.add_argument("--sweep-block", type=int, default=88,
+    run.add_argument("--sweep-block", type=int, default=None,
                      help="particles per Pallas sweep block (multiple of "
-                          "8; 88 tuned for WCSPH, ~96 for IISPH/PCISPH)")
+                          "8); default picks the measured per-solver "
+                          "optimum (88 for WCSPH, 96 for IISPH/PCISPH)")
     run.add_argument("--neighbor-engine", choices=["auto", "pallas",
                                                    "segments"],
                      default="auto",
@@ -92,10 +93,13 @@ def _make_setup(args):
     st = {"none": nt.SurfaceTensionModel.NONE,
           "becker": nt.SurfaceTensionModel.BECKER,
           "akinci": nt.SurfaceTensionModel.AKINCI}[args.surface_tension]
+    sweep_block = args.sweep_block
+    if sweep_block is None:
+        sweep_block = 88 if args.solver == "wcsph" else 96
     cfg = nt.SimConfig(kernel_set=kernel_set, surface_tension_model=st,
                        seg_window=args.seg_window,
                        engine=args.neighbor_engine,
-                       sweep_block=args.sweep_block)
+                       sweep_block=sweep_block)
 
     overrides = {}
     if args.dt is not None:
