@@ -26,6 +26,9 @@ def run(n_target=2 ** 20, n_time_steps=10, seg_window=64):
     import numpy as np
     import nereus_tpu as nt
     from nereus_tpu import scene
+    from nereus_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
 
     cfg = nt.SimConfig(seg_window=seg_window)
     params = nt.make_params()

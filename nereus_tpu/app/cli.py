@@ -138,6 +138,9 @@ def cmd_run(args):
                                   save_checkpoint)
     from nereus_tpu.utils.metrics import profile_trace
 
+    from nereus_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
     log = get_logger()
     cfg, params, state, grid, boundary = _make_setup(args)
     if args.resume:
