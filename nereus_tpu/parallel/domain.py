@@ -806,10 +806,11 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
         nact_f = jnp.maximum(jax.lax.psum(n_own.astype(cfg.dtype), ax), 1.0)
 
         # --- relaxed-Jacobi solve -------------------------------------------
+        # Clamped-positive mean density error (see solvers/iisph.py — the
+        # reference's signed test is a documented free-surface defect).
         def cond(carry):
-            p, rho_avg, it = carry
-            unconverged = (rho_avg - params.rest_density) > tol
-            return ((unconverged | (it < cfg.iisph_min_iters))
+            p, rho_err, it = carry
+            return (((rho_err > tol) | (it < cfg.iisph_min_iters))
                     & (it < cfg.iisph_max_iters))
 
         def body(carry):
@@ -846,13 +847,14 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
                 0.0)
             p_new = jnp.maximum(p_new, 0.0)
             rho_corr = rho_adv + dt2 * (fb + aii * p)
-            rho_avg = jax.lax.psum(
-                jnp.sum(jnp.where(own_active, rho_corr, 0.0)), ax) / nact_f
-            return (p_new, rho_avg, it + 1)
+            err = jnp.maximum(rho_corr - params.rest_density, 0.0)
+            rho_err = jax.lax.psum(
+                jnp.sum(jnp.where(own_active, err, 0.0)), ax) / nact_f
+            return (p_new, rho_err, it + 1)
 
-        init = (p0, params.rest_density + 2.0 * tol,
+        init = (p0, jnp.asarray(2.0, cfg.dtype) * tol,
                 jnp.asarray(0, jnp.int32))
-        p, rho_avg, iters = jax.lax.while_loop(cond, body, init)
+        p, rho_err, iters = jax.lax.while_loop(cond, body, init)
 
         # --- pressure force + integration -----------------------------------
         pd2 = p * inv_d2
@@ -863,7 +865,7 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
             anchors, pvec, grid.size, out_width=4, self_excl=True,
             self_offset=kh, n_rows=n_rows, interpret=interp, boundary=False,
             pair_fn_b=(PSs.grad_pressure_force_pair if has_b else None),
-            pair_b_kw=dict(boundary=True, boundary_sign=1.0))[:cl, :3]
+            pair_b_kw=dict(boundary=True, boundary_sign=-1.0))[:cl, :3]
 
         new_vel = vel_adv + (dt / pm) * f_p
         new_pos = pos + dt * new_vel
@@ -876,8 +878,7 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
         diag = ShardedDiagnostics(
             max_density=jax.lax.pmax(
                 jnp.max(jnp.where(own_active, dens, 0.0)), ax),
-            mean_density_error=(rho_avg - params.rest_density)
-            / params.rest_density,
+            mean_density_error=rho_err / params.rest_density,
             seg_overflow=jax.lax.pmax(miss, ax),
             halo_overflow=jax.lax.pmax(sctx.halo_overflow, ax),
             migration_overflow=jax.lax.pmax(sctx.mig_overflow, ax),

@@ -229,10 +229,19 @@ def jacobi_update(ctx, params, cfg, boundary, dens, p, sum_dij, dii, aii,
 
 
 def compute_pressure_force(ctx, params, cfg, boundary, dens, p):
-    """F_p = −Σ_j m²(p_i/ρ_i² + p_j/ρ_j²)∇W + Σ_b m ψ (p_i/ρ_i²)∇W.
+    """F_p = −Σ_j m²(p_i/ρ_i² + p_j/ρ_j²)∇W − Σ_b m ψ (p_i/ρ_i²)∇W.
 
     Reference: ``computePressureForce`` (``:1497-1620``) — note both terms use
     the default (poly6) gradient, unlike the WCSPH spiky pressure force.
+
+    Intended-semantics divergence (SURVEY §5 policy): the reference's
+    boundary term carries a **+** sign (``:1606``), which with the negative
+    kpoly_grad makes pressurized particles ATTRACT to walls — opposite to
+    the repulsive mirrored-pressure convention its own ``dii`` boundary
+    term assumes (``:731-765``). Applying a force opposite to the solved
+    system's model is positive feedback: wall-corner particles blow up as
+    soon as the solver is allowed to actually converge. We use the minus
+    sign (repulsive, matching the system matrix and PCISPH).
     """
     pos = ctx.state.pos
     n = pos.shape[0]
@@ -255,7 +264,7 @@ def compute_pressure_force(ctx, params, cfg, boundary, dens, p):
         rij = i["pos"][:, None, :] - j["pos"]
         ok = valid & (jnp.sum(rij * rij, axis=-1) < ir * ir)
         g = _grad(cfg, rij, params)
-        coef = pm * j["psi"] * i["pd2"][:, None]
+        coef = -pm * j["psi"] * i["pd2"][:, None]
         return {"f": masked(ok, coef[..., None] * g)}
 
     acc = common.boundary_reduce(ctx, boundary, bpair, acc,
@@ -295,10 +304,15 @@ def iisph_step(state: FluidState, params: SimParams, grid: gridlib.Grid,
     p0 = 0.5 * ctx.state.pressure  # p⁰ = ½·p_prev (:1197)
 
     # --- relaxed-Jacobi solve, fully on device -----------------------------
+    # Convergence uses the mean CLAMPED-POSITIVE predicted density error
+    # mean(max(ρ_corr − ρ₀, 0)): compression counts, free-surface
+    # rarefaction does not. The reference's signed test (ρ_avg − ρ₀) > 1
+    # (``sph_cuda.cu:736-741``) exits immediately on any free-surface scene
+    # because the under-dense surface drags the plain mean below ρ₀ — a
+    # documented defect (SURVEY §5), fixed here per the IISPH paper.
     def cond(carry):
-        p, rho_avg, it = carry
-        unconverged = (rho_avg - params.rest_density) > tol
-        return ((unconverged | (it < cfg.iisph_min_iters))
+        p, rho_err, it = carry
+        return (((rho_err > tol) | (it < cfg.iisph_min_iters))
                 & (it < cfg.iisph_max_iters))
 
     def body(carry):
@@ -306,11 +320,12 @@ def iisph_step(state: FluidState, params: SimParams, grid: gridlib.Grid,
         sum_dij = compute_sum_dij(ctx, params, cfg, dens, p)
         p_new, rho_corr = jacobi_update(ctx, params, cfg, boundary, dens, p,
                                         sum_dij, dii, aii, rho_adv, omega)
-        rho_avg = jnp.sum(jnp.where(active, rho_corr, 0.0)) / nact
-        return (p_new, rho_avg, it + 1)
+        err = jnp.maximum(rho_corr - params.rest_density, 0.0)
+        rho_err = jnp.sum(jnp.where(active, err, 0.0)) / nact
+        return (p_new, rho_err, it + 1)
 
-    init = (p0, params.rest_density + 2.0 * tol, jnp.asarray(0, jnp.int32))
-    p, rho_avg, iters = jax.lax.while_loop(cond, body, init)
+    init = (p0, jnp.asarray(2.0, cfg.dtype) * tol, jnp.asarray(0, jnp.int32))
+    p, rho_err, iters = jax.lax.while_loop(cond, body, init)
 
     # --- pressure force + integration (:1497-1655) -------------------------
     f_p = compute_pressure_force(ctx, params, cfg, boundary, dens, p)
@@ -324,7 +339,7 @@ def iisph_step(state: FluidState, params: SimParams, grid: gridlib.Grid,
                            num_active=state.num_active)
     diag = StepDiagnostics(
         max_density=jnp.max(jnp.where(active, dens, 0.0)),
-        mean_density_error=(rho_avg - params.rest_density) / params.rest_density,
+        mean_density_error=rho_err / params.rest_density,
         seg_overflow=ctx.overflow,
         solver_iters=iters,
     )

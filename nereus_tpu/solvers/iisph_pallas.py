@@ -84,10 +84,11 @@ def iisph_step_pallas(state: FluidState, params: SimParams,
     p0 = 0.5 * ctx.pres_prev  # p⁰ = ½·p_prev (sph_kernel_impl.cuh:1197)
 
     # --- relaxed-Jacobi solve, fully on device -------------------------------
+    # Clamped-positive mean density error (see solvers/iisph.py — the
+    # reference's signed test is a documented free-surface defect).
     def cond(carry):
-        p, rho_avg, it = carry
-        unconverged = (rho_avg - params.rest_density) > tol
-        return ((unconverged | (it < cfg.iisph_min_iters))
+        p, rho_err, it = carry
+        return (((rho_err > tol) | (it < cfg.iisph_min_iters))
                 & (it < cfg.iisph_max_iters))
 
     def body(carry):
@@ -121,11 +122,12 @@ def iisph_step_pallas(state: FluidState, params: SimParams,
             0.0)
         p_new = jnp.maximum(p_new, 0.0)
         rho_corr = rho_adv + dt2 * (fb + aii * p)
-        rho_avg = jnp.sum(jnp.where(active, rho_corr, 0.0)) / nact
-        return (p_new, rho_avg, it + 1)
+        err = jnp.maximum(rho_corr - params.rest_density, 0.0)
+        rho_err = jnp.sum(jnp.where(active, err, 0.0)) / nact
+        return (p_new, rho_err, it + 1)
 
-    init = (p0, params.rest_density + 2.0 * tol, jnp.asarray(0, jnp.int32))
-    p, rho_avg, iters = jax.lax.while_loop(cond, body, init)
+    init = (p0, jnp.asarray(2.0, cfg.dtype) * tol, jnp.asarray(0, jnp.int32))
+    p, rho_err, iters = jax.lax.while_loop(cond, body, init)
 
     # --- pressure force + integration ---------------------------------------
     pd2 = p * inv_d2
@@ -136,7 +138,7 @@ def iisph_step_pallas(state: FluidState, params: SimParams,
         gsize, out_width=4, self_excl=True, n_rows=n_rows,
         interpret=interp, boundary=False,
         pair_fn_b=PS.grad_pressure_force_pair,
-        pair_b_kw=dict(boundary=True, boundary_sign=1.0))[:, :3]
+        pair_b_kw=dict(boundary=True, boundary_sign=-1.0))[:, :3]
 
     new_vel = vel_adv + (dt / pm) * f_p
     new_pos = pos + dt * new_vel
@@ -148,8 +150,7 @@ def iisph_step_pallas(state: FluidState, params: SimParams,
                            num_active=state.num_active)
     diag = StepDiagnostics(
         max_density=jnp.max(jnp.where(active, dens, 0.0)),
-        mean_density_error=(rho_avg - params.rest_density)
-        / params.rest_density,
+        mean_density_error=rho_err / params.rest_density,
         seg_overflow=ctx.miss,
         solver_iters=iters,
     )

@@ -125,6 +125,49 @@ def test_iisph_step_converges_and_is_finite():
     assert np.isfinite(float(diag.mean_density_error))
 
 
+def _lattice_block(params, scale, n_side=8):
+    """Cubic lattice at ``scale``× the rest spacing (pm = 0.5 h³ρ₀)."""
+    h = float(params.interaction_radius)
+    spacing = (float(params.particle_mass)
+               / float(params.rest_density)) ** (1 / 3)
+    ax = np.arange(n_side) * spacing * scale
+    xx, yy, zz = np.meshgrid(ax, ax, ax, indexing="ij")
+    pos = np.stack([xx.ravel(), yy.ravel(), zz.ravel()], -1)
+    grid = G.fit_grid(pos.min(0) - h, pos.max(0) + h, h)
+    return make_fluid_state(pos), grid
+
+
+def test_iisph_convergence_predicate_not_vacuous():
+    """The solve must use a clamped-positive density error, not the
+    reference's signed mean (``sph_cuda.cu:736-741``), which exits at
+    min-iters for ANY under-dense state (SURVEY §5 defect list).
+
+    Over-dense block: the loop must run PAST min-iters and end with the
+    measured clamped-positive error within tolerance (0.1% of ρ₀) or at
+    the iteration cap. Under-dense block: errors are clamped to 0, so the
+    loop exits exactly at min-iters with zero reported error.
+    """
+    params = iisph_params(gravity=(0.0, 0.0, 0.0))
+    tol = 1.0  # kg/m³ = 0.1% of ρ₀
+
+    state, grid = _lattice_block(params, scale=0.92)  # over-dense
+    _, diag = iisph.iisph_step(state, params, grid, CFG, tol=tol)
+    it = int(diag.solver_iters)
+    err = float(diag.mean_density_error)
+    assert it > CFG.iisph_min_iters, (it, err)
+    assert err >= 0.0
+    # converged within the bound unless the cap stopped it first
+    assert err <= tol / float(params.rest_density) or \
+        it == CFG.iisph_max_iters, (it, err)
+
+    state_u, grid_u = _lattice_block(params, scale=1.3)  # under-dense
+    _, diag_u = iisph.iisph_step(state_u, params, grid_u, CFG, tol=tol)
+    assert int(diag_u.solver_iters) == CFG.iisph_min_iters
+    assert float(diag_u.mean_density_error) >= 0.0
+    assert float(diag_u.mean_density_error) <= tol / float(
+        params.rest_density)
+
+
 def test_iisph_compressed_block_relaxes():
     """A block compressed to ~1.3x rest density must produce positive
     pressures and a pressure force field that pushes particles apart."""
