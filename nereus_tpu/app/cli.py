@@ -143,9 +143,15 @@ def cmd_run(args):
 
     log = get_logger()
     cfg, params, state, grid, boundary = _make_setup(args)
+    step0 = 0
     if args.resume:
         state, header = load_checkpoint(args.resume)
-        log.info("resumed from %s at step %d", args.resume, header["step"])
+        # --steps counts *additional* steps; loop/checkpoint numbering
+        # continues from the checkpoint's absolute step so resumed runs
+        # never overwrite earlier checkpoint files.
+        step0 = int(header["step"]) + 1
+        log.info("resumed from %s at step %d (running %d more)",
+                 args.resume, header["step"], args.steps)
     n = int(np.asarray(state.num_active).sum())
     log.info("scene=%s solver=%s particles=%d boundaries=%d grid=%s",
              args.scene, args.solver, n,
@@ -229,11 +235,26 @@ def cmd_run(args):
         drop_pts = particle_cube((0.25, 0.55, 0.25), (0.12, 0.12, 0.12),
                                  spacing)
 
+    # Overflow diagnostics are tracked as a running on-device max across
+    # steps — a long sharded run that exceeds a heuristically sized
+    # capacity must be surfaced even if the final step looks clean.
+    _OVF_FIELDS = ("seg_overflow", "halo_overflow", "migration_overflow",
+                   "capacity_overflow", "migration_violation")
+    ovf_max = {}
+
+    def track_overflow(diag):
+        import jax.numpy as jnp
+        for f in _OVF_FIELDS:
+            v = getattr(diag, f, None)
+            if v is not None:
+                ovf_max[f] = (v if f not in ovf_max
+                              else jnp.maximum(ovf_max[f], v))
+
     meter = StepMeter(n, report_every=args.report_every, logger=log)
     t0 = time.perf_counter()
     diag = None
     with profile_trace(args.profile_dir):
-        for i in range(args.steps):
+        for i in range(step0, step0 + args.steps):
             if drop_pts is not None and i and i % args.drop_cube_every == 0:
                 try:
                     run_state = nt.add_particles(run_state, drop_pts)
@@ -243,6 +264,7 @@ def cmd_run(args):
                 except ValueError as e:
                     log.warning("drop skipped: %s", e)
             run_state, diag = step(run_state)
+            track_overflow(diag)
             meter.tick()
             if exporter is not None and i % args.export_every == 0:
                 hs = to_host(run_state)
@@ -258,23 +280,31 @@ def cmd_run(args):
     if exporter is not None:
         exporter.close()
 
-    ovf = int(np.asarray(diag.seg_overflow))
-    if ovf > 0:
+    ovf_max = {k: int(np.asarray(v)) for k, v in ovf_max.items()}
+    bad = False
+    if ovf_max.get("seg_overflow", 0) > 0:
         log.warning("neighbor window overflow by %d — increase --seg-window "
-                    "(results truncated!)", ovf)
+                    "(results truncated!)", ovf_max["seg_overflow"])
+        bad = True
+    for f in _OVF_FIELDS[1:]:
+        if ovf_max.get(f, 0) > 0:
+            log.warning("sharded %s = %d at some step — particles were "
+                        "lost; increase the corresponding ShardConfig "
+                        "capacity", f, ovf_max[f])
+            bad = True
     summary = {
         "steps": args.steps, "particles": n,
         "wall_s": round(dt_wall, 3),
         "particle_steps_per_sec": round(args.steps * n / dt_wall, 1),
         "mean_density_error": float(np.asarray(diag.mean_density_error)),
         "max_density": float(np.asarray(diag.max_density)),
-        "seg_overflow": ovf,
+        **ovf_max,
     }
     if hasattr(diag, "solver_iters"):
         summary["solver_iters"] = int(np.asarray(diag.solver_iters))
     log.info("done: %s", json.dumps(summary))
     print(json.dumps(summary))
-    return 0
+    return 3 if bad else 0
 
 
 def cmd_info(_args):

@@ -114,8 +114,16 @@ def cell_coords(grid: Grid, pos):
 
     Reference: ``calcGridPos`` (``sph_kernel_impl.cuh:105-113``) without the
     subsequent power-of-two wrap.
+
+    Computed as ``floor((pos − origin) · (1/cell))`` — multiply by the
+    reciprocal, NOT division — so the host-side window plan and the Pallas
+    kernels' in-kernel recomputation (``_sweep_kernel``, which ships
+    ``1/cell`` in the parameter vector) round identically for positions at
+    representable cell edges. A divide here with a multiply in-kernel can
+    disagree by one ULP and shift a row bound a full cell row outside the
+    planned windows, bypassing the miss counter.
     """
-    c = jnp.floor((pos - grid.origin) / grid.cell).astype(jnp.int32)
+    c = jnp.floor((pos - grid.origin) * (1.0 / grid.cell)).astype(jnp.int32)
     return jnp.clip(c, 0, grid.size_arr - 1)
 
 

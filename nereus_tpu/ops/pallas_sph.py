@@ -147,8 +147,19 @@ def _w_grad_scale_monaghan(rl, pv, invrl=None):
                      sigma * scalar / (h * jnp.maximum(rl, _EPS)), 0.0)
 
 
-def _pair_geometry(q_ref, src_ref, pv):
-    qx, qy, qz = q_ref[:, 0:1], q_ref[:, 1:2], q_ref[:, 2:3]
+def _pair_geometry(q_ref, src_ref, pv, geom_offset: int = 0):
+    """Pair displacement/r² from query columns [geom_offset, geom_offset+3).
+
+    ``geom_offset > 0`` lets a sweep use *different* positions for pair
+    geometry than for the in-kernel hash masks (which always read columns
+    0-2): the PCISPH predicted-density sweep keeps the start-of-step
+    positions in columns 0-2 so its row bounds match the frozen window
+    plan, while distances use the predicted positions — otherwise a
+    particle whose prediction crosses a cell edge gets bounds the plan
+    never covered and pairs drop silently (frozen-neighborhood contract).
+    """
+    o = geom_offset
+    qx, qy, qz = q_ref[:, o:o + 1], q_ref[:, o + 1:o + 2], q_ref[:, o + 2:o + 3]
     dx = qx - src_ref[0:1, :]
     dy = qy - src_ref[1:2, :]
     dz = qz - src_ref[2:3, :]
@@ -176,11 +187,12 @@ def _maybe_rl(kernel_set, r2):
     return jnp.sqrt(r2)
 
 
-def density_pair(q_ref, src_ref, valid, pv, *, kernel_set):
+def density_pair(q_ref, src_ref, valid, pv, *, kernel_set, geom_offset=0):
     """ρ contribution: Σ ψ_j·W(r). Fluid sources carry ψ = m in slot 6, so
     one formula serves fluid and boundary sweeps (``computeCellDensity`` /
-    ``computeBoundaryCellDensity``, ``sph_kernel_impl.cuh:290-360``)."""
-    dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv)
+    ``computeBoundaryCellDensity``, ``sph_kernel_impl.cuh:290-360``).
+    ``geom_offset`` — see :func:`_pair_geometry` (PCISPH predicted density)."""
+    dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv, geom_offset)
     rl = _maybe_rl(kernel_set, r2)
     w = _w_value(kernel_set, r2, rl, pv)
     ok = valid & (r2 < pv[PV_H2])
@@ -445,10 +457,12 @@ def grad_pressure_force_pair(q_ref, src_ref, valid, pv, *, kernel_set,
 # ---------------------------------------------------------------------------
 
 def density_sweep(cfg: SimConfig, queries_pos, src, anchors, pvec, gsize,
-                  *, self_excl, self_offset=0, n_rows=9, interpret=False):
+                  *, self_excl, self_offset=0, n_rows=9, geom_offset=0,
+                  interpret=False):
     """Density over fluid (and, when ``n_rows=18``, the fused boundary
     region — the ψ-slot formula is identical for both)."""
-    pair = functools.partial(density_pair, kernel_set=cfg.kernel_set)
+    pair = functools.partial(density_pair, kernel_set=cfg.kernel_set,
+                             geom_offset=geom_offset)
     out = neighbor_sweep(
         pair, queries=queries_pos, src=src, anchors=anchors, pvec=pvec,
         gsize=gsize, out_width=1, self_excl=self_excl, n_rows=n_rows,

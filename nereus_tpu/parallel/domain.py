@@ -646,6 +646,22 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
     return step
 
 
+def _check_pallas_only(cfg: SimConfig, grid: gridlib.Grid, what: str):
+    """The sharded IISPH/PCISPH bodies run Pallas window sweeps
+    unconditionally (no jnp segment fallback exists for them), so the
+    float32 cell-hash limit applies regardless of ``cfg.engine`` — and
+    ``engine='segments'`` cannot be honored at all."""
+    if cfg.engine == "segments":
+        raise ValueError(
+            f"{what} only has a Pallas implementation; "
+            "SimConfig(engine='segments') is not supported here "
+            "(off-TPU it runs the same kernels in interpret mode)")
+    if grid.num_cells >= 2 ** 24:
+        raise ValueError(
+            f"grid has {grid.num_cells} cells; the Pallas engine ships "
+            "cell hashes as float32 (exact < 2^24)")
+
+
 def _diag_struct():
     z = 0
     return ShardedDiagnostics(
@@ -681,10 +697,7 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
         raise ValueError(
             f"mesh axis {ax!r} has {mesh.shape[ax]} devices but "
             f"ShardConfig.n_shards={d}")
-    if cfg.use_pallas() and grid.num_cells >= 2 ** 24:
-        raise ValueError(
-            f"grid has {grid.num_cells} cells; the Pallas engine ships "
-            "cell hashes as float32 (exact < 2^24)")
+    _check_pallas_only(cfg, grid, "sharded IISPH")
     cl = scfg.local_capacity
     kh = scfg.halo_capacity
     interp = interpret_mode()
@@ -936,10 +949,7 @@ def make_sharded_pcisph_step(mesh: Mesh, params: SimParams,
         raise ValueError(
             f"mesh axis {ax!r} has {mesh.shape[ax]} devices but "
             f"ShardConfig.n_shards={d}")
-    if cfg.use_pallas() and grid.num_cells >= 2 ** 24:
-        raise ValueError(
-            f"grid has {grid.num_cells} cells; the Pallas engine ships "
-            "cell hashes as float32 (exact < 2^24)")
+    _check_pallas_only(cfg, grid, "sharded PCISPH")
     cl = scfg.local_capacity
     kh = scfg.halo_capacity
     interp = interpret_mode()
@@ -1044,13 +1054,13 @@ def make_sharded_pcisph_step(mesh: Mesh, params: SimParams,
             vel_pred = vel + (dt / pm) * (f_adv + f_p)
             pos_pred = pos + dt * vel_pred
             (src_pos_pred,) = hop({"pp": pos_pred})
-            q4p = jnp.concatenate(
-                [padq(pos_pred, PARK), jnp.zeros((clb, 1), pos.dtype)],
-                axis=1)
+            # columns 0-2 = start-of-step positions (mask matches the frozen
+            # plan), 3-5 = predicted positions for distances (geom_offset=3)
+            q6p = jnp.concatenate([pos_q, padq(pos_pred, PARK)], axis=1)
             rho_pred = PSs.density_sweep(
-                cfg, q4p, pack8(slot6=psi_fluid, posf=src_pos_pred),
+                cfg, q6p, pack8(slot6=psi_fluid, posf=src_pos_pred),
                 anchors, pvec, grid.size, self_excl=True, self_offset=kh,
-                n_rows=n_rows, interpret=interp)[:cl] + self_w
+                n_rows=n_rows, geom_offset=3, interpret=interp)[:cl] + self_w
             rho_err = jnp.maximum(rho_pred - params.rest_density, 0.0)
             rho_err = jnp.where(own_active, rho_err, 0.0)
             p_new = p + delta_c * rho_err

@@ -75,14 +75,16 @@ def pcisph_step_pallas(state: FluidState, params: SimParams,
         p, f_p, _, it = carry
         vel_pred = vel + (dt / pm) * (f_adv + f_p)
         pos_pred = pos + dt * vel_pred
-        # predicted density over the frozen neighbor structure: refresh the
-        # fluid position rows, keep the hash row (and static boundary region)
-        q4p = jnp.concatenate([pos_pred, jnp.zeros((cb, 1), pos.dtype)],
-                              axis=1)
+        # predicted density over the frozen neighbor structure: columns 0-2
+        # keep the start-of-step positions so the in-kernel hash masks match
+        # the frozen window plan; columns 3-5 carry the predicted positions
+        # for the pair distances (geom_offset=3). The source pack likewise
+        # refreshes its position rows but keeps the hash row.
+        q6p = jnp.concatenate([pos, pos_pred], axis=1)
         src_dp = ctx.pack(slot6=psi_fluid, pos_override=pos_pred)
-        rho_pred = PS.density_sweep(cfg, q4p, src_dp, ctx.anchors, pvec,
+        rho_pred = PS.density_sweep(cfg, q6p, src_dp, ctx.anchors, pvec,
                                     gsize, self_excl=True, n_rows=n_rows,
-                                    interpret=interp) + self_w
+                                    geom_offset=3, interpret=interp) + self_w
         rho_err = jnp.maximum(rho_pred - params.rest_density, 0.0)
         rho_err = jnp.where(active, rho_err, 0.0)
         p_new = p + delta * rho_err

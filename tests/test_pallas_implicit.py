@@ -84,3 +84,43 @@ def test_iisph_pallas_multi_step():
     assert not bool(jnp.isnan(diag.mean_density_error))
     n = int(state.num_active)
     assert np.isfinite(np.asarray(state.pos[:n])).all()
+
+
+def test_pcisph_pallas_predicted_cell_crossing_matches_oracle():
+    """Predicted positions that cross cell boundaries must not drop pairs.
+
+    The corrective loop freezes the start-of-step neighbor structure but
+    evaluates predicted densities at moved positions. Particles are seeded
+    touching cell edges with a large uniform velocity so every prediction
+    lands in the next cell: the Pallas sweep's in-kernel hash masks must
+    keep using the frozen (start-of-step) query cells — otherwise its row
+    bounds leave the planned windows and pairs vanish silently, diverging
+    from the oracle's fully frozen neighborhoods (ADVICE round 1, medium).
+    """
+    from nereus_tpu.state import make_fluid_state
+
+    cfg = nt.SimConfig(seg_window=64)
+    params = calibrate_mass(nt.pcisph_params(dt=5e-4), cfg)
+    h = float(params.interaction_radius)
+    spacing = 2.0 * float(params.particle_radius)
+
+    # lattice spanning several cells; a uniform velocity of ~0.6 cells per
+    # dt pushes most particles' *predictions* across a cell edge while the
+    # start-of-step structure stays put
+    k = 6
+    ax = np.arange(k) * spacing
+    xx, yy, zz = np.meshgrid(ax, ax, ax, indexing="ij")
+    pts = np.stack([xx.ravel(), yy.ravel(), zz.ravel()], -1).astype(np.float32)
+    dt = float(params.dt)
+    vel = np.full_like(pts, 0.6 * h / dt)
+
+    state = make_fluid_state(pts, vel)
+    grid = nt.fit_grid(pts.min(0) - 2 * h, pts.max(0) + 0.6 * h + 2 * h, h)
+    n = int(state.num_active)
+    delta = nt.pcisph_delta(params, cfg)
+
+    s_ref, d_ref = jax.jit(lambda s: nt.pcisph_step(
+        s, params, grid, cfg, None, delta=delta))(state)
+    s_pal, d_pal = jax.jit(lambda s: pcisph_step_pallas(
+        s, params, grid, cfg, None, delta=delta))(state)
+    _compare(s_ref, d_ref, s_pal, d_pal, n, atol_pos=1e-5, atol_vel=2e-4)
