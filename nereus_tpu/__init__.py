@@ -13,7 +13,8 @@ from .grid import Grid, fit_grid, make_grid, refit_grid
 from .state import BoundaryData, FluidState, add_particles, make_fluid_state
 from .solvers.wcsph import wcsph_step, tait_pressure, cfl_dt
 from .solvers.iisph import iisph_step
-from .solvers.pcisph import pcisph_step, pcisph_delta
+from .solvers.pcisph import (pcisph_step, pcisph_delta,
+                             pcisph_delta_from_denom, pcisph_grad_denom)
 
 __version__ = "0.1.0"
 
@@ -24,4 +25,5 @@ __all__ = [
     "BoundaryData", "FluidState", "add_particles", "make_fluid_state",
     "wcsph_step", "tait_pressure", "cfl_dt",
     "iisph_step", "pcisph_step", "pcisph_delta",
+    "pcisph_delta_from_denom", "pcisph_grad_denom",
 ]

@@ -72,11 +72,18 @@ def _build_parser():
                      help="drop a fresh particle cube every K steps (the "
                           "reference demo's 'K' key, main.cpp:499-521); "
                           "single-chip solvers only")
+    run.add_argument("--refit-every", type=int, default=0, metavar="K",
+                     help="every K steps, refit the grid to the live "
+                          "particle AABB (SPH::updateGrid, sph.cpp:300-337)"
+                          ", re-sort the boundary set and rebuild the step "
+                          "(re-sharding sharded runs); use when fluid can "
+                          "leave the initial domain")
     run.add_argument("--adaptive-dt", type=float, default=None,
                      metavar="LAMBDA",
-                     help="CFL timestep dt = LAMBDA*h/|v|max per step (the "
-                          "reference's disabled #if 0 block, sph.cpp:217); "
-                          "wcsph only")
+                     help="CFL timestep dt = min(LAMBDA*h/|v|max, dt) per "
+                          "step (the reference's disabled #if 0 block, "
+                          "sph.cpp:217); all solvers, single-chip and "
+                          "sharded")
 
     sub.add_parser("info", help="print device/platform info")
     return p
@@ -158,67 +165,83 @@ def cmd_run(args):
              0 if boundary is None else boundary.num_boundaries,
              np.asarray(grid.size).tolist())
 
-    if args.shards > 1:
-        from jax.sharding import Mesh
-        from nereus_tpu.parallel import (ShardConfig,
-                                         make_sharded_iisph_step,
-                                         make_sharded_pcisph_step,
-                                         make_sharded_wcsph_step,
-                                         shard_state, slab_counts,
-                                         unshard_state)
-        devs = jax.devices()
-        if len(devs) < args.shards:
-            log.error("only %d devices available", len(devs))
-            return 2
-        mesh = Mesh(np.array(devs[:args.shards]), ("shards",))
-        counts = slab_counts(state, grid, args.shards)
-        scfg = ShardConfig(
-            n_shards=args.shards,
-            local_capacity=int(1.5 * counts.max()) + 256,
-            halo_capacity=4096, migration_capacity=1024)
-        log.info("slab occupancy: %s, local capacity %d",
-                 counts.tolist(), scfg.local_capacity)
-        run_state = shard_state(state, grid, scfg, mesh)
-        if args.solver == "wcsph":
-            step = make_sharded_wcsph_step(mesh, params, grid, cfg, scfg,
-                                           boundary)
-        elif args.solver == "iisph":
-            step = make_sharded_iisph_step(mesh, params, grid, cfg, scfg,
-                                           boundary)
-        else:
-            step = make_sharded_pcisph_step(
-                mesh, params, grid, cfg, scfg, boundary,
-                delta=nt.pcisph_delta(params, cfg))
-        to_host = unshard_state
-    else:
-        solver = {"wcsph": nt.wcsph_step, "iisph": nt.iisph_step}.get(
-            args.solver)
+    def build_stepper(grid, boundary, host_state):
+        """Build (step, run_state, to_host) for the current grid.
+
+        Called once up front and again after every ``--refit-every`` grid
+        refit (the recompile is amortized by the persistent compilation
+        cache when grid sizes repeat)."""
+        if args.shards > 1:
+            from jax.sharding import Mesh
+            from nereus_tpu.parallel import (ShardConfig,
+                                             make_sharded_iisph_step,
+                                             make_sharded_pcisph_step,
+                                             make_sharded_wcsph_step,
+                                             shard_state, slab_counts,
+                                             unshard_state)
+            devs = jax.devices()
+            if len(devs) < args.shards:
+                raise SystemExit(
+                    f"only {len(devs)} devices available")
+            mesh = Mesh(np.array(devs[:args.shards]), ("shards",))
+            counts = slab_counts(host_state, grid, args.shards)
+            scfg = ShardConfig(
+                n_shards=args.shards,
+                local_capacity=int(1.5 * counts.max()) + 256,
+                halo_capacity=4096, migration_capacity=1024)
+            log.info("slab occupancy: %s, local capacity %d",
+                     counts.tolist(), scfg.local_capacity)
+            run_state = shard_state(host_state, grid, scfg, mesh)
+            lam = args.adaptive_dt
+            if args.solver == "wcsph":
+                step = make_sharded_wcsph_step(
+                    mesh, params, grid, cfg, scfg, boundary,
+                    adaptive_dt_lambda=lam)
+            elif args.solver == "iisph":
+                step = make_sharded_iisph_step(
+                    mesh, params, grid, cfg, scfg, boundary,
+                    adaptive_dt_lambda=lam)
+            else:
+                step = make_sharded_pcisph_step(
+                    mesh, params, grid, cfg, scfg, boundary,
+                    delta=nt.pcisph_delta(params, cfg),
+                    adaptive_dt_lambda=lam)
+            return step, run_state, unshard_state
+
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        def maybe_adapt(s, p):
+            # CFL dt, capped at the configured dt (sph.cpp:217-231)
+            if not args.adaptive_dt:
+                return p
+            dt = jnp.minimum(nt.cfl_dt(s, p, float(args.adaptive_dt)),
+                             p.dt)
+            return dataclasses.replace(p, dt=dt)
+
         if args.solver == "pcisph":
-            delta = nt.pcisph_delta(params, cfg)
-            step = jax.jit(lambda s: nt.pcisph_step(
-                s, params, grid, cfg, boundary, delta=delta))
-        elif args.adaptive_dt and args.solver == "wcsph":
-            import dataclasses
-            lam = float(args.adaptive_dt)
+            denom = nt.pcisph_grad_denom(params, cfg)
 
-            def _adaptive(s):
-                p2 = dataclasses.replace(
-                    params, dt=jnp_minimum_dt(s, params, lam))
-                return nt.wcsph_step(s, p2, grid, cfg, boundary)
+            def _step(s):
+                p2 = maybe_adapt(s, params)
+                return nt.pcisph_step(
+                    s, p2, grid, cfg, boundary,
+                    delta=nt.pcisph_delta_from_denom(p2, denom))
 
-            import jax.numpy as jnp
-
-            def jnp_minimum_dt(s, p, lam):
-                # CFL dt, capped at the configured dt (sph.cpp:217-231)
-                return jnp.minimum(nt.cfl_dt(s, p, lam), p.dt)
-
-            step = jax.jit(_adaptive)
+            step = jax.jit(_step)
         else:
-            step = jax.jit(lambda s: solver(s, params, grid, cfg, boundary))
-        run_state = state
+            solver = {"wcsph": nt.wcsph_step,
+                      "iisph": nt.iisph_step}[args.solver]
+            step = jax.jit(lambda s: solver(
+                s, maybe_adapt(s, params), grid, cfg, boundary))
+        return step, host_state, lambda s: s
 
-        def to_host(s):
-            return s
+    try:
+        step, run_state, to_host = build_stepper(grid, boundary, state)
+    except SystemExit as e:
+        log.error("%s", e)
+        return 2
 
     exporter = None
     if args.export != "none":
@@ -255,6 +278,17 @@ def cmd_run(args):
     diag = None
     with profile_trace(args.profile_dir):
         for i in range(step0, step0 + args.steps):
+            if args.refit_every and i > step0 \
+                    and (i - step0) % args.refit_every == 0:
+                from nereus_tpu.boundary import rehash_boundary
+                hs = to_host(run_state)
+                grid = nt.refit_grid(hs, float(params.interaction_radius),
+                                     boundary=boundary, dtype=cfg.dtype)
+                if boundary is not None:
+                    boundary = rehash_boundary(boundary, grid)
+                log.info("step %d: grid refit to %s", i,
+                         np.asarray(grid.size).tolist())
+                step, run_state, to_host = build_stepper(grid, boundary, hs)
             if drop_pts is not None and i and i % args.drop_cube_every == 0:
                 try:
                     run_state = nt.add_particles(run_state, drop_pts)

@@ -134,6 +134,19 @@ def build_boundary(grid, positions, vbi, rest_density,
     return BoundaryData(pos=pos_s, psi=psi_s, sorted_hash=sorted_hash)
 
 
+def rehash_boundary(boundary: BoundaryData, grid) -> BoundaryData:
+    """Re-sort an existing boundary set against a refit grid.
+
+    ψ = ρ₀·V_bi is pure geometry (unchanged by the grid); only the cell
+    hashes and their sort order move. The analogue of the reference
+    re-running ``updateGpuBoundaries`` after ``updateGrid``
+    (``sph/sph.cpp:408``)."""
+    h = gridlib.hash_positions(grid, boundary.pos)
+    sorted_hash, _, (pos_s, psi_s) = gridlib.sort_by_hash(
+        h, boundary.pos, boundary.psi)
+    return BoundaryData(pos=pos_s, psi=psi_s, sorted_hash=sorted_hash)
+
+
 def box_boundary(grid_or_none, box_min, box_max, radius, params: SimParams,
                  kernel_set: KernelSet = KernelSet.MULLER,
                  grid=None, dtype=jnp.float32) -> BoundaryData:

@@ -431,15 +431,30 @@ def _halo_hop(fields: dict, sctx: _ShardCtx, scfg: ShardConfig, n_own):
         tuple(r[k] for k in keys), n_own, kh)
 
 
+def _adapt_dt(params: SimParams, vel, own_active, ax, lam):
+    """Global CFL dt inside a sharded step: λ·h/|v|_max, pmax-reduced over
+    the mesh so every shard steps with the same dt, capped at the
+    configured dt (the reference's disabled block, ``sph.cpp:217-231``)."""
+    vmax = jnp.max(jnp.where(own_active,
+                             jnp.linalg.norm(vel, axis=-1), 0.0))
+    vmax = jax.lax.pmax(vmax, ax)
+    dt = jnp.where(vmax > 0.0,
+                   lam * params.interaction_radius
+                   / jnp.maximum(vmax, 1e-12), params.dt)
+    return dataclasses.replace(params, dt=jnp.minimum(dt, params.dt))
+
+
 def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
                             grid: gridlib.Grid, cfg: SimConfig,
                             scfg: ShardConfig,
-                            boundary: Optional[BoundaryData] = None):
+                            boundary: Optional[BoundaryData] = None,
+                            adaptive_dt_lambda: Optional[float] = None):
     """Build the jitted multi-chip WCSPH step.
 
     Returns ``step(state) -> (state, ShardedDiagnostics)`` where ``state``
     arrays are (D·Cl, ...) sharded over ``scfg.axis_name`` and
     ``state.num_active`` is the (D,) per-shard live count.
+    ``adaptive_dt_lambda`` enables the global CFL dt (:func:`_adapt_dt`).
     """
     ax = scfg.axis_name
     d = scfg.n_shards
@@ -454,10 +469,13 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
     cl = scfg.local_capacity
     kh = scfg.halo_capacity
 
-    def local_step(pos, vel, pres, n_loc):
+    def local_step(pos, vel, pres, n_loc, params=params):
         sctx = _migrate_and_halo(pos, vel, pres, n_loc, grid=grid, scfg=scfg)
         h, pos, vel, pres = sctx.h, sctx.pos, sctx.vel, sctx.pres
         n_own = sctx.n_own
+        if adaptive_dt_lambda is not None:
+            params = _adapt_dt(params, vel, sctx.own_active, ax,
+                               adaptive_dt_lambda)
         src_hash, src_pos, src_vel = (sctx.src_hash, sctx.src_pos,
                                       sctx.src_vel)
         t_idx, t_valid = sctx.t_idx, sctx.t_valid
@@ -674,7 +692,8 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
                             grid: gridlib.Grid, cfg: SimConfig,
                             scfg: ShardConfig,
                             boundary: Optional[BoundaryData] = None,
-                            tol: float = 1.0, omega: float = 0.5):
+                            tol: float = 1.0, omega: float = 0.5,
+                            adaptive_dt_lambda: Optional[float] = None):
     """Build the jitted multi-chip IISPH step (Pallas window sweeps;
     interpret mode off-TPU).
 
@@ -713,13 +732,16 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
         fill = jnp.full((qpad,) + a.shape[1:], fillv, a.dtype)
         return jnp.concatenate([a, fill])
 
-    def local_step(pos0, vel0, pres0, n_loc):
+    def local_step(pos0, vel0, pres0, n_loc, params=params):
         sctx = _migrate_and_halo(pos0, vel0, pres0, n_loc,
                                  grid=grid, scfg=scfg)
         pos, vel, pres = sctx.pos, sctx.vel, sctx.pres
         n_own, own_active = sctx.n_own, sctx.own_active
         src_pos, src_vel = sctx.src_pos, sctx.src_vel
         hash_f32 = sctx.src_hash.astype(pos.dtype)
+        if adaptive_dt_lambda is not None:
+            params = _adapt_dt(params, vel, own_active, ax,
+                               adaptive_dt_lambda)
         dt = params.dt
         pm = params.particle_mass
 
@@ -925,21 +947,28 @@ def make_sharded_pcisph_step(mesh: Mesh, params: SimParams,
                              grid: gridlib.Grid, cfg: SimConfig,
                              scfg: ShardConfig,
                              boundary: Optional[BoundaryData] = None,
-                             delta=None, tol_frac: float = 0.01):
+                             delta=None, tol_frac: float = 0.01,
+                             adaptive_dt_lambda: Optional[float] = None):
     """Build the jitted multi-chip PCISPH step (Pallas window sweeps).
 
     The predictive-corrective ``lax.while_loop`` hops the *predicted* ghost
     positions each iteration (the frozen-neighborhood structure and window
     plans stay fixed), then the corrected-pressure pd2 ghosts for the force
     sweep. Convergence uses a global ``pmax`` so shards iterate in lockstep.
+    With ``adaptive_dt_lambda`` the stiffness δ is recomputed per step from
+    the traced CFL dt (its lattice term is dt-independent).
     """
     from ..ops import pallas_sph as PSs
     from ..ops.pallas_neighbors import (DEF_BLOCK, fuse_plans, pack_source,
                                         pack_source_fused, pack_source_wide,
                                         plan_windows, round_up)
     from ..solvers.pallas_common import interpret_mode, padded_len
-    from ..solvers.pcisph import pcisph_delta
+    from ..solvers.pcisph import (pcisph_delta, pcisph_delta_from_denom,
+                                  pcisph_grad_denom)
 
+    grad_denom = None
+    if adaptive_dt_lambda is not None:
+        grad_denom = pcisph_grad_denom(params, cfg)
     if delta is None:
         delta = pcisph_delta(params, cfg)
 
@@ -966,13 +995,19 @@ def make_sharded_pcisph_step(mesh: Mesh, params: SimParams,
         fill = jnp.full((qpad,) + a.shape[1:], fillv, a.dtype)
         return jnp.concatenate([a, fill])
 
-    def local_step(pos0, vel0, pres0, n_loc):
+    def local_step(pos0, vel0, pres0, n_loc, params=params,
+                   delta_c=delta_c):
         sctx = _migrate_and_halo(pos0, vel0, pres0, n_loc,
                                  grid=grid, scfg=scfg)
         pos, vel = sctx.pos, sctx.vel
         n_own, own_active = sctx.n_own, sctx.own_active
         src_pos, src_vel = sctx.src_pos, sctx.src_vel
         hash_f32 = sctx.src_hash.astype(pos.dtype)
+        if adaptive_dt_lambda is not None:
+            params = _adapt_dt(params, vel, own_active, ax,
+                               adaptive_dt_lambda)
+            delta_c = pcisph_delta_from_denom(
+                params, grad_denom).astype(cfg.dtype)
         dt = params.dt
         pm = params.particle_mass
 

@@ -42,21 +42,19 @@ from . import common
 from .wcsph import StepDiagnostics
 
 
-def pcisph_delta(params: SimParams, cfg: SimConfig,
-                 spacing: float | None = None) -> float:
-    """Precompute the PCISPH stiffness δ from a prototype filled neighborhood.
+def pcisph_grad_denom(params: SimParams, cfg: SimConfig,
+                      spacing: float | None = None) -> float:
+    """The dt-independent lattice term of the PCISPH stiffness:
 
-    δ = −1 / (β (−(Σ_j ∇W_ij)·(Σ_j ∇W_ij) − Σ_j ∇W_ij·∇W_ij)), with
-    β = 2 (dt m / ρ₀)². The sums run over a template particle with a
-    completely filled neighborhood: a rest-spacing lattice clipped to the
-    support radius. Host-side, once per parameter set — the analogue of the
-    kernel-constant precompute at ``sph/sph.cpp:73-86`` for the solve the
-    reference never finished.
+    S = −(Σ_j ∇W_ij)·(Σ_j ∇W_ij) − Σ_j ∇W_ij·∇W_ij
+
+    over a template particle with a completely filled neighborhood (a
+    rest-spacing lattice clipped to the support radius). Host-side, once
+    per parameter set. δ(dt) = −1 / (2 (dt m / ρ₀)² · S); split out so an
+    adaptive-CFL step can recompute δ from a *traced* dt
+    (:func:`pcisph_delta_from_denom`).
     """
     h = float(params.interaction_radius)
-    dt = float(params.dt)
-    m = float(params.particle_mass)
-    rho0 = float(params.rest_density)
     if spacing is None:
         # Physical packing distance: one particle diameter (reference default
         # particleRadius 0.02, ``pcisph.cpp:47``). The mass-derived rest
@@ -79,13 +77,34 @@ def pcisph_delta(params: SimParams, cfg: SimConfig,
                        dtype=np.float64)
     sum_g = grads.sum(axis=0)
     sum_gg = float(np.sum(grads * grads))
-    beta = 2.0 * (dt * m / rho0) ** 2
-    denom = beta * (-float(sum_g @ sum_g) - sum_gg)
+    denom = -float(sum_g @ sum_g) - sum_gg
     if denom == 0.0:
         raise ValueError(
             "degenerate PCISPH prototype neighborhood (all ∇W = 0); "
             "pass an explicit `spacing` < support radius")
-    return float(-1.0 / denom)
+    return denom
+
+
+def pcisph_delta_from_denom(params: SimParams, denom: float, dt=None):
+    """δ(dt) = −1 / (2 (dt m / ρ₀)² · S) — jnp-traceable in ``dt`` so an
+    adaptive-CFL step can rescale the stiffness per step."""
+    dt = params.dt if dt is None else dt
+    beta = 2.0 * (dt * params.particle_mass / params.rest_density) ** 2
+    return -1.0 / (beta * denom)
+
+
+def pcisph_delta(params: SimParams, cfg: SimConfig,
+                 spacing: float | None = None) -> float:
+    """Precompute the PCISPH stiffness δ from a prototype filled neighborhood.
+
+    δ = −1 / (β (−(Σ_j ∇W_ij)·(Σ_j ∇W_ij) − Σ_j ∇W_ij·∇W_ij)), with
+    β = 2 (dt m / ρ₀)². Host-side, once per parameter set — the analogue of
+    the kernel-constant precompute at ``sph/sph.cpp:73-86`` for the solve
+    the reference never finished. (Host precompute: call OUTSIDE jit.)
+    """
+    return float(pcisph_delta_from_denom(
+        params, pcisph_grad_denom(params, cfg, spacing),
+        dt=float(params.dt)))
 
 
 def _predicted_density(ctx, params, cfg, boundary, pos_pred):

@@ -97,12 +97,23 @@ def test_add_particles_and_drop_cli(tmp_path, capsys):
     assert summary["seg_overflow"] == 0
 
 
-def test_cli_adaptive_dt(capsys):
-    rc = cli_main(["run", "--solver", "wcsph", "--steps", "5",
+@pytest.mark.parametrize("solver", ["wcsph", "iisph", "pcisph"])
+def test_cli_adaptive_dt(capsys, solver):
+    rc = cli_main(["run", "--solver", solver, "--steps", "5",
                    "--no-boundary", "--adaptive-dt", "0.4"])
     assert rc == 0
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["seg_overflow"] == 0
+
+
+def test_cli_adaptive_dt_sharded(capsys):
+    rc = cli_main(["run", "--solver", "pcisph", "--steps", "3",
+                   "--shards", "8", "--no-boundary",
+                   "--adaptive-dt", "0.4"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["seg_overflow"] == 0
+    assert summary["capacity_overflow"] == 0
 
 
 def test_orbax_checkpoint_roundtrip(tmp_path):
@@ -117,3 +128,16 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(loaded.pos),
                                   np.asarray(state.pos))
     assert int(loaded.num_active) == 64
+
+
+@pytest.mark.parametrize("shards", [1, 8])
+def test_cli_refit_every(capsys, shards):
+    """--refit-every rebuilds the grid (and re-shards) mid-run: a freely
+    falling cube leaves any fixed AABB eventually; the refit path must keep
+    the step healthy (rc 0, no overflow) through rebuilds."""
+    rc = cli_main(["run", "--solver", "wcsph", "--steps", "9",
+                   "--scene", "cube-drop", "--no-boundary",
+                   "--refit-every", "3", "--shards", str(shards)])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["seg_overflow"] == 0

@@ -1,0 +1,173 @@
+"""Pair-function variants for tools/kbench.py (Müller + Becker, fp32).
+
+Each build(name, ...) returns run(ctx, q_extra)->(cb,) so kbench can chain
+it. Variants:
+
+  d0 — production density sweep
+  d1 — trimmed density: self-pair included (W(0) term free), radius test
+       folded into the max(h²−r², 0) clamp, constants folded rank-1
+  f0 — production fused force sweep (visc + pressure + Becker ST)
+  f1 — trimmed direct: no wheres (eps-clamped rsqrt keeps everything
+       finite, masked-out slots multiply to exact 0), constants folded
+       into rank-1 precomputes, single mask cast
+  f2 — f1 with factorized reductions: Σc·(q−s) = q·Σc − Σc·s via two
+       (B,WIN)@(WIN,4) MXU matmuls; per-block recentering for precision
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from nereus_tpu.ops import pallas_sph as PS
+from nereus_tpu.ops.pallas_neighbors import neighbor_sweep
+
+_EPS = 1e-12
+PV = PS
+
+
+def density_pair_v1(q_ref, src_ref, valid, pv, **_):
+    qx, qy, qz = q_ref[:, 0:1], q_ref[:, 1:2], q_ref[:, 2:3]
+    dx = qx - src_ref[0:1, :]
+    dy = qy - src_ref[1:2, :]
+    dz = qz - src_ref[2:3, :]
+    r2 = dx * dx + dy * dy + dz * dz
+    d = jnp.maximum(pv[PV.PV_H2] - r2, 0.0)     # 0 outside cutoff
+    psi_k = src_ref[6:7, :] * pv[PV.PV_KPOLY]   # rank-1
+    w = d * d * d
+    contrib = (w * psi_k) * valid.astype(q_ref.dtype)
+    return jnp.sum(contrib, axis=1, keepdims=True)
+
+
+def _force_coeffs(q_ref, src_ref, valid, pv):
+    """Shared trimmed coefficient computation: returns (cvisc, cpd,
+    dx, dy, dz, r2)."""
+    qx, qy, qz = q_ref[:, 0:1], q_ref[:, 1:2], q_ref[:, 2:3]
+    sx, sy, sz = src_ref[0:1, :], src_ref[1:2, :], src_ref[2:3, :]
+    dx = qx - sx
+    dy = qy - sy
+    dz = qz - sz
+    r2 = dx * dx + dy * dy + dz * dz
+    inv = jax.lax.rsqrt(jnp.maximum(r2, _EPS * _EPS))
+    rl = r2 * inv
+    okf = (valid & (r2 < pv[PV.PV_H2])).astype(q_ref.dtype)
+
+    dens_j = jnp.maximum(src_ref[6:7, :], _EPS)          # (1, WIN)
+    inv_dens = 1.0 / dens_j                              # rank-1 division
+
+    # viscosity: cvisc = K·(c·r²)/(r²+0.01h²)·inv_dens
+    inv3 = inv * inv * inv
+    c = ((2.0 / pv[PV.PV_H2]) - rl * (3.0 / pv[PV.PV_KVISC_DEN])
+         - inv3 * (pv[PV.PV_H] * 0.5))
+    kv = (2.0 * pv[PV.PV_PM] * pv[PV.PV_VISC] * pv[PV.PV_PM]
+          * pv[PV.PV_KVISC]) * inv_dens                  # rank-1
+    bden = r2 + 0.01 * pv[PV.PV_H2]
+    cvisc = kv * ((c * r2) / bden) * okf
+
+    # pressure (Tait EOS of the neighbor density — all rank-1)
+    ratio = dens_j * (1.0 / pv[PV.PV_RD])
+    ratio2 = ratio * ratio
+    p_j = pv[PV.PV_K] * (ratio2 * ratio2 * ratio2 * ratio - 1.0)
+    pd2_j = p_j * inv_dens * inv_dens                    # rank-1
+    hr = jnp.maximum(pv[PV.PV_H] - rl, 0.0)
+    sp = (hr * hr) * inv * (-pv[PV.PV_PM] * pv[PV.PV_PM]
+                            * pv[PV.PV_KPRESS])
+    cpd = (q_ref[:, 7:8] + pd2_j) * sp
+
+    # Becker surface tension
+    dpo = jnp.maximum(pv[PV.PV_H2] - r2, 0.0)
+    w = dpo * dpo * dpo * pv[PV.PV_KPOLY]
+    w_eff = jnp.where(r2 > pv[PV.PV_DIAM2], w, pv[PV.PV_WDIAM])
+    cpd = (cpd - pv[PV.PV_KAPPA] * w_eff) * okf
+    return cvisc, cpd, dx, dy, dz, r2
+
+
+def force_pair_v1(q_ref, src_ref, valid, pv, **_):
+    cvisc, cpd, dx, dy, dz, _ = _force_coeffs(q_ref, src_ref, valid, pv)
+    dvx = q_ref[:, 3:4] - src_ref[3:4, :]
+    dvy = q_ref[:, 4:5] - src_ref[4:5, :]
+    dvz = q_ref[:, 5:6] - src_ref[5:6, :]
+    fx = cvisc * dvx + cpd * dx
+    fy = cvisc * dvy + cpd * dy
+    fz = cvisc * dvz + cpd * dz
+    zero = jnp.zeros_like(fx[:, :1])
+    return jnp.concatenate(
+        [jnp.sum(fx, axis=1, keepdims=True),
+         jnp.sum(fy, axis=1, keepdims=True),
+         jnp.sum(fz, axis=1, keepdims=True), zero], axis=1)
+
+
+def force_pair_v2(q_ref, src_ref, valid, pv, **_):
+    cvisc, cpd, dx, dy, dz, _ = _force_coeffs(q_ref, src_ref, valid, pv)
+    # factorized: Σ c·(q − s) = q·Σc − Σ c·s  (two MXU matmuls)
+    win = src_ref.shape[1]
+    ones = jnp.ones((1, win), q_ref.dtype)
+    # recenter sources about the block's first query for precision
+    cx, cy, cz = q_ref[0:1, 0:1], q_ref[0:1, 1:2], q_ref[0:1, 2:3]
+    rhs_p = jnp.concatenate([ones, src_ref[0:1, :] - cx,
+                             src_ref[1:2, :] - cy,
+                             src_ref[2:3, :] - cz], axis=0).T   # (WIN, 4)
+    rhs_v = jnp.concatenate([ones, src_ref[3:4, :], src_ref[4:5, :],
+                             src_ref[5:6, :]], axis=0).T
+    mp = jnp.dot(cpd, rhs_p, preferred_element_type=jnp.float32)
+    mv = jnp.dot(cvisc, rhs_v, preferred_element_type=jnp.float32)
+    fx = (q_ref[:, 0:1] - cx) * mp[:, 0:1] - mp[:, 1:2] \
+        + q_ref[:, 3:4] * mv[:, 0:1] - mv[:, 1:2]
+    fy = (q_ref[:, 1:2] - cy) * mp[:, 0:1] - mp[:, 2:3] \
+        + q_ref[:, 4:5] * mv[:, 0:1] - mv[:, 2:3]
+    fz = (q_ref[:, 2:3] - cz) * mp[:, 0:1] - mp[:, 3:4] \
+        + q_ref[:, 5:6] * mv[:, 0:1] - mv[:, 3:4]
+    zero = jnp.zeros_like(fx)
+    return jnp.concatenate([fx, fy, fz, zero], axis=1)
+
+
+def build(name, cfg, params, grid):
+    import nereus_tpu as nt
+
+    def density_like(pair_fn, self_excl):
+        def run(ctx, q_extra):
+            pos, cb, c = ctx.pos, ctx.cb, ctx.c
+            pm = params.particle_mass
+            psi = jnp.full((c,), 1.0, pos.dtype) * pm
+            q = jnp.concatenate(
+                [pos + q_extra[:, None] * 1e-20,
+                 jnp.zeros((cb, 1), pos.dtype)], axis=1)
+            out = neighbor_sweep(
+                functools.partial(pair_fn, kernel_set=cfg.kernel_set)
+                if pair_fn is PS.density_pair else pair_fn,
+                queries=q, src=ctx.pack(slot6=psi), anchors=ctx.anchors,
+                pvec=ctx.pvec, gsize=ctx.gsize, out_width=1,
+                block=cfg.sweep_block, self_excl=self_excl,
+                grid_geom_idx=PS.PV_OX, n_rows=ctx.n_rows,
+                interpret=ctx.interp)
+            return out[:, 0]
+        return run
+
+    def force_like(pair_fn, self_excl):
+        def run(ctx, q_extra):
+            pos, cb = ctx.pos, ctx.cb
+            dens = jnp.full((cb,), params.rest_density, pos.dtype)
+            q = jnp.concatenate(
+                [pos + q_extra[:, None] * 1e-20, ctx.vel,
+                 dens[:, None], jnp.zeros((cb, 1), pos.dtype)], axis=1)
+            pf = pair_fn
+            if pair_fn is None:
+                pf = functools.partial(
+                    PS.fluid_force_pair, kernel_set=cfg.kernel_set,
+                    st_model=cfg.surface_tension_model)
+            out = neighbor_sweep(
+                pf, queries=q, src=ctx.pack(vel=ctx.vel, slot6=dens),
+                anchors=ctx.anchors, pvec=ctx.pvec, gsize=ctx.gsize,
+                out_width=4, block=cfg.sweep_block, self_excl=self_excl,
+                grid_geom_idx=PS.PV_OX, n_rows=ctx.n_rows,
+                interpret=ctx.interp)
+            return out[:, 0]
+        return run
+
+    return {
+        "d0": density_like(PS.density_pair, True),
+        "d1": density_like(density_pair_v1, False),
+        "f0": force_like(None, True),
+        "f1": force_like(force_pair_v1, False),
+        "f2": force_like(force_pair_v2, False),
+    }[name]
