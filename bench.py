@@ -1,87 +1,189 @@
 #!/usr/bin/env python
-"""Headline benchmark: WCSPH particle-steps/sec at ~1M particles, one chip.
+"""Benchmarks. Default: the headline (WCSPH particle-steps/sec at ~1M
+particles, one chip) as ONE JSON line {"metric", "value", "unit",
+"vs_baseline"} — the driver contract.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``--all`` additionally regenerates every BASELINE.md row (one JSON line
+each), so round-over-round regressions are mechanical to spot:
 
-The reference (Mathiasb17/Nereus) publishes no numbers (BASELINE.md); its hard
-particle cap is 150k (`sph/sph.h:19`) and its demo renders at interactive
-rates, so the operative baseline is taken as 1e7 particle-steps/sec — a
-generous estimate of the CUDA build at its 150k cap running ~66 fps with the
-per-step PCIe round-trip it performs (`sph/sph.cpp:233-234,283-284`).
-``vs_baseline`` = measured / 1e7.
+    python bench.py --all            # full table
+    python bench.py --cases wcsph_1M,iisph_256k
+
+The reference (Mathiasb17/Nereus) publishes no numbers (BASELINE.md); its
+hard particle cap is 150k (`sph/sph.h:19`) and its demo renders at
+interactive rates, so the operative baseline is taken as 1e7
+particle-steps/sec — a generous estimate of the CUDA build at its 150k cap
+running ~66 fps with the per-step PCIe round-trip it performs
+(`sph/sph.cpp:233-234,283-284`). ``vs_baseline`` = measured / 1e7.
+
+All timings use the honest harness: steps chained inside ONE jit via
+``lax.fori_loop`` with the carry threading the state, result forced to
+host (per-step dispatch over a tunneled runtime otherwise dominates, and
+``block_until_ready`` alone is not a reliable fence there).
 """
 
+import argparse
 import json
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
-
 BASELINE_PARTICLE_STEPS_PER_SEC = 1.0e7
 
 
-def run(n_target=2 ** 20, n_time_steps=10, seg_window=64):
+def _chain_and_time(step_fn, state, n_steps):
+    import jax
     import jax.numpy as jnp
+    import numpy as np
+
+    @jax.jit
+    def chain(s):
+        def body(i, carry):
+            st, ovf, derr, iters = carry
+            st2, d = step_fn(st)
+            return (st2, ovf + d.seg_overflow,
+                    derr + d.mean_density_error,
+                    iters + d.solver_iters)
+        return jax.lax.fori_loop(
+            0, n_steps, body,
+            (s, jnp.int32(0), jnp.float32(0), jnp.int32(0)))
+
+    st, ovf, derr, iters = chain(state)    # compile + warm run
+    float(np.asarray(derr))
+    t0 = time.perf_counter()
+    st, ovf, derr, iters = chain(state)
+    derr_total = float(np.asarray(derr))   # forces completion
+    dt = time.perf_counter() - t0
+    return dict(steps_per_sec=n_steps / dt,
+                seg_overflow=float(np.asarray(ovf)),
+                mean_density_error=derr_total / n_steps,
+                solver_iters=float(np.asarray(iters)) / n_steps)
+
+
+def _scene(nt, scene, params, cfg, n_target, with_boundary):
+    return scene.dam_break(params, cfg, n_target=n_target,
+                           with_boundary=with_boundary)
+
+
+def run_case(name, n_steps=10):
+    """Run one named benchmark case; returns a result dict."""
+    import jax  # noqa: F401
     import numpy as np
     import nereus_tpu as nt
     from nereus_tpu import scene
+    from nereus_tpu.params import calibrate_mass
     from nereus_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
 
-    cfg = nt.SimConfig(seg_window=seg_window)
-    params = nt.make_params()
-    state, grid, boundary = scene.dam_break(
-        params, cfg, n_target=n_target, with_boundary=False)
-    n = int(state.num_active)
+    solver, n_target, with_boundary = {
+        # staged BASELINE configs (BASELINE.md)
+        "wcsph_150k": ("wcsph", 150_000, False),
+        "wcsph_1M": ("wcsph", 2 ** 20, False),
+        "wcsph_2M": ("wcsph", 2 ** 21, False),
+        "wcsph_boundary_274k": ("wcsph", 256_000, True),
+        "iisph_256k": ("iisph", 256_000, False),
+        "pcisph_256k": ("pcisph", 256_000, False),
+        "sharded_wcsph_1M": ("sharded_wcsph", 2 ** 20, False),
+    }[name]
 
-    # All steps chained inside ONE jit (lax.fori_loop) and the result
-    # forced to host — per-step dispatch latency over a remote/tunneled
-    # runtime otherwise dominates and block_until_ready alone is not a
-    # reliable fence there.
-    @jax.jit
-    def chain(s):
-        def body(i, carry):
-            st, ovf, derr = carry
-            st2, d = nt.wcsph_step(st, params, grid, cfg)
-            return (st2, ovf + d.seg_overflow,
-                    derr + d.mean_density_error)
-        return jax.lax.fori_loop(
-            0, n_time_steps, body,
-            (s, jnp.int32(0), jnp.float32(0)))
+    block = 88 if solver.endswith("wcsph") else 96
+    cfg = nt.SimConfig(sweep_block=block)
+    if solver == "iisph":
+        params = nt.iisph_params()
+    elif solver == "pcisph":
+        params = calibrate_mass(nt.pcisph_params(), cfg)
+    else:
+        params = nt.make_params()
+    state, grid, boundary = _scene(nt, scene, params, cfg, n_target,
+                                   with_boundary)
+    n = int(np.asarray(state.num_active).sum())
 
-    st, ovf, derr = chain(state)           # compile + warm run
-    float(np.asarray(derr))
-    t0 = time.perf_counter()
-    st, ovf, derr = chain(state)
-    derr_total = float(np.asarray(derr))   # forces completion
-    t1 = time.perf_counter()
+    if solver == "wcsph":
+        step = lambda s: nt.wcsph_step(s, params, grid, cfg, boundary)  # noqa: E731
+    elif solver == "iisph":
+        step = lambda s: nt.iisph_step(s, params, grid, cfg, boundary)  # noqa: E731
+    elif solver == "pcisph":
+        delta = nt.pcisph_delta(params, cfg)
+        step = lambda s: nt.pcisph_step(  # noqa: E731
+            s, params, grid, cfg, boundary, delta=delta)
+    else:  # sharded_wcsph (1 slab on the single reachable chip)
+        from jax.sharding import Mesh
+        from nereus_tpu.parallel import (ShardConfig,
+                                         make_sharded_wcsph_step,
+                                         shard_state)
+        import jax
+        mesh = Mesh(np.array(jax.devices()[:1]), ("shards",))
+        scfg = ShardConfig(n_shards=1, local_capacity=n + 256)
+        state = shard_state(state, grid, scfg, mesh)
+        step = make_sharded_wcsph_step(mesh, params, grid, cfg, scfg,
+                                       boundary)
+        # sharded step is already jitted and returns ShardedDiagnostics
+        # (same fields used below)
 
-    value = n_time_steps / (t1 - t0) * n
-    return value, n, float(np.asarray(ovf)), derr_total / n_time_steps
+    r = _chain_and_time(step, state, n_steps)
+    value = r["steps_per_sec"] * n
+    return {
+        "metric": f"{name}_particle_steps_per_sec",
+        "value": value,
+        "unit": "particle-steps/sec",
+        "vs_baseline": value / BASELINE_PARTICLE_STEPS_PER_SEC,
+        "n": n,
+        "ms_per_step": 1e3 / r["steps_per_sec"],
+        "seg_overflow": r["seg_overflow"],
+        "mean_density_error": r["mean_density_error"],
+        "solver_iters_per_step": r["solver_iters"],
+    }
 
 
 def main():
-    try:
-        value, n, overflow, derr = run()
-        print(json.dumps({
-            "metric": "wcsph_particle_steps_per_sec_1M",
-            "value": value,
-            "unit": "particle-steps/sec",
-            "vs_baseline": value / BASELINE_PARTICLE_STEPS_PER_SEC,
-        }))
-        print(f"# n={n} seg_overflow={overflow} mean_density_err={derr:.4f} "
-              f"device={jax.devices()[0].platform}", file=sys.stderr)
-    except Exception as e:  # noqa: BLE001 — always emit the JSON line
-        print(json.dumps({
-            "metric": "wcsph_particle_steps_per_sec_1M",
-            "value": 0.0,
-            "unit": "particle-steps/sec",
-            "vs_baseline": 0.0,
-        }))
-        print(f"# bench failed: {e!r}", file=sys.stderr)
-        raise
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--all", action="store_true",
+                    help="run every BASELINE.md case (one JSON line each)")
+    ap.add_argument("--cases", default=None,
+                    help="comma-separated case names")
+    ap.add_argument("--steps", type=int, default=10)
+    args = ap.parse_args()
+
+    all_cases = ["wcsph_150k", "wcsph_1M", "wcsph_boundary_274k",
+                 "iisph_256k", "pcisph_256k", "sharded_wcsph_1M",
+                 "wcsph_2M"]
+    if args.cases:
+        cases = args.cases.split(",")
+    elif args.all:
+        cases = all_cases
+    else:
+        cases = None  # headline contract
+
+    if cases is None:
+        try:
+            r = run_case("wcsph_1M", n_steps=args.steps)
+            print(json.dumps({
+                "metric": "wcsph_particle_steps_per_sec_1M",
+                "value": r["value"],
+                "unit": "particle-steps/sec",
+                "vs_baseline": r["vs_baseline"],
+            }))
+            print(f"# n={r['n']} seg_overflow={r['seg_overflow']} "
+                  f"mean_density_err={r['mean_density_error']:.4f}",
+                  file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — always emit the JSON line
+            print(json.dumps({
+                "metric": "wcsph_particle_steps_per_sec_1M",
+                "value": 0.0,
+                "unit": "particle-steps/sec",
+                "vs_baseline": 0.0,
+            }))
+            print(f"# bench failed: {e!r}", file=sys.stderr)
+            raise
+        return
+
+    for name in cases:
+        try:
+            print(json.dumps(run_case(name, n_steps=args.steps)),
+                  flush=True)
+        except Exception as e:  # noqa: BLE001 — keep the table going
+            print(json.dumps({"metric": name, "error": repr(e)}),
+                  flush=True)
 
 
 if __name__ == "__main__":

@@ -59,6 +59,10 @@ def _build_parser():
                      help="slab-shard the domain over this many devices")
     run.add_argument("--export", choices=["none", "png", "npz", "mp4"],
                      default="none")
+    run.add_argument("--watch", action="store_true",
+                     help="with --export png/mp4: keep OUT/latest.png "
+                          "updated with the newest frame (atomic replace) "
+                          "— tail it to watch a running sim")
     run.add_argument("--export-every", type=int, default=10,
                      help="export cadence in steps (reference records every "
                           "10th frame, main.cpp:619)")
@@ -246,7 +250,8 @@ def cmd_run(args):
     exporter = None
     if args.export != "none":
         from .export import FrameExporter
-        exporter = FrameExporter(args.out, args.export)
+        exporter = FrameExporter(args.out, args.export,
+                                 watch=bool(args.watch))
 
     drop_pts = None
     if args.drop_cube_every:

@@ -57,12 +57,18 @@ class FrameExporter:
     kind='png'  — rendered images (requires the renderer + PIL)
     kind='npz'  — raw particle state (pos/vel/pressure), render later
     kind='mp4'  — ffmpeg video (single file at ``outdir/sim.mp4``)
+
+    ``watch=True`` additionally keeps ``outdir/latest.png`` pointing at the
+    newest rendered frame (atomic replace) — the offline analogue of the
+    reference's live GL window (``main.cpp:582-634``): tail it with any
+    image viewer while the run progresses.
     """
 
     def __init__(self, outdir: str, kind: str = "png", *, width=1024,
-                 height=768, fps=60, render_kwargs=None):
+                 height=768, fps=60, render_kwargs=None, watch=False):
         self.outdir = outdir
         self.kind = kind
+        self.watch = watch
         self.width, self.height = width, height
         self.render_kwargs = render_kwargs or {}
         self._frame = 0
@@ -93,6 +99,11 @@ class FrameExporter:
                     os.path.join(self.outdir, f"frame_{self._frame:06d}.png"))
             else:
                 self._video.write(frame)
+            if self.watch:
+                from PIL import Image
+                tmp = os.path.join(self.outdir, ".latest.tmp.png")
+                Image.fromarray(frame).save(tmp)
+                os.replace(tmp, os.path.join(self.outdir, "latest.png"))
         self._frame += 1
 
     def close(self):

@@ -23,16 +23,22 @@ decided **inside the kernel** by comparing each source's cell hash
 (shipped as a window field) against per-query row hash bounds recomputed
 from the query's position — no per-particle segment arrays exist at all:
 
-    grid = (num_blocks, n_rows row offsets, N_PASS window passes)
-    src block   (rows, WIN) at element column anchor(b, r, p)·ALIGN
-    query block (B, Fq)  at row b·B   (revisited across r, p)
-    out block   (B, Fo)  at row b·B   (accumulated across r, p)
+    grid = (num_blocks, n_rows row offsets)
+    src windows (rows, WIN)·N_PASS at element columns anchor(b, r, p)·ALIGN
+                (one BlockSpec per pass; swept in-kernel by a python loop)
+    query block (B, Fq)  at row b·B   (revisited across r)
+    out block   (B, Fo)  at row b·B   (accumulated across r)
 
+The pass dimension deliberately lives INSIDE the kernel, not in the grid:
+each Mosaic grid step costs ~1 µs of fixed overhead (measured at 1M
+particles) and most passes beyond the first are sentinel-skipped, so a
+(nb · rows · pass) grid paid that overhead three times per (block, row).
 Each pass only owns columns ≥ the previous pass's window end, so
 overlapping windows never double-count a pair; unused passes carry a
-sentinel and skip all compute. Sources a block needs that fall outside
-every window are *counted* by the plan and surfaced through the step
-diagnostics (``seg_overflow``) — never silently dropped.
+sentinel and skip all compute (their BlockSpec fetches a dummy window at
+column 0). Sources a block needs that fall outside every window are
+*counted* by the plan and surfaced through the step diagnostics
+(``seg_overflow``) — never silently dropped.
 
 Sources are packed field-major with the cell hash (as float32 — exact for
 grids up to 2²⁴ cells) in the last row; default layout (8, M): x, y, z,
@@ -329,88 +335,100 @@ def pack_source_fused(pos_f, hash_f, cols_f, pos_b, hash_b, cols_b,
 # Kernel
 # ---------------------------------------------------------------------------
 
-def _sweep_kernel(anchors_ref, pvec_ref, q_ref, src_ref, out_ref,
-                  *, pair_fn, pair_fn_b, n_rows: int, block: int,
-                  self_excl: bool, gsize, grid_geom_idx: int,
-                  src_rows: int, self_offset: int):
+def _sweep_kernel(anchors_ref, pvec_ref, q_ref, *refs,
+                  pair_fn, pair_fn_b, n_rows: int, block: int,
+                  gsize, grid_geom_idx: int, src_rows: int):
+    """Grid = (nb, n_rows); the N_PASS windows of a (block, row) arrive as
+    separate operands (``refs[:-1]``) fetched by per-pass BlockSpecs, and a
+    python loop sweeps them inside ONE kernel invocation. Folding the pass
+    dimension out of the grid matters: each Mosaic grid step carries ~1 µs
+    of fixed cost (measured, 1M particles), and two-thirds of the former
+    (nb·rows·pass) steps were sentinel-skipped yet still paid it.
+    """
+    srcs, out_ref = refs[:-1], refs[-1]
     b = pl.program_id(0)
     r = pl.program_id(1)
-    p = pl.program_id(2)
 
-    @pl.when((r == 0) & (p == 0))
+    @pl.when(r == 0)
     def _init():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    a_enc = _unpack_anchor(anchors_ref, b, r, p, n_rows)
+    # Query row hash bounds, once per (block, row) — shared by all passes.
+    # Query cell coords use the same multiply-by-1/cell arithmetic as the
+    # host-side plan (grid.cell_coords) so bounds and plan agree exactly.
+    ox, oy, oz = (pvec_ref[grid_geom_idx], pvec_ref[grid_geom_idx + 1],
+                  pvec_ref[grid_geom_idx + 2])
+    inv_cell = pvec_ref[grid_geom_idx + 3]
+    gx, gy, gz = gsize
 
-    @pl.when(a_enc > 0)    # 0 sentinel: window unused, skip everything
-    def _window():
-        a_this = (a_enc - 1) * ALIGN
-        # end of the previous pass's window — this pass owns columns at or
-        # beyond it (pass 0 owns its whole window)
-        a_prev = _unpack_anchor(anchors_ref, b, r,
-                                jnp.maximum(p - 1, 0), n_rows)
-        a_prev_end = (a_prev - 1) * ALIGN + WIN
+    def cellc(v, o, g):
+        c = jnp.floor((v - o) * inv_cell)
+        return jnp.clip(c, 0.0, float(g - 1))
 
-        # query cell coords from position (f32 floor — exact for our grids)
-        ox, oy, oz = (pvec_ref[grid_geom_idx], pvec_ref[grid_geom_idx + 1],
-                      pvec_ref[grid_geom_idx + 2])
-        inv_cell = pvec_ref[grid_geom_idx + 3]
-        gx, gy, gz = gsize
+    qx, qy, qz = q_ref[:, 0:1], q_ref[:, 1:2], q_ref[:, 2:3]
+    cx = cellc(qx, ox, gx)
+    cy = cellc(qy, oy, gy)
+    cz = cellc(qz, oz, gz)
+    # rows 9-17 = boundary region sweep (int32 literal: under x64 a bare
+    # python int would promote the operand mismatch into a TypeError)
+    rr = jax.lax.rem(r, jnp.int32(N_ROWS))
+    dy = (rr % 3 - 1).astype(q_ref.dtype)
+    dz = (rr // 3 - 1).astype(q_ref.dtype)
+    yy = cy + dy
+    zz = cz + dz
+    base = (zz * gy + yy) * gx
+    lo = base + jnp.maximum(cx - 1.0, 0.0)
+    hi = base + jnp.minimum(cx + 1.0, float(gx - 1))
+    row_ok = ((yy >= 0.0) & (yy < float(gy))
+              & (zz >= 0.0) & (zz < float(gz)))
 
-        def cellc(v, o, g):
-            c = jnp.floor((v - o) * inv_cell)
-            return jnp.clip(c, 0.0, float(g - 1))
+    for p, src_ref in enumerate(srcs):
+        a_enc = _unpack_anchor(anchors_ref, b, r, p, n_rows)
 
-        qx, qy, qz = q_ref[:, 0:1], q_ref[:, 1:2], q_ref[:, 2:3]
-        cx = cellc(qx, ox, gx)
-        cy = cellc(qy, oy, gy)
-        cz = cellc(qz, oz, gz)
-        rr = jax.lax.rem(r, N_ROWS)   # rows 9-17 = boundary region sweep
-        dy = (rr % 3 - 1).astype(jnp.float32)
-        dz = (rr // 3 - 1).astype(jnp.float32)
-        yy = cy + dy
-        zz = cz + dz
-        base = (zz * gy + yy) * gx
-        lo = base + jnp.maximum(cx - 1.0, 0.0)
-        hi = base + jnp.minimum(cx + 1.0, float(gx - 1))
-        row_ok = ((yy >= 0.0) & (yy < float(gy))
-                  & (zz >= 0.0) & (zz < float(gz)))
+        @pl.when(a_enc > 0)    # 0 sentinel: window unused, skip compute
+        def _window(p=p, src_ref=src_ref, a_enc=a_enc):
+            a_this = (a_enc - 1) * ALIGN
+            src_hash = src_ref[src_rows - 1:src_rows, :]   # (1, WIN)
+            valid = row_ok & (src_hash >= lo) & (src_hash <= hi)
+            col = None
+            if p > 0:
+                # end of the previous pass's window — this pass owns
+                # columns at or beyond it (pass 0 owns its whole window)
+                a_prev = _unpack_anchor(anchors_ref, b, r, p - 1, n_rows)
+                a_prev_end = (a_prev - 1) * ALIGN + WIN
+                col = a_this + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, WIN), 1)
+                valid = valid & (col >= a_prev_end)
 
-        src_hash = src_ref[src_rows - 1:src_rows, :]   # (1, WIN) f32
-        col = a_this + jax.lax.broadcasted_iota(jnp.int32, (1, WIN), 1)
-        owned = (p == 0) | (col >= a_prev_end)  # overlap → previous pass
-        valid = (owned & row_ok
-                 & (src_hash >= lo) & (src_hash <= hi))  # (B, WIN)
-
-        @pl.when(jnp.any(valid))
-        def _compute():
-            v = valid
-            if self_excl:
-                self_idx = (self_offset + b * block
-                            + jax.lax.broadcasted_iota(
-                                jnp.int32, (block, 1), 0))
-                v = v & (col != self_idx)
-            if pair_fn_b is None:
-                out_ref[:] = out_ref[:] + pair_fn(q_ref, src_ref, v,
-                                                  pvec_ref)
-            else:
-                # fused sweep: rows 0-8 fluid formula, 9-17 boundary formula
-                @pl.when(r < N_ROWS)
-                def _fluid():
+            # NOTE: the query's own source slot is NOT excluded. Every
+            # pair term carries a factor of the displacement (or r²),
+            # which is exactly 0 at self with finite coefficients (the
+            # eps-clamped rsqrt guarantees no inf), and the density
+            # pair's self term ψ·W(0) is the term the solvers previously
+            # added separately — so self-inclusion is both free and two
+            # VPU ops cheaper per (B, WIN) slot.
+            @pl.when(jnp.any(valid))
+            def _compute():
+                v = valid
+                if pair_fn_b is None:
                     out_ref[:] = out_ref[:] + pair_fn(q_ref, src_ref, v,
                                                       pvec_ref)
+                else:
+                    # fused sweep: rows 0-8 fluid, 9-17 boundary formula
+                    @pl.when(r < N_ROWS)
+                    def _fluid():
+                        out_ref[:] = out_ref[:] + pair_fn(
+                            q_ref, src_ref, v, pvec_ref)
 
-                @pl.when(r >= N_ROWS)
-                def _bnd():
-                    out_ref[:] = out_ref[:] + pair_fn_b(q_ref, src_ref, v,
-                                                        pvec_ref)
+                    @pl.when(r >= N_ROWS)
+                    def _bnd():
+                        out_ref[:] = out_ref[:] + pair_fn_b(
+                            q_ref, src_ref, v, pvec_ref)
 
 
 def neighbor_sweep(pair_fn, *, queries, src, anchors, pvec, gsize,
                    out_width: int, block: int = DEF_BLOCK,
-                   self_excl: bool, grid_geom_idx: int,
-                   self_offset: int = 0, pair_fn_b=None,
+                   grid_geom_idx: int, pair_fn_b=None,
                    n_rows: int = N_ROWS, interpret: bool = False):
     """Run one Pallas neighbor sweep.
 
@@ -423,10 +441,9 @@ def neighbor_sweep(pair_fn, *, queries, src, anchors, pvec, gsize,
       pvec: (P,) float32 parameter vector; entries
         [grid_geom_idx .. +3] = (ox, oy, oz, 1/cell).
       gsize: static (gx, gy, gz).
-      self_excl: exclude the query's own source slot (fluid↔fluid sweep,
-        single-chip layout where query i is source column i).
-
-    Returns (N, out_width).
+    Returns (N, out_width). Self-pairs are included (see the kernel note:
+    they contribute the density self term and exactly 0 to everything
+    else).
     """
     n, fq = queries.shape
     assert n % block == 0, (n, block)
@@ -448,30 +465,33 @@ def neighbor_sweep(pair_fn, *, queries, src, anchors, pvec, gsize,
                 pair_fn, queries=queries[b0 * block:b1 * block], src=src,
                 anchors=anchors[b0 * stride:b1 * stride], pvec=pvec,
                 gsize=gsize, out_width=out_width, block=block,
-                self_excl=self_excl, grid_geom_idx=grid_geom_idx,
-                self_offset=self_offset + b0 * block, pair_fn_b=pair_fn_b,
+                grid_geom_idx=grid_geom_idx, pair_fn_b=pair_fn_b,
                 n_rows=n_rows, interpret=interpret))
         return jnp.concatenate(outs)
 
     kernel = functools.partial(
         _sweep_kernel, pair_fn=pair_fn, pair_fn_b=pair_fn_b, n_rows=n_rows,
-        block=block, self_excl=self_excl, gsize=gsize,
-        grid_geom_idx=grid_geom_idx, src_rows=src_rows,
-        self_offset=self_offset)
+        block=block, gsize=gsize,
+        grid_geom_idx=grid_geom_idx, src_rows=src_rows)
+
+    def win_spec(p):
+        # one BlockSpec per pass; a sentinel anchor fetches the dummy
+        # window at column 0 (the kernel skips its compute)
+        return pl.BlockSpec((pl.Element(src_rows), pl.Element(WIN)),
+                            lambda b, r, a, pv, _nr=n_rows, _p=p:
+                            (0, jnp.maximum(
+                                _unpack_anchor(a, b, r, _p, _nr) - 1,
+                                0) * ALIGN))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,   # anchors, pvec
-        grid=(nb, n_rows, N_PASS),
+        grid=(nb, n_rows),
         in_specs=[
-            pl.BlockSpec((block, fq), lambda b, r, p, a, pv: (b, 0)),
-            pl.BlockSpec((pl.Element(src_rows), pl.Element(WIN)),
-                         lambda b, r, p, a, pv, _nr=n_rows:
-                         (0, jnp.maximum(
-                             _unpack_anchor(a, b, r, p, _nr) - 1,
-                             0) * ALIGN)),
+            pl.BlockSpec((block, fq), lambda b, r, a, pv: (b, 0)),
+            *[win_spec(p) for p in range(N_PASS)],
         ],
         out_specs=pl.BlockSpec((block, out_width),
-                               lambda b, r, p, a, pv: (b, 0)),
+                               lambda b, r, a, pv: (b, 0)),
     )
     return pl.pallas_call(
         kernel,
@@ -479,5 +499,6 @@ def neighbor_sweep(pair_fn, *, queries, src, anchors, pvec, gsize,
         out_shape=jax.ShapeDtypeStruct((n, out_width), queries.dtype),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
-    )(anchors, pvec.astype(jnp.float32), queries, src)
+            dimension_semantics=("arbitrary", "arbitrary")),
+    )(anchors, pvec.astype(queries.dtype), queries,
+      *([src] * N_PASS))

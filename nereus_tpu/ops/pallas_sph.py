@@ -79,7 +79,7 @@ def build_pvec(params: SimParams, cfg: SimConfig, grid):
     vals[PV_OZ] = grid.origin[2]
     vals[PV_INVCELL] = 1.0 / grid.cell[0]
     vals[PV_DT] = params.dt
-    return jnp.stack([jnp.asarray(v, jnp.float32) for v in vals])
+    return jnp.stack([jnp.asarray(v, cfg.dtype) for v in vals])
 
 
 # ---------------------------------------------------------------------------
@@ -99,52 +99,53 @@ def _w_value(kernel_set, r2, rl, pv):
     return sigma * (a * a * a - 4.0 * bq * bq * bq)
 
 
-def _w_grad_scale_default(kernel_set, r2, rl, pv):
+def _w_grad_scale_default(kernel_set, r2, rl, pv, invrl=None):
     """Scale s with ∇W = s·r⃗ for the poly6/default gradient."""
     if kernel_set == KernelSet.MULLER:
         d = jnp.maximum(pv[PV_H2] - r2, 0.0)
         return pv[PV_KPOLY_GRAD] * d * d
-    return _w_grad_scale_monaghan(rl, pv)
+    return _w_grad_scale_monaghan(rl, pv, invrl)
 
 
-def _w_grad_scale_press(kernel_set, r2, rl, pv, invrl=None):
-    """Scale for the spiky pressure gradient."""
+def _w_grad_scale_press(kernel_set, r2, rl, pv, invrl):
+    """Scale for the spiky pressure gradient.
+
+    Finite-by-construction: ``invrl`` must come from :func:`_rl_invrl`
+    (eps-clamped rsqrt), so no ``jnp.where`` is needed — the r→0 blow-up
+    stays a finite value that the caller's 0 displacement/mask multiplies
+    away. Every select removed here is a measured VPU op saved per
+    (B, WIN) slot.
+    """
     if kernel_set == KernelSet.MULLER:
         hr = jnp.maximum(pv[PV_H] - rl, 0.0)
-        if invrl is not None:
-            return jnp.where(rl > _EPS, pv[PV_KPRESS] * hr * hr * invrl, 0.0)
-        return jnp.where(rl > _EPS,
-                         pv[PV_KPRESS] * hr * hr / jnp.maximum(rl, _EPS), 0.0)
+        return pv[PV_KPRESS] * hr * hr * invrl
     return _w_grad_scale_monaghan(rl, pv, invrl)
 
 
-def _w_grad_scale_visc(kernel_set, r2, rl, pv, invrl=None):
-    """Scale for the Müller viscosity-kernel gradient."""
+def _visc_rdotgrad(kernel_set, r2, rl, pv, invrl):
+    """r⃗·∇W_visc = scale·r² for the viscosity kernel. Ordering matters for
+    finiteness: the Müller bracket grows like invrl³ ≈ 1e36 at the r²
+    floor, so it must multiply r² (→ 0) BEFORE the ~1e4 KVISC constant —
+    KVISC·bracket overflows float32 to inf and inf·0 = NaN. (The old
+    ``jnp.where(rl > eps, …)`` hid exactly this; see
+    :func:`_w_grad_scale_press` for why the selects are gone.)"""
     if kernel_set == KernelSet.MULLER:
-        h = pv[PV_H]
-        if invrl is not None:
-            inv3 = invrl * invrl * invrl
-            c = (-(3.0 * rl / pv[PV_KVISC_DEN]) + (2.0 / pv[PV_H2])
-                 - (h * 0.5) * inv3)
-        else:
-            rl3 = jnp.maximum(rl * rl * rl, _EPS)
-            c = (-(3.0 * rl / pv[PV_KVISC_DEN]) + (2.0 / pv[PV_H2])
-                 - (h / (2.0 * rl3)))
-        return jnp.where(rl > _EPS, pv[PV_KVISC] * c, 0.0)
-    return _w_grad_scale_monaghan(rl, pv, invrl)
+        inv3 = invrl * invrl * invrl
+        c = ((2.0 / pv[PV_H2]) - rl * (3.0 / pv[PV_KVISC_DEN])
+             - inv3 * (pv[PV_H] * 0.5))
+        return (c * r2) * pv[PV_KVISC]
+    # Monaghan: scalar(q→0) → 0, so scale·r² stays finite by itself
+    return _w_grad_scale_monaghan(rl, pv, invrl) * r2
 
 
-def _w_grad_scale_monaghan(rl, pv, invrl=None):
+def _w_grad_scale_monaghan(rl, pv, invrl):
     h = pv[PV_H]
     sigma = 1.0 / (4.0 * jnp.pi * h * h * h)
     q = rl / h
     a = jnp.maximum(2.0 - q, 0.0)
     bq = jnp.maximum(1.0 - q, 0.0)
     scalar = -3.0 * a * a + 12.0 * bq * bq
-    if invrl is not None:
-        return jnp.where(rl > _EPS, sigma * scalar / h * invrl, 0.0)
-    return jnp.where(rl > _EPS,
-                     sigma * scalar / (h * jnp.maximum(rl, _EPS)), 0.0)
+    return (sigma / h) * scalar * invrl
 
 
 def _pair_geometry(q_ref, src_ref, pv, geom_offset: int = 0):
@@ -179,12 +180,13 @@ def _rl_invrl(r2):
 # ---------------------------------------------------------------------------
 
 def _maybe_rl(kernel_set, r2):
-    """|r| only when the kernel set actually needs it (the Müller poly6 /
-    default-gradient formulas are pure functions of r² — skipping the sqrt
-    is a measurable win in the implicit-solver sweeps)."""
+    """(|r|, 1/|r|) only when the kernel set actually needs them (the
+    Müller poly6 / default-gradient formulas are pure functions of r² —
+    skipping the rsqrt is a measurable win in the implicit-solver
+    sweeps). Returns ``(None, None)`` for Müller."""
     if kernel_set == KernelSet.MULLER:
-        return None
-    return jnp.sqrt(r2)
+        return None, None
+    return _rl_invrl(r2)
 
 
 def density_pair(q_ref, src_ref, valid, pv, *, kernel_set, geom_offset=0):
@@ -193,10 +195,17 @@ def density_pair(q_ref, src_ref, valid, pv, *, kernel_set, geom_offset=0):
     ``computeBoundaryCellDensity``, ``sph_kernel_impl.cuh:290-360``).
     ``geom_offset`` — see :func:`_pair_geometry` (PCISPH predicted density)."""
     dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv, geom_offset)
-    rl = _maybe_rl(kernel_set, r2)
+    if kernel_set == KernelSet.MULLER:
+        # poly6 already vanishes outside the cutoff through the clamp, so
+        # the radius compare folds away; ψ·kpoly is rank-1 (1, WIN)
+        d = jnp.maximum(pv[PV_H2] - r2, 0.0)
+        psi_k = src_ref[6:7, :] * pv[PV_KPOLY]
+        contrib = (d * d * d) * psi_k * valid.astype(q_ref.dtype)
+        return jnp.sum(contrib, axis=1, keepdims=True)
+    rl, invrl = _maybe_rl(kernel_set, r2)
     w = _w_value(kernel_set, r2, rl, pv)
-    ok = valid & (r2 < pv[PV_H2])
-    contrib = jnp.where(ok, src_ref[6:7, :] * w, 0.0)
+    okf = (valid & (r2 < pv[PV_H2])).astype(q_ref.dtype)
+    contrib = src_ref[6:7, :] * w * okf
     return jnp.sum(contrib, axis=1, keepdims=True)
 
 
@@ -215,45 +224,35 @@ def fluid_force_pair(q_ref, src_ref, valid, pv, *, kernel_set, st_model,
     """
     dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv)
     rl, invrl = _rl_invrl(r2)
-    ok = valid & (r2 < pv[PV_H2])
-    okf = ok.astype(q_ref.dtype)
+    okf = (valid & (r2 < pv[PV_H2])).astype(q_ref.dtype)
 
-    qvx, qvy, qvz = q_ref[:, 3:4], q_ref[:, 4:5], q_ref[:, 5:6]
-    dvx = qvx - src_ref[3:4, :]
-    dvy = qvy - src_ref[4:5, :]
-    dvz = qvz - src_ref[5:6, :]
-    dens_j = jnp.maximum(src_ref[6:7, :], _EPS)
+    dens_j = jnp.maximum(src_ref[6:7, :], _EPS)   # (1, WIN)
+    inv_dens = 1.0 / dens_j                       # rank-1 division
 
     # viscosity: 2·m·μ · (m/ρ_j)(r·∇W_v)/(r²+0.01h²) · (v_i − v_j)
-    sv = _w_grad_scale_visc(kernel_set, r2, rl, pv, invrl)
-    a = sv * r2                                  # rij·∇W_visc
+    a = _visc_rdotgrad(kernel_set, r2, rl, pv, invrl)
+    kv = (2.0 * pv[PV_PM] * pv[PV_VISC] * pv[PV_PM]) * inv_dens  # rank-1
     bden = r2 + 0.01 * pv[PV_H2]
-    cvisc = (2.0 * pv[PV_PM] * pv[PV_VISC]) * pv[PV_PM] / dens_j * (a / bden)
-    cvisc = cvisc * okf
-    fx = cvisc * dvx
-    fy = cvisc * dvy
-    fz = cvisc * dvz
+    cvisc = kv * (a / bden) * okf
 
+    # displacement-direction coefficient: pressure + surface tension share
+    # the r⃗ factor, so their scales combine into ONE (B, WIN) field before
+    # the mask/accumulate — each fold is a VPU op per slot
+    cpd = None
     if include_pressure:
-        ratio = dens_j / pv[PV_RD]
+        # Tait EOS of the neighbor density — all rank-1 (1, WIN)
+        ratio = dens_j * (1.0 / pv[PV_RD])
         ratio2 = ratio * ratio
         p_j = pv[PV_K] * (ratio2 * ratio2 * ratio2 * ratio - 1.0)
-        pd2_j = p_j / (dens_j * dens_j)
+        pd2_j = p_j * inv_dens * inv_dens
         sp = _w_grad_scale_press(kernel_set, r2, rl, pv, invrl)
-        coef = -pv[PV_PM] * pv[PV_PM] * (q_ref[:, 7:8] + pd2_j) * sp
-        coef = coef * okf
-        fx = fx + coef * dx
-        fy = fy + coef * dy
-        fz = fz + coef * dz
+        cpd = (q_ref[:, 7:8] + pd2_j) * (-pv[PV_PM] * pv[PV_PM]) * sp
 
-    # surface tension
     if st_model == SurfaceTensionModel.BECKER:
         w = _w_value(kernel_set, r2, rl, pv)
         w_eff = jnp.where(r2 > pv[PV_DIAM2], w, pv[PV_WDIAM])
-        cs = -pv[PV_KAPPA] * w_eff * okf
-        fx = fx + cs * dx
-        fy = fy + cs * dy
-        fz = fz + cs * dz
+        cs = w_eff * (-pv[PV_KAPPA])
+        cpd = cs if cpd is None else cpd + cs
     elif st_model == SurfaceTensionModel.AKINCI:
         hr = jnp.maximum(pv[PV_H] - rl, 0.0)
         cube = hr * hr * hr * rl * rl * rl
@@ -263,11 +262,19 @@ def fluid_force_pair(q_ref, src_ref, valid, pv, *, kernel_set, st_model,
                       jnp.where((rl > _EPS) & (2.0 * rl <= pv[PV_H]),
                                 near, 0.0))
         kij = 2.0 * pv[PV_RD] / (q_ref[:, 6:7] + dens_j)
-        cs = (-pv[PV_KAPPA] * pv[PV_PM] * pv[PV_PM] * kij * c
-              / jnp.maximum(rl, 1e-12)) * okf
-        fx = fx + cs * dx
-        fy = fy + cs * dy
-        fz = fz + cs * dz
+        cs = (-pv[PV_KAPPA] * pv[PV_PM] * pv[PV_PM]) * kij * c * invrl
+        cpd = cs if cpd is None else cpd + cs
+
+    dvx = q_ref[:, 3:4] - src_ref[3:4, :]
+    dvy = q_ref[:, 4:5] - src_ref[4:5, :]
+    dvz = q_ref[:, 5:6] - src_ref[5:6, :]
+    if cpd is None:
+        fx, fy, fz = cvisc * dvx, cvisc * dvy, cvisc * dvz
+    else:
+        cpd = cpd * okf
+        fx = cvisc * dvx + cpd * dx
+        fy = cvisc * dvy + cpd * dy
+        fz = cvisc * dvz + cpd * dz
 
     zero = jnp.zeros_like(fx[:, :1])
     return jnp.concatenate(
@@ -285,31 +292,32 @@ def boundary_force_pair(q_ref, src_ref, valid, pv, *, kernel_set,
     src ψ slot (6) = ρ₀·V_b. Output (B, 4): fx fy fz (pad).
     """
     dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv)
-    rl = _maybe_rl(kernel_set, r2)
-    ok = valid & (r2 < pv[PV_H2])
-    okf = ok.astype(q_ref.dtype)
-    psi = src_ref[6:7, :]
-    dens_i = jnp.maximum(q_ref[:, 6:7], _EPS)
+    rl, invrl = _maybe_rl(kernel_set, r2)
+    okf = (valid & (r2 < pv[PV_H2])).astype(q_ref.dtype)
+    psi = src_ref[6:7, :]                          # rank-1 (1, WIN)
+    dens_i = jnp.maximum(q_ref[:, 6:7], _EPS)      # rank-1 (B, 1)
 
     w = _w_value(kernel_set, r2, rl, pv)
-    sd = _w_grad_scale_default(kernel_set, r2, rl, pv)
+    sd = _w_grad_scale_default(kernel_set, r2, rl, pv, invrl)
 
-    # adhesion: β ψ W(r) r⃗
-    cadh = pv[PV_BETA] * psi * w * okf
+    # adhesion: β ψ W(r) r⃗  (β·ψ folds rank-1)
+    cadh = (pv[PV_BETA] * psi) * w
 
     # friction: 2·m·μ · (−m ψ Π) ∇W_dflt, Π = −ν·max(v_i·r, 0)/(1+0.01h²)
-    nu = (pv[PV_VISC] * pv[PV_H] * pv[PV_CS]) / (dens_i * dens_i)
+    # ν is rank-1 in the query; the constants fold into it
+    nu = ((2.0 * pv[PV_PM] * pv[PV_PM] * pv[PV_VISC] * pv[PV_VISC]
+           * pv[PV_H] * pv[PV_CS]) / (1.0 + 0.01 * pv[PV_H2])) \
+        / (dens_i * dens_i)
     vdotr = (q_ref[:, 3:4] * dx + q_ref[:, 4:5] * dy + q_ref[:, 5:6] * dz)
-    pij = -nu * jnp.maximum(vdotr, 0.0) / (1.0 + 0.01 * pv[PV_H2])
-    cfric = (2.0 * pv[PV_PM] * pv[PV_VISC]) * (-pv[PV_PM] * psi * pij) * sd
+    cfric = nu * jnp.maximum(vdotr, 0.0) * psi * sd
 
     # boundary pressure: −m · (−m ψ pd2_i) · ∇W_dflt
     if include_pressure:
-        cpres = pv[PV_PM] * pv[PV_PM] * psi * q_ref[:, 7:8] * sd
+        c = cadh + (cfric + (pv[PV_PM] * pv[PV_PM])
+                    * psi * q_ref[:, 7:8] * sd)
     else:
-        cpres = 0.0
-
-    c = (cadh + (cfric + cpres) * okf) * okf
+        c = cadh + cfric
+    c = c * okf
     zero = jnp.zeros_like(dx[:, :1])
     return jnp.concatenate(
         [jnp.sum(c * dx, axis=1, keepdims=True),
@@ -334,11 +342,11 @@ def dii_rhoadv_pair(q_ref, src_ref, valid, pv, *, kernel_set, vel_q_offset):
     q fields: x y z vax vay vaz vx vy vz inv_d2 — out (B, 4): dii, ρ_adv.
     """
     dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv)
-    rl = _maybe_rl(kernel_set, r2)
+    rl, invrl = _maybe_rl(kernel_set, r2)
     ok = valid & (r2 < pv[PV_H2])
     okf = ok.astype(q_ref.dtype)
     psi = src_ref[6:7, :]
-    s = _w_grad_scale_default(kernel_set, r2, rl, pv)
+    s = _w_grad_scale_default(kernel_set, r2, rl, pv, invrl)
 
     cdii = -psi * q_ref[:, 9:10] * s * okf
     o = vel_q_offset
@@ -360,11 +368,11 @@ def aii_pair(q_ref, src_ref, valid, pv, *, kernel_set):
     Reference: ``compute_aii_cell[_boundary]`` (sph_kernel_impl.cuh:1040-1108).
     """
     dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv)
-    rl = _maybe_rl(kernel_set, r2)
+    rl, invrl = _maybe_rl(kernel_set, r2)
     ok = valid & (r2 < pv[PV_H2])
     okf = ok.astype(q_ref.dtype)
     psi = src_ref[6:7, :]
-    s = _w_grad_scale_default(kernel_set, r2, rl, pv)
+    s = _w_grad_scale_default(kernel_set, r2, rl, pv, invrl)
     dii_dot_r = (q_ref[:, 3:4] * dx + q_ref[:, 4:5] * dy
                  + q_ref[:, 5:6] * dz)
     term = psi * (s * dii_dot_r - q_ref[:, 6:7] * s * s * r2) * okf
@@ -378,11 +386,11 @@ def sum_dij_pair(q_ref, src_ref, valid, pv, *, kernel_set):
     q fields: x y z — out (B, 4): vector + pad.
     """
     dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv)
-    rl = _maybe_rl(kernel_set, r2)
+    rl, invrl = _maybe_rl(kernel_set, r2)
     ok = valid & (r2 < pv[PV_H2])
     okf = ok.astype(q_ref.dtype)
     c = -pv[PV_PM] * src_ref[6:7, :] * \
-        _w_grad_scale_default(kernel_set, r2, rl, pv) * okf
+        _w_grad_scale_default(kernel_set, r2, rl, pv, invrl) * okf
     zero = jnp.zeros_like(dx[:, :1])
     return jnp.concatenate(
         [jnp.sum(c * dx, axis=1, keepdims=True),
@@ -399,10 +407,10 @@ def jacobi_fluid_pair(q_ref, src_ref, valid, pv, *, kernel_set):
     q fields: x y z sdx sdy sdz (Σd_ij p_j) and dpi·p_i. Out (B, 1).
     """
     dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv)
-    rl = _maybe_rl(kernel_set, r2)
+    rl, invrl = _maybe_rl(kernel_set, r2)
     ok = valid & (r2 < pv[PV_H2])
     okf = ok.astype(q_ref.dtype)
-    s = _w_grad_scale_default(kernel_set, r2, rl, pv)
+    s = _w_grad_scale_default(kernel_set, r2, rl, pv, invrl)
     p_j = src_ref[6:7, :]
     ix = q_ref[:, 3:4] - src_ref[3:4, :] * p_j - src_ref[7:8, :]
     iy = q_ref[:, 4:5] - src_ref[4:5, :] * p_j - src_ref[8:9, :]
@@ -417,10 +425,10 @@ def jacobi_boundary_pair(q_ref, src_ref, valid, pv, *, kernel_set):
     intended boundary segment bounds — SURVEY §5 defect list).
     q fields: x y z sdx sdy sdz. Out (B, 1)."""
     dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv)
-    rl = _maybe_rl(kernel_set, r2)
+    rl, invrl = _maybe_rl(kernel_set, r2)
     ok = valid & (r2 < pv[PV_H2])
     okf = ok.astype(q_ref.dtype)
-    s = _w_grad_scale_default(kernel_set, r2, rl, pv)
+    s = _w_grad_scale_default(kernel_set, r2, rl, pv, invrl)
     dot = s * (q_ref[:, 3:4] * dx + q_ref[:, 4:5] * dy + q_ref[:, 5:6] * dz)
     return jnp.sum(src_ref[6:7, :] * dot * okf, axis=1, keepdims=True)
 
@@ -436,10 +444,10 @@ def grad_pressure_force_pair(q_ref, src_ref, valid, pv, *, kernel_set,
     q fields: x y z pd2. Out (B, 4): fx fy fz pad.
     """
     dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv)
-    rl = _maybe_rl(kernel_set, r2)
+    rl, invrl = _maybe_rl(kernel_set, r2)
     ok = valid & (r2 < pv[PV_H2])
     okf = ok.astype(q_ref.dtype)
-    s = _w_grad_scale_default(kernel_set, r2, rl, pv)
+    s = _w_grad_scale_default(kernel_set, r2, rl, pv, invrl)
     if boundary:
         c = boundary_sign * pv[PV_PM] * src_ref[6:7, :] * q_ref[:, 3:4] * s
     else:
@@ -457,22 +465,20 @@ def grad_pressure_force_pair(q_ref, src_ref, valid, pv, *, kernel_set,
 # ---------------------------------------------------------------------------
 
 def density_sweep(cfg: SimConfig, queries_pos, src, anchors, pvec, gsize,
-                  *, self_excl, self_offset=0, n_rows=9, geom_offset=0,
-                  interpret=False):
+                  *, n_rows=9, geom_offset=0, interpret=False):
     """Density over fluid (and, when ``n_rows=18``, the fused boundary
     region — the ψ-slot formula is identical for both)."""
     pair = functools.partial(density_pair, kernel_set=cfg.kernel_set,
                              geom_offset=geom_offset)
     out = neighbor_sweep(
         pair, queries=queries_pos, src=src, anchors=anchors, pvec=pvec,
-        gsize=gsize, out_width=1, self_excl=self_excl, n_rows=n_rows,
-        block=cfg.sweep_block, grid_geom_idx=PV_OX,
-        self_offset=self_offset, interpret=interpret)
+        gsize=gsize, out_width=1, n_rows=n_rows,
+        block=cfg.sweep_block, grid_geom_idx=PV_OX, interpret=interpret)
     return out[:, 0]
 
 
 def fluid_force_sweep(cfg: SimConfig, queries, src, anchors, pvec, gsize,
-                      *, include_pressure=True, self_offset=0, n_rows=9,
+                      *, include_pressure=True, n_rows=9,
                       interpret=False):
     """WCSPH forces; with ``n_rows=18`` the boundary terms (adhesion +
     friction + boundary pressure) run fused as rows 9-17."""
@@ -486,9 +492,9 @@ def fluid_force_sweep(cfg: SimConfig, queries, src, anchors, pvec, gsize,
                                    include_pressure=include_pressure)
     out = neighbor_sweep(
         pair, queries=queries, src=src, anchors=anchors, pvec=pvec,
-        gsize=gsize, out_width=4, self_excl=True, n_rows=n_rows,
+        gsize=gsize, out_width=4, n_rows=n_rows,
         block=cfg.sweep_block, pair_fn_b=pair_b, grid_geom_idx=PV_OX,
-        self_offset=self_offset, interpret=interpret)
+        interpret=interpret)
     return out[:, :3]
 
 
@@ -498,13 +504,13 @@ def boundary_force_sweep(cfg: SimConfig, queries, bsrc, anchors, pvec, gsize,
                              include_pressure=include_pressure)
     out = neighbor_sweep(
         pair, queries=queries, src=bsrc, anchors=anchors, pvec=pvec,
-        gsize=gsize, out_width=4, self_excl=False,
+        gsize=gsize, out_width=4,
         grid_geom_idx=PV_OX, interpret=interpret)
     return out[:, :3]
 
 
 def generic_sweep(cfg: SimConfig, pair_fn, queries, src, anchors, pvec,
-                  gsize, *, out_width, self_excl, self_offset=0,
+                  gsize, *, out_width,
                   pair_fn_b=None, pair_b_kw=None, n_rows=9,
                   interpret=False, **kw):
     """Run any pair function (kernel_set bound automatically); an optional
@@ -516,6 +522,6 @@ def generic_sweep(cfg: SimConfig, pair_fn, queries, src, anchors, pvec,
                                **(pair_b_kw or {}))
     return neighbor_sweep(
         pair, queries=queries, src=src, anchors=anchors, pvec=pvec,
-        gsize=gsize, out_width=out_width, self_excl=self_excl,
+        gsize=gsize, out_width=out_width,
         block=cfg.sweep_block, pair_fn_b=pb, n_rows=n_rows,
-        grid_geom_idx=PV_OX, self_offset=self_offset, interpret=interpret)
+        grid_geom_idx=PV_OX, interpret=interpret)

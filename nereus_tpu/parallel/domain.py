@@ -44,7 +44,6 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import grid as gridlib
-from .. import kernels as K
 from ..params import SimConfig, SimParams
 from ..state import BoundaryData, FluidState
 from ..solvers import common
@@ -462,10 +461,9 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
         raise ValueError(
             f"mesh axis {ax!r} has {mesh.shape[ax]} devices but "
             f"ShardConfig.n_shards={d}")
-    if cfg.use_pallas() and grid.num_cells >= 2 ** 24:
-        raise ValueError(
-            f"grid has {grid.num_cells} cells; the Pallas engine ships "
-            "cell hashes as float32 (exact < 2^24)")
+    if cfg.use_pallas():
+        from ..solvers.pallas_common import check_pallas_dtype
+        check_pallas_dtype(cfg, grid)
     cl = scfg.local_capacity
     kh = scfg.halo_capacity
 
@@ -548,12 +546,10 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
             q4 = jnp.concatenate(
                 [pos_q, jnp.zeros((clb, 1), pos.dtype)], axis=1)
             zvel = jnp.zeros((src_len, 3), pos.dtype)
+            # self term ψ·W(0) included by the sweep (no self-exclusion)
             dens = PSs.density_sweep(cfg, q4, pack(zvel, psi_fluid),
                                      anchors, pvec, grid.size,
-                                     self_excl=True, self_offset=kh,
                                      n_rows=n_rows, interpret=interp)
-            zero3 = jnp.zeros((1, 3), dtype=cfg.dtype)
-            dens = dens + pm * K.w_value(cfg.kernel_set, zero3, params)[0]
             dens = dens[:cl]
             prs = wcsph_mod.tait_pressure(dens, params)
 
@@ -570,7 +566,7 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
                  padq(pd2, 0.0)[:, None]], axis=1)
             force = PSs.fluid_force_sweep(
                 cfg, q8, pack(src_vel, src_dens), anchors,
-                pvec, grid.size, self_offset=kh, n_rows=n_rows,
+                pvec, grid.size, n_rows=n_rows,
                 interpret=interp)
             force = force[:cl] + pm * params.gravity
             seg_overflow = miss
@@ -674,10 +670,8 @@ def _check_pallas_only(cfg: SimConfig, grid: gridlib.Grid, what: str):
             f"{what} only has a Pallas implementation; "
             "SimConfig(engine='segments') is not supported here "
             "(off-TPU it runs the same kernels in interpret mode)")
-    if grid.num_cells >= 2 ** 24:
-        raise ValueError(
-            f"grid has {grid.num_cells} cells; the Pallas engine ships "
-            "cell hashes as float32 (exact < 2^24)")
+    from ..solvers.pallas_common import check_pallas_dtype
+    check_pallas_dtype(cfg, grid)
 
 
 def _diag_struct():
@@ -789,12 +783,10 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
         # --- density ------------------------------------------------------
         q4 = jnp.concatenate([pos_q, jnp.zeros((clb, 1), pos.dtype)],
                              axis=1)
+        # self term ψ·W(0) included by the sweep (no self-exclusion)
         dens = PSs.density_sweep(cfg, q4, pack8(slot6=psi_fluid), anchors,
-                                 pvec, grid.size, self_excl=True,
-                                 self_offset=kh, n_rows=n_rows,
-                                 interpret=interp)
-        zero3 = jnp.zeros((1, 3), dtype=cfg.dtype)
-        dens = (dens + pm * K.w_value(cfg.kernel_set, zero3, params)[0])[:cl]
+                                 pvec, grid.size, n_rows=n_rows,
+                                 interpret=interp)[:cl]
         dens_safe = jnp.maximum(dens, 1e-12)
         inv_d2 = 1.0 / (dens_safe * dens_safe)
         (src_dens,) = hop({"dens": dens})
@@ -805,8 +797,7 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
         f_adv = PSs.fluid_force_sweep(cfg, q8, pack8(src_vel, src_dens),
                                       anchors, pvec, grid.size,
                                       include_pressure=False,
-                                      self_offset=kh, n_rows=n_rows,
-                                      interpret=interp)
+                                      n_rows=n_rows, interpret=interp)
         f_adv = f_adv[:cl] + pm * params.gravity
         vel_adv = vel + (dt / pm) * f_adv
         (src_vel_adv,) = hop({"va": vel_adv})
@@ -818,7 +809,6 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
         src_pred = pack8(src_vel_adv, psi_fluid)
         pr = PSs.generic_sweep(cfg, PSs.dii_rhoadv_pair, q12, src_pred,
                                anchors, pvec, grid.size, out_width=4,
-                               self_excl=True, self_offset=kh,
                                n_rows=n_rows, interpret=interp,
                                vel_q_offset=3,
                                pair_fn_b=(PSs.dii_rhoadv_pair if has_b
@@ -833,7 +823,6 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
                                  jnp.zeros((clb, 1), pos.dtype)], axis=1)
         aii = PSs.generic_sweep(cfg, PSs.aii_pair, q_aii, src_pred,
                                 anchors, pvec, grid.size, out_width=1,
-                                self_excl=True, self_offset=kh,
                                 n_rows=n_rows, interpret=interp)[:cl, 0]
 
         (src_dii,) = hop({"dii": dii})
@@ -855,8 +844,8 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
             # Σd_ij·p_j: fluid region only (9-row plan, same fused matrix)
             sum_dij = PSs.generic_sweep(
                 cfg, PSs.sum_dij_pair, q4, pack8(slot6=src_pd2), anchors_f,
-                pvec, grid.size, out_width=4, self_excl=True,
-                self_offset=kh, n_rows=9, interpret=interp)[:cl, :3]
+                pvec, grid.size, out_width=4,
+                n_rows=9, interpret=interp)[:cl, :3]
 
             src_sd3, src_p = hop({"sd": sum_dij, "p": p})
             src16 = pack(
@@ -867,7 +856,7 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
                  jnp.zeros((clb, 1), pos.dtype)], axis=1)
             fb = PSs.generic_sweep(
                 cfg, PSs.jacobi_fluid_pair, qj, src16, anchors, pvec,
-                grid.size, out_width=1, self_excl=True, self_offset=kh,
+                grid.size, out_width=1,
                 n_rows=n_rows, interpret=interp,
                 pair_fn_b=(PSs.jacobi_boundary_pair if has_b
                            else None))[:cl, 0]
@@ -897,8 +886,8 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
         q_pf = jnp.concatenate([pos_q, padq(pd2, 0.0)[:, None]], axis=1)
         f_p = PSs.generic_sweep(
             cfg, PSs.grad_pressure_force_pair, q_pf, pack8(slot6=src_pd2),
-            anchors, pvec, grid.size, out_width=4, self_excl=True,
-            self_offset=kh, n_rows=n_rows, interpret=interp, boundary=False,
+            anchors, pvec, grid.size, out_width=4,
+            n_rows=n_rows, interpret=interp, boundary=False,
             pair_fn_b=(PSs.grad_pressure_force_pair if has_b else None),
             pair_b_kw=dict(boundary=True, boundary_sign=-1.0))[:cl, :3]
 
@@ -1056,13 +1045,10 @@ def make_sharded_pcisph_step(mesh: Mesh, params: SimParams,
         # --- density + advection forces ------------------------------------
         q4 = jnp.concatenate([pos_q, jnp.zeros((clb, 1), pos.dtype)],
                              axis=1)
+        # self term ψ·W(0) included by the sweeps (no self-exclusion)
         dens = PSs.density_sweep(cfg, q4, pack8(slot6=psi_fluid), anchors,
-                                 pvec, grid.size, self_excl=True,
-                                 self_offset=kh, n_rows=n_rows,
-                                 interpret=interp)
-        zero3 = jnp.zeros((1, 3), dtype=cfg.dtype)
-        self_w = pm * K.w_value(cfg.kernel_set, zero3, params)[0]
-        dens = (dens + self_w)[:cl]
+                                 pvec, grid.size, n_rows=n_rows,
+                                 interpret=interp)[:cl]
         dens_safe = jnp.maximum(dens, 1e-12)
         inv_d2 = 1.0 / (dens_safe * dens_safe)
         (src_dens,) = hop({"dens": dens})
@@ -1072,8 +1058,7 @@ def make_sharded_pcisph_step(mesh: Mesh, params: SimParams,
         f_adv = PSs.fluid_force_sweep(cfg, q8, pack8(src_vel, src_dens),
                                       anchors, pvec, grid.size,
                                       include_pressure=False,
-                                      self_offset=kh, n_rows=n_rows,
-                                      interpret=interp)
+                                      n_rows=n_rows, interpret=interp)
         f_adv = f_adv[:cl] + pm * params.gravity
 
         tol = tol_frac * params.rest_density
@@ -1094,8 +1079,8 @@ def make_sharded_pcisph_step(mesh: Mesh, params: SimParams,
             q6p = jnp.concatenate([pos_q, padq(pos_pred, PARK)], axis=1)
             rho_pred = PSs.density_sweep(
                 cfg, q6p, pack8(slot6=psi_fluid, posf=src_pos_pred),
-                anchors, pvec, grid.size, self_excl=True, self_offset=kh,
-                n_rows=n_rows, geom_offset=3, interpret=interp)[:cl] + self_w
+                anchors, pvec, grid.size,
+                n_rows=n_rows, geom_offset=3, interpret=interp)[:cl]
             rho_err = jnp.maximum(rho_pred - params.rest_density, 0.0)
             rho_err = jnp.where(own_active, rho_err, 0.0)
             p_new = p + delta_c * rho_err
@@ -1106,8 +1091,7 @@ def make_sharded_pcisph_step(mesh: Mesh, params: SimParams,
             f_p_new = PSs.generic_sweep(
                 cfg, PSs.grad_pressure_force_pair, q_pf,
                 pack8(slot6=src_pd2), anchors, pvec, grid.size, out_width=4,
-                self_excl=True, self_offset=kh, n_rows=n_rows,
-                interpret=interp, boundary=False,
+                n_rows=n_rows, interpret=interp, boundary=False,
                 pair_fn_b=(PSs.grad_pressure_force_pair if has_b else None),
                 pair_b_kw=dict(boundary=True,
                                boundary_sign=-1.0))[:cl, :3]

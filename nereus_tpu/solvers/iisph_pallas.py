@@ -18,7 +18,6 @@ import jax
 import jax.numpy as jnp
 
 from .. import grid as gridlib
-from .. import kernels as K
 from ..ops import pallas_sph as PS
 from ..params import SimConfig, SimParams
 from ..state import BoundaryData, FluidState
@@ -43,11 +42,9 @@ def iisph_step_pallas(state: FluidState, params: SimParams,
     # --- density -----------------------------------------------------------
     q4 = jnp.concatenate([pos, jnp.zeros((cb, 1), pos.dtype)], axis=1)
     psi_fluid = jnp.full((c,), 1.0, pos.dtype) * pm
+    # self term ψ·W(0) is included by the sweep (self-pairs not excluded)
     dens = PS.density_sweep(cfg, q4, ctx.pack(slot6=psi_fluid), ctx.anchors,
-                            pvec, gsize, self_excl=True, n_rows=n_rows,
-                            interpret=interp)
-    zero3 = jnp.zeros((1, 3), dtype=cfg.dtype)
-    dens = dens + pm * K.w_value(cfg.kernel_set, zero3, params)[0]
+                            pvec, gsize, n_rows=n_rows, interpret=interp)
     dens_safe = jnp.maximum(dens, 1e-12)
     inv_d2 = 1.0 / (dens_safe * dens_safe)
 
@@ -66,7 +63,7 @@ def iisph_step_pallas(state: FluidState, params: SimParams,
                            jnp.zeros((cb, 2), pos.dtype)], axis=1)
     src_p = ctx.pack(vel=vel_adv, slot6=psi_fluid)
     pr = PS.generic_sweep(cfg, PS.dii_rhoadv_pair, q12, src_p, ctx.anchors,
-                          pvec, gsize, out_width=4, self_excl=True,
+                          pvec, gsize, out_width=4,
                           n_rows=n_rows, interpret=interp, vel_q_offset=3,
                           pair_fn_b=PS.dii_rhoadv_pair,
                           pair_b_kw=dict(vel_q_offset=6))
@@ -78,7 +75,7 @@ def iisph_step_pallas(state: FluidState, params: SimParams,
                              jnp.zeros((cb, 1), pos.dtype)], axis=1)
     # aii formula is identical for fluid (ψ = m) and boundary (ψ) rows
     aii = PS.generic_sweep(cfg, PS.aii_pair, q_aii, src_p, ctx.anchors,
-                           pvec, gsize, out_width=1, self_excl=True,
+                           pvec, gsize, out_width=1,
                            n_rows=n_rows, interpret=interp)[:, 0]
 
     p0 = 0.5 * ctx.pres_prev  # p⁰ = ½·p_prev (sph_kernel_impl.cuh:1197)
@@ -99,7 +96,7 @@ def iisph_step_pallas(state: FluidState, params: SimParams,
         src_sd = ctx.pack(slot6=pd2)
         sum_dij = PS.generic_sweep(
             cfg, PS.sum_dij_pair, q4, src_sd, ctx.anchors_f, pvec, gsize,
-            out_width=4, self_excl=True, n_rows=9, interpret=interp)[:, :3]
+            out_width=4, n_rows=9, interpret=interp)[:, :3]
 
         src16 = ctx.pack_wide(
             [dii[:, 0], dii[:, 1], dii[:, 2], p,
@@ -109,8 +106,7 @@ def iisph_step_pallas(state: FluidState, params: SimParams,
         # fused: fluid Jacobi sum + boundary ψ term in one sweep
         fb = PS.generic_sweep(cfg, PS.jacobi_fluid_pair, qj, src16,
                               ctx.anchors, pvec, gsize, out_width=1,
-                              self_excl=True, n_rows=n_rows,
-                              interpret=interp,
+                              n_rows=n_rows, interpret=interp,
                               pair_fn_b=PS.jacobi_boundary_pair)[:, 0]
 
         dt2 = dt * dt
@@ -135,7 +131,7 @@ def iisph_step_pallas(state: FluidState, params: SimParams,
     src_pf = ctx.pack(slot6=pd2)   # boundary region slot6 = ψ
     f_p = PS.generic_sweep(
         cfg, PS.grad_pressure_force_pair, q_pf, src_pf, ctx.anchors, pvec,
-        gsize, out_width=4, self_excl=True, n_rows=n_rows,
+        gsize, out_width=4, n_rows=n_rows,
         interpret=interp, boundary=False,
         pair_fn_b=PS.grad_pressure_force_pair,
         pair_b_kw=dict(boundary=True, boundary_sign=-1.0))[:, :3]

@@ -94,14 +94,32 @@ class PallasCtx:
                                  self._bcols(None), rows=rows)
 
 
+def check_pallas_dtype(cfg: SimConfig, grid: gridlib.Grid):
+    """Pallas-engine dtype constraints.
+
+    Cell hashes ride the source matrix as floats: exact below 2²⁴ cells in
+    float32, 2⁵³ in float64. float64 itself only exists in interpret mode
+    (CPU) — Mosaic has no f64 vector type on real TPUs — which matches the
+    reference's own guidance that DOUBLE_PRECISION is a debug/validation
+    build with "poor performances" (README.md:46-59, common.h:23-43).
+    """
+    hash_cap = 2 ** 53 if cfg.dtype == jnp.float64 else 2 ** 24
+    if grid.num_cells >= hash_cap:
+        raise ValueError(
+            f"grid has {grid.num_cells} cells; the Pallas engine ships cell "
+            f"hashes as {cfg.dtype} (exact < 2^{53 if hash_cap > 2**24 else 24}"
+            "). Use a coarser grid or SimConfig(engine='segments').")
+    if cfg.dtype == jnp.float64 and not interpret_mode():
+        raise ValueError(
+            "float64 Pallas runs only in interpret mode (CPU): TPUs have "
+            "no f64 vector unit. Use SimConfig(engine='segments') for the "
+            "jnp f64 path, or run on CPU.")
+
+
 def build_pallas_ctx(state: FluidState, params: SimParams,
                      grid: gridlib.Grid, cfg: SimConfig,
                      boundary: Optional[BoundaryData]) -> PallasCtx:
-    if grid.num_cells >= 2 ** 24:
-        raise ValueError(
-            f"grid has {grid.num_cells} cells; the Pallas engine ships cell "
-            "hashes as float32 (exact < 2^24). Use a coarser grid or "
-            "SimConfig(engine='segments').")
+    check_pallas_dtype(cfg, grid)
     interp = interpret_mode()
     c = state.capacity
     cb = round_up(c, cfg.sweep_block)

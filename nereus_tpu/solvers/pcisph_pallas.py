@@ -17,7 +17,6 @@ import jax
 import jax.numpy as jnp
 
 from .. import grid as gridlib
-from .. import kernels as K
 from ..ops import pallas_sph as PS
 from ..params import SimConfig, SimParams
 from ..state import BoundaryData, FluidState
@@ -46,12 +45,9 @@ def pcisph_step_pallas(state: FluidState, params: SimParams,
     # --- density + advection forces -----------------------------------------
     q4 = jnp.concatenate([pos, jnp.zeros((cb, 1), pos.dtype)], axis=1)
     psi_fluid = jnp.full((c,), 1.0, pos.dtype) * pm
+    # self term ψ·W(0) is included by the sweeps (self-pairs not excluded)
     dens = PS.density_sweep(cfg, q4, ctx.pack(slot6=psi_fluid), ctx.anchors,
-                            pvec, gsize, self_excl=True, n_rows=n_rows,
-                            interpret=interp)
-    zero3 = jnp.zeros((1, 3), dtype=cfg.dtype)
-    self_w = pm * K.w_value(cfg.kernel_set, zero3, params)[0]
-    dens = dens + self_w
+                            pvec, gsize, n_rows=n_rows, interpret=interp)
     dens_safe = jnp.maximum(dens, 1e-12)
     inv_d2 = 1.0 / (dens_safe * dens_safe)
 
@@ -83,8 +79,8 @@ def pcisph_step_pallas(state: FluidState, params: SimParams,
         q6p = jnp.concatenate([pos, pos_pred], axis=1)
         src_dp = ctx.pack(slot6=psi_fluid, pos_override=pos_pred)
         rho_pred = PS.density_sweep(cfg, q6p, src_dp, ctx.anchors, pvec,
-                                    gsize, self_excl=True, n_rows=n_rows,
-                                    geom_offset=3, interpret=interp) + self_w
+                                    gsize, n_rows=n_rows,
+                                    geom_offset=3, interpret=interp)
         rho_err = jnp.maximum(rho_pred - params.rest_density, 0.0)
         rho_err = jnp.where(active, rho_err, 0.0)
         p_new = p + delta * rho_err
@@ -93,7 +89,7 @@ def pcisph_step_pallas(state: FluidState, params: SimParams,
         q_pf = jnp.concatenate([pos, pd2[:, None]], axis=1)
         f_p_new = PS.generic_sweep(
             cfg, PS.grad_pressure_force_pair, q_pf, ctx.pack(slot6=pd2),
-            ctx.anchors, pvec, gsize, out_width=4, self_excl=True,
+            ctx.anchors, pvec, gsize, out_width=4,
             n_rows=n_rows, interpret=interp, boundary=False,
             pair_fn_b=PS.grad_pressure_force_pair,
             pair_b_kw=dict(boundary=True, boundary_sign=-1.0))[:, :3]

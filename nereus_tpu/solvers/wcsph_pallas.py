@@ -15,7 +15,6 @@ from typing import Optional
 import jax.numpy as jnp
 
 from .. import grid as gridlib
-from .. import kernels as K
 from ..ops import pallas_sph as PS
 from ..params import SimConfig, SimParams
 from ..state import BoundaryData, FluidState
@@ -43,10 +42,9 @@ def wcsph_step_pallas(state: FluidState, params: SimParams,
     q4 = jnp.concatenate([pos, jnp.zeros((cb, 1), pos.dtype)], axis=1)
     psi_fluid = jnp.full((c,), 1.0, pos.dtype) * pm
     src_d = ctx.pack(slot6=psi_fluid)
+    # self term ψ·W(0) is included by the sweep (self-pairs not excluded)
     dens = PS.density_sweep(cfg, q4, src_d, ctx.anchors, pvec, gsize,
-                            self_excl=True, n_rows=n_rows, interpret=interp)
-    zero = jnp.zeros((1, 3), dtype=cfg.dtype)
-    dens = dens + pm * K.w_value(cfg.kernel_set, zero, params)[0]
+                            n_rows=n_rows, interpret=interp)
     pres = tait_pressure(dens, params)
 
     # -- forces (viscosity + surface tension + pressure + boundary terms) ---

@@ -111,6 +111,10 @@ def test_pcisph_pallas_predicted_cell_crossing_matches_oracle():
     ax = np.arange(k) * spacing
     xx, yy, zz = np.meshgrid(ax, ax, ax, indexing="ij")
     pts = np.stack([xx.ravel(), yy.ravel(), zz.ravel()], -1).astype(np.float32)
+    # deterministic jitter: makes every coordinate distinct so the
+    # lexsort-based particle matching in _compare is unambiguous
+    pts += np.random.default_rng(0).uniform(
+        -0.1 * spacing, 0.1 * spacing, pts.shape).astype(np.float32)
     dt = float(params.dt)
     vel = np.full_like(pts, 0.6 * h / dt)
 

@@ -124,7 +124,7 @@ def force_pair_v2(q_ref, src_ref, valid, pv, **_):
 def build(name, cfg, params, grid):
     import nereus_tpu as nt
 
-    def density_like(pair_fn, self_excl):
+    def density_like(pair_fn, _unused=None):
         def run(ctx, q_extra):
             pos, cb, c = ctx.pos, ctx.cb, ctx.c
             pm = params.particle_mass
@@ -137,13 +137,13 @@ def build(name, cfg, params, grid):
                 if pair_fn is PS.density_pair else pair_fn,
                 queries=q, src=ctx.pack(slot6=psi), anchors=ctx.anchors,
                 pvec=ctx.pvec, gsize=ctx.gsize, out_width=1,
-                block=cfg.sweep_block, self_excl=self_excl,
+                block=cfg.sweep_block,
                 grid_geom_idx=PS.PV_OX, n_rows=ctx.n_rows,
                 interpret=ctx.interp)
             return out[:, 0]
         return run
 
-    def force_like(pair_fn, self_excl):
+    def force_like(pair_fn, _unused=None):
         def run(ctx, q_extra):
             pos, cb = ctx.pos, ctx.cb
             dens = jnp.full((cb,), params.rest_density, pos.dtype)
@@ -158,7 +158,7 @@ def build(name, cfg, params, grid):
             out = neighbor_sweep(
                 pf, queries=q, src=ctx.pack(vel=ctx.vel, slot6=dens),
                 anchors=ctx.anchors, pvec=ctx.pvec, gsize=ctx.gsize,
-                out_width=4, block=cfg.sweep_block, self_excl=self_excl,
+                out_width=4, block=cfg.sweep_block,
                 grid_geom_idx=PS.PV_OX, n_rows=ctx.n_rows,
                 interpret=ctx.interp)
             return out[:, 0]

@@ -115,7 +115,7 @@ def main():
                          jnp.zeros((cb, 1), pos.dtype)], axis=1)
                     out = PS.density_sweep(
                         cfg, q, ctx.pack(slot6=psi), ctx.anchors,
-                        ctx.pvec, ctx.gsize, self_excl=True,
+                        ctx.pvec, ctx.gsize,
                         n_rows=ctx.n_rows, interpret=ctx.interp)
                     r = out
                 else:
