@@ -86,8 +86,7 @@ def run_case(name, n_steps=10):
         "sharded_wcsph_1M": ("sharded_wcsph", 2 ** 20, False),
     }[name]
 
-    block = 88 if solver.endswith("wcsph") else 96
-    cfg = nt.SimConfig(sweep_block=block)
+    cfg = nt.SimConfig()   # scan-tuned defaults (block 176, win 256)
     if solver == "iisph":
         params = nt.iisph_params()
     elif solver == "pcisph":

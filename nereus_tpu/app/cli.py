@@ -48,8 +48,9 @@ def _build_parser():
     run.add_argument("--seg-window", type=int, default=48)
     run.add_argument("--sweep-block", type=int, default=None,
                      help="particles per Pallas sweep block (multiple of "
-                          "8); default picks the measured per-solver "
-                          "optimum (88 for WCSPH, 96 for IISPH/PCISPH)")
+                          "8); default 176 (scan-tuned at 1M)")
+    run.add_argument("--sweep-win", type=int, default=None,
+                     help="Pallas window width (multiple of 128)")
     run.add_argument("--neighbor-engine", choices=["auto", "pallas",
                                                    "segments"],
                      default="auto",
@@ -104,13 +105,14 @@ def _make_setup(args):
     st = {"none": nt.SurfaceTensionModel.NONE,
           "becker": nt.SurfaceTensionModel.BECKER,
           "akinci": nt.SurfaceTensionModel.AKINCI}[args.surface_tension]
-    sweep_block = args.sweep_block
-    if sweep_block is None:
-        sweep_block = 88 if args.solver == "wcsph" else 96
+    kw = {}
+    if args.sweep_block is not None:
+        kw["sweep_block"] = args.sweep_block
+    if args.sweep_win is not None:
+        kw["sweep_win"] = args.sweep_win
     cfg = nt.SimConfig(kernel_set=kernel_set, surface_tension_model=st,
                        seg_window=args.seg_window,
-                       engine=args.neighbor_engine,
-                       sweep_block=sweep_block)
+                       engine=args.neighbor_engine, **kw)
 
     overrides = {}
     if args.dt is not None:

@@ -62,7 +62,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 WIN = 256          # window width (lanes; multiple of the 128-lane tile)
 ALIGN = 128        # Mosaic requires window starts aligned to the lane tile
-DEF_BLOCK = 88     # particles per block (sublanes; multiple of 8)
+DEF_BLOCK = 176    # particles per block (sublanes; multiple of 8)
 N_PASS = 3         # windows per (block, row); unused ones sentinel-skip
 N_WORDS = (N_PASS + 1) // 2   # anchors are 16-bit-packed, 2 per int32
 N_ROWS = 9
@@ -136,14 +136,14 @@ def _positions(sorted_hash, queries):
     return jnp.searchsorted(sorted_hash, queries,
                             side="left").astype(jnp.int32)
 
-def _cover_miss(s, e, anchors_elem):
+def _cover_miss(s, e, anchors_elem, win):
     """Sources in [s, e) not covered by the union of windows
-    [aₚ, aₚ+WIN); anchors ascending. Interval arithmetic, int32 arrays."""
+    [aₚ, aₚ+win); anchors ascending. Interval arithmetic, int32 arrays."""
     total = jnp.maximum(e - s, 0)
     covered = jnp.zeros_like(total)
     prev_end = None
     for a in anchors_elem:
-        w_s, w_e = a, a + WIN
+        w_s, w_e = a, a + win
         if prev_end is not None:
             w_s = jnp.maximum(w_s, prev_end)  # don't double-count overlap
         covered = covered + jnp.maximum(
@@ -154,7 +154,7 @@ def _cover_miss(s, e, anchors_elem):
 
 def plan_windows(sorted_hash, coords, gsize, block: int,
                  src_len_padded: int, active_mask=None,
-                 pos_offset: int = 0):
+                 pos_offset: int = 0, win: int = WIN):
     """Plan window anchors per (particle-block, row offset).
 
     sorted_hash: (M,) ascending source hashes (int32, inactive = INT32_MAX).
@@ -168,10 +168,11 @@ def plan_windows(sorted_hash, coords, gsize, block: int,
     Returns ``(anchors (nb·9·N_WORDS,) packed int32, miss () int32)``.
     """
     assert pos_offset % ALIGN == 0, pos_offset
+    assert win % ALIGN == 0, win
     n = coords.shape[0]
     nb = n // block
     big = jnp.int32(2 ** 30)
-    a_cap = max(src_len_padded - WIN, 0) // ALIGN
+    a_cap = max(src_len_padded - win, 0) // ALIGN
 
     # Cluster split: first z-value group vs rest (z-plane crossing).
     z = coords[..., 2].reshape(nb, block)
@@ -229,7 +230,7 @@ def plan_windows(sorted_hash, coords, gsize, block: int,
         a_list = [jnp.clip(s_first // ALIGN, 0, a_cap)]
         sentinel = [none]
         for _ in range(1, N_PASS):
-            w_end = a_list[-1] * ALIGN + WIN
+            w_end = a_list[-1] * ALIGN + win
             ua = jnp.where(has_a & (e_a > w_end),
                            jnp.maximum(s_a, w_end), big)
             ub = jnp.where(has_b & (e_b > w_end),
@@ -239,8 +240,8 @@ def plan_windows(sorted_hash, coords, gsize, block: int,
             sentinel.append(none | (u_start == big))
 
         elems = [a * ALIGN for a in a_list]
-        m = jnp.where(has_a, _cover_miss(s_a, e_a, elems), 0) + \
-            jnp.where(has_b, _cover_miss(s_b, e_b, elems), 0)
+        m = jnp.where(has_a, _cover_miss(s_a, e_a, elems, win), 0) + \
+            jnp.where(has_b, _cover_miss(s_b, e_b, elems, win), 0)
         miss = miss + jnp.sum(m)
         # Encode each anchor as (a+1) in 16 bits (0 = unused sentinel) and
         # pack two per int32 word — the scalar-prefetch array lives in SMEM
@@ -274,7 +275,8 @@ def fuse_plans(anchors_f, anchors_b):
     return jnp.concatenate([af, ab], axis=1).reshape(-1)
 
 
-def pack_source(pos, hash_f32, vel=None, dens_or_psi=None):
+def pack_source(pos, hash_f32, vel=None, dens_or_psi=None,
+                win: int = WIN):
     """Pack source fields into the (8, M_padded) field-major matrix:
     rows x, y, z, vx, vy, vz, dens-or-ψ, cell-hash (as float32).
 
@@ -286,15 +288,16 @@ def pack_source(pos, hash_f32, vel=None, dens_or_psi=None):
             vel[:, 1] if vel is not None else zeros,
             vel[:, 2] if vel is not None else zeros,
             dens_or_psi if dens_or_psi is not None else zeros]
-    return pack_source_wide(pos, hash_f32, cols, rows=8)
+    return pack_source_wide(pos, hash_f32, cols, rows=8, win=win)
 
 
-def pack_source_wide(pos, hash_f32, cols, rows: int = 16):
+def pack_source_wide(pos, hash_f32, cols, rows: int = 16,
+                     win: int = WIN):
     """Pack an arbitrary source matrix: rows 0-2 = x,y,z, then ``cols``
     (each (M,)), zero filler, and the cell hash in the LAST row
     (``rows−1``). ``rows`` must be a multiple of 8."""
     return _pack_region(pos, hash_f32, cols, rows,
-                        round_up(pos.shape[0], ALIGN) + WIN)
+                        round_up(pos.shape[0], ALIGN) + win)
 
 
 def _pack_region(pos, hash_f32, cols, rows: int, width: int):
@@ -309,15 +312,15 @@ def _pack_region(pos, hash_f32, cols, rows: int, width: int):
     return jnp.concatenate([src, pad], axis=1)
 
 
-def fused_offset(mf: int) -> int:
+def fused_offset(mf: int, win: int = WIN) -> int:
     """Start column of the boundary region in a fused source matrix. The
-    ≥ WIN gap of hash −1 columns guarantees fluid-row windows (anchor cap)
+    ≥ win gap of hash −1 columns guarantees fluid-row windows (anchor cap)
     never reach boundary columns and vice versa."""
-    return round_up(mf, ALIGN) + WIN
+    return round_up(mf, ALIGN) + win
 
 
 def pack_source_fused(pos_f, hash_f, cols_f, pos_b, hash_b, cols_b,
-                      rows: int = 8):
+                      rows: int = 8, win: int = WIN):
     """One source matrix [fluid region | gap | boundary region | pad].
 
     Row slots may carry *different fields per region* (e.g. slot 6 = pd2_j
@@ -325,9 +328,10 @@ def pack_source_fused(pos_f, hash_f, cols_f, pos_b, hash_b, cols_b,
     columns and boundary rows boundary columns, routed by the fused anchor
     plan, so the meanings never mix.
     """
-    f = _pack_region(pos_f, hash_f, cols_f, rows, fused_offset(pos_f.shape[0]))
+    f = _pack_region(pos_f, hash_f, cols_f, rows,
+                     fused_offset(pos_f.shape[0], win))
     b = _pack_region(pos_b, hash_b, cols_b, rows,
-                     round_up(pos_b.shape[0], ALIGN) + WIN)
+                     round_up(pos_b.shape[0], ALIGN) + win)
     return jnp.concatenate([f, b], axis=1)
 
 
@@ -337,25 +341,30 @@ def pack_source_fused(pos_f, hash_f, cols_f, pos_b, hash_b, cols_b,
 
 def _sweep_kernel(anchors_ref, pvec_ref, q_ref, *refs,
                   pair_fn, pair_fn_b, n_rows: int, block: int,
-                  gsize, grid_geom_idx: int, src_rows: int):
-    """Grid = (nb, n_rows); the N_PASS windows of a (block, row) arrive as
-    separate operands (``refs[:-1]``) fetched by per-pass BlockSpecs, and a
-    python loop sweeps them inside ONE kernel invocation. Folding the pass
-    dimension out of the grid matters: each Mosaic grid step carries ~1 µs
-    of fixed cost (measured, 1M particles), and two-thirds of the former
-    (nb·rows·pass) steps were sentinel-skipped yet still paid it.
+                  gsize, grid_geom_idx: int, src_rows: int,
+                  win: int):
+    """Grid = (nb, n_rows // 9); ALL 9·N_PASS windows of a block's
+    row-group arrive as separate operands (``refs[:-1]``) fetched by
+    per-(row, pass) BlockSpecs, and python loops sweep them inside ONE
+    kernel invocation. Folding the row and pass dimensions out of the grid
+    matters twice over: each Mosaic grid step carries ~1 µs of fixed cost
+    (measured, 1M particles) — formerly paid (rows·passes)=27× per block,
+    mostly on sentinel-skipped passes — and with the row index static
+    inside the kernel, each row's (dy, dz) offsets fold into compile-time
+    constants. The second grid dimension is the row GROUP: 0 = the 9 fluid
+    rows, 1 = the 9 boundary rows of a fused plan.
     """
     srcs, out_ref = refs[:-1], refs[-1]
     b = pl.program_id(0)
-    r = pl.program_id(1)
+    ro = pl.program_id(1)   # row group (0 = fluid rows, 1 = boundary rows)
 
-    @pl.when(r == 0)
+    @pl.when(ro == 0)
     def _init():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    # Query row hash bounds, once per (block, row) — shared by all passes.
-    # Query cell coords use the same multiply-by-1/cell arithmetic as the
-    # host-side plan (grid.cell_coords) so bounds and plan agree exactly.
+    # Query cell coords, once per block. They use the same
+    # multiply-by-1/cell arithmetic as the host-side plan
+    # (grid.cell_coords) so bounds and plan agree exactly.
     ox, oy, oz = (pvec_ref[grid_geom_idx], pvec_ref[grid_geom_idx + 1],
                   pvec_ref[grid_geom_idx + 2])
     inv_cell = pvec_ref[grid_geom_idx + 3]
@@ -369,67 +378,78 @@ def _sweep_kernel(anchors_ref, pvec_ref, q_ref, *refs,
     cx = cellc(qx, ox, gx)
     cy = cellc(qy, oy, gy)
     cz = cellc(qz, oz, gz)
-    # rows 9-17 = boundary region sweep (int32 literal: under x64 a bare
-    # python int would promote the operand mismatch into a TypeError)
-    rr = jax.lax.rem(r, jnp.int32(N_ROWS))
-    dy = (rr % 3 - 1).astype(q_ref.dtype)
-    dz = (rr // 3 - 1).astype(q_ref.dtype)
-    yy = cy + dy
-    zz = cz + dz
-    base = (zz * gy + yy) * gx
-    lo = base + jnp.maximum(cx - 1.0, 0.0)
-    hi = base + jnp.minimum(cx + 1.0, float(gx - 1))
-    row_ok = ((yy >= 0.0) & (yy < float(gy))
-              & (zz >= 0.0) & (zz < float(gz)))
 
-    for p, src_ref in enumerate(srcs):
-        a_enc = _unpack_anchor(anchors_ref, b, r, p, n_rows)
+    for r_local in range(N_ROWS):
+        # static (dy, dz) per unrolled row
+        dy = float(r_local % 3 - 1)
+        dz = float(r_local // 3 - 1)
+        yy = cy + dy
+        zz = cz + dz
+        base = (zz * gy + yy) * gx
+        lo = base + jnp.maximum(cx - 1.0, 0.0)
+        hi = base + jnp.minimum(cx + 1.0, float(gx - 1))
+        # fold row validity into the rank-1 bounds (lo > hi matches no
+        # hash) instead of AND-ing a (B, WIN) row_ok per slot
+        row_ok = ((yy >= 0.0) & (yy < float(gy))
+                  & (zz >= 0.0) & (zz < float(gz)))
+        lo = jnp.where(row_ok, lo, 1.0)
+        hi = jnp.where(row_ok, hi, 0.0)
+        r = ro * N_ROWS + r_local
 
-        @pl.when(a_enc > 0)    # 0 sentinel: window unused, skip compute
-        def _window(p=p, src_ref=src_ref, a_enc=a_enc):
-            a_this = (a_enc - 1) * ALIGN
-            src_hash = src_ref[src_rows - 1:src_rows, :]   # (1, WIN)
-            valid = row_ok & (src_hash >= lo) & (src_hash <= hi)
-            col = None
-            if p > 0:
-                # end of the previous pass's window — this pass owns
-                # columns at or beyond it (pass 0 owns its whole window)
-                a_prev = _unpack_anchor(anchors_ref, b, r, p - 1, n_rows)
-                a_prev_end = (a_prev - 1) * ALIGN + WIN
-                col = a_this + jax.lax.broadcasted_iota(
-                    jnp.int32, (1, WIN), 1)
-                valid = valid & (col >= a_prev_end)
+        for p in range(N_PASS):
+            src_ref = srcs[r_local * N_PASS + p]
+            a_enc = _unpack_anchor(anchors_ref, b, r, p, n_rows)
 
-            # NOTE: the query's own source slot is NOT excluded. Every
-            # pair term carries a factor of the displacement (or r²),
-            # which is exactly 0 at self with finite coefficients (the
-            # eps-clamped rsqrt guarantees no inf), and the density
-            # pair's self term ψ·W(0) is the term the solvers previously
-            # added separately — so self-inclusion is both free and two
-            # VPU ops cheaper per (B, WIN) slot.
-            @pl.when(jnp.any(valid))
-            def _compute():
-                v = valid
+            # 0 sentinel: window unused, skip compute. No inner
+            # any(valid) guard: the plan only emits a non-sentinel anchor
+            # when the window contains needed sources, so the guard never
+            # skipped — it was a pure (B, WIN) reduction + branch per
+            # window.
+            @pl.when(a_enc > 0)
+            def _window(p=p, r=r, src_ref=src_ref, a_enc=a_enc,
+                        lo=lo, hi=hi):
+                a_this = (a_enc - 1) * ALIGN
+                src_hash = src_ref[src_rows - 1:src_rows, :]   # (1, WIN)
+                valid = (src_hash >= lo) & (src_hash <= hi)
+                if p > 0:
+                    # end of the previous pass's window — this pass owns
+                    # columns at/beyond it (pass 0 owns its whole window)
+                    a_prev = _unpack_anchor(anchors_ref, b, r, p - 1,
+                                            n_rows)
+                    a_prev_end = (a_prev - 1) * ALIGN + win
+                    col = a_this + jax.lax.broadcasted_iota(
+                        jnp.int32, (1, win), 1)
+                    valid = valid & (col >= a_prev_end)
+
+                # NOTE: the query's own source slot is NOT excluded. Every
+                # pair term carries a factor of the displacement (or r²),
+                # which is exactly 0 at self with finite coefficients (the
+                # eps-clamped rsqrt guarantees no inf), and the density
+                # pair's self term ψ·W(0) is the term the solvers
+                # previously added separately — so self-inclusion is both
+                # free and two VPU ops cheaper per (B, WIN) slot.
                 if pair_fn_b is None:
-                    out_ref[:] = out_ref[:] + pair_fn(q_ref, src_ref, v,
-                                                      pvec_ref)
+                    out_ref[:] = out_ref[:] + pair_fn(
+                        q_ref, src_ref, valid, pvec_ref)
                 else:
-                    # fused sweep: rows 0-8 fluid, 9-17 boundary formula
-                    @pl.when(r < N_ROWS)
+                    # fused sweep: row group 0 = fluid formula,
+                    # row group 1 = boundary formula
+                    @pl.when(ro == 0)
                     def _fluid():
                         out_ref[:] = out_ref[:] + pair_fn(
-                            q_ref, src_ref, v, pvec_ref)
+                            q_ref, src_ref, valid, pvec_ref)
 
-                    @pl.when(r >= N_ROWS)
+                    @pl.when(ro > 0)
                     def _bnd():
                         out_ref[:] = out_ref[:] + pair_fn_b(
-                            q_ref, src_ref, v, pvec_ref)
+                            q_ref, src_ref, valid, pvec_ref)
 
 
 def neighbor_sweep(pair_fn, *, queries, src, anchors, pvec, gsize,
                    out_width: int, block: int = DEF_BLOCK,
                    grid_geom_idx: int, pair_fn_b=None,
-                   n_rows: int = N_ROWS, interpret: bool = False):
+                   n_rows: int = N_ROWS, win: int = WIN,
+                   interpret: bool = False):
     """Run one Pallas neighbor sweep.
 
     Args:
@@ -466,32 +486,36 @@ def neighbor_sweep(pair_fn, *, queries, src, anchors, pvec, gsize,
                 anchors=anchors[b0 * stride:b1 * stride], pvec=pvec,
                 gsize=gsize, out_width=out_width, block=block,
                 grid_geom_idx=grid_geom_idx, pair_fn_b=pair_fn_b,
-                n_rows=n_rows, interpret=interpret))
+                n_rows=n_rows, win=win, interpret=interpret))
         return jnp.concatenate(outs)
 
     kernel = functools.partial(
         _sweep_kernel, pair_fn=pair_fn, pair_fn_b=pair_fn_b, n_rows=n_rows,
         block=block, gsize=gsize,
-        grid_geom_idx=grid_geom_idx, src_rows=src_rows)
+        grid_geom_idx=grid_geom_idx, src_rows=src_rows, win=win)
 
-    def win_spec(p):
-        # one BlockSpec per pass; a sentinel anchor fetches the dummy
-        # window at column 0 (the kernel skips its compute)
-        return pl.BlockSpec((pl.Element(src_rows), pl.Element(WIN)),
-                            lambda b, r, a, pv, _nr=n_rows, _p=p:
+    def win_spec(r_local, p):
+        # one BlockSpec per (row-in-group, pass); a sentinel anchor
+        # fetches the dummy window at column 0 (the kernel skips compute)
+        return pl.BlockSpec((pl.Element(src_rows), pl.Element(win)),
+                            lambda b, ro, a, pv, _nr=n_rows, _rl=r_local,
+                            _p=p:
                             (0, jnp.maximum(
-                                _unpack_anchor(a, b, r, _p, _nr) - 1,
+                                _unpack_anchor(a, b, ro * N_ROWS + _rl,
+                                               _p, _nr) - 1,
                                 0) * ALIGN))
 
+    assert n_rows % N_ROWS == 0, n_rows
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,   # anchors, pvec
-        grid=(nb, n_rows),
+        grid=(nb, n_rows // N_ROWS),
         in_specs=[
-            pl.BlockSpec((block, fq), lambda b, r, a, pv: (b, 0)),
-            *[win_spec(p) for p in range(N_PASS)],
+            pl.BlockSpec((block, fq), lambda b, ro, a, pv: (b, 0)),
+            *[win_spec(rl, p) for rl in range(N_ROWS)
+              for p in range(N_PASS)],
         ],
         out_specs=pl.BlockSpec((block, out_width),
-                               lambda b, r, a, pv: (b, 0)),
+                               lambda b, ro, a, pv: (b, 0)),
     )
     return pl.pallas_call(
         kernel,
@@ -501,4 +525,4 @@ def neighbor_sweep(pair_fn, *, queries, src, anchors, pvec, gsize,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
     )(anchors, pvec.astype(queries.dtype), queries,
-      *([src] * N_PASS))
+      *([src] * (N_ROWS * N_PASS)))

@@ -472,7 +472,7 @@ def density_sweep(cfg: SimConfig, queries_pos, src, anchors, pvec, gsize,
                              geom_offset=geom_offset)
     out = neighbor_sweep(
         pair, queries=queries_pos, src=src, anchors=anchors, pvec=pvec,
-        gsize=gsize, out_width=1, n_rows=n_rows,
+        gsize=gsize, out_width=1, n_rows=n_rows, win=cfg.sweep_win,
         block=cfg.sweep_block, grid_geom_idx=PV_OX, interpret=interpret)
     return out[:, 0]
 
@@ -492,7 +492,7 @@ def fluid_force_sweep(cfg: SimConfig, queries, src, anchors, pvec, gsize,
                                    include_pressure=include_pressure)
     out = neighbor_sweep(
         pair, queries=queries, src=src, anchors=anchors, pvec=pvec,
-        gsize=gsize, out_width=4, n_rows=n_rows,
+        gsize=gsize, out_width=4, n_rows=n_rows, win=cfg.sweep_win,
         block=cfg.sweep_block, pair_fn_b=pair_b, grid_geom_idx=PV_OX,
         interpret=interpret)
     return out[:, :3]
@@ -504,7 +504,7 @@ def boundary_force_sweep(cfg: SimConfig, queries, bsrc, anchors, pvec, gsize,
                              include_pressure=include_pressure)
     out = neighbor_sweep(
         pair, queries=queries, src=bsrc, anchors=anchors, pvec=pvec,
-        gsize=gsize, out_width=4,
+        gsize=gsize, out_width=4, win=cfg.sweep_win,
         grid_geom_idx=PV_OX, interpret=interpret)
     return out[:, :3]
 
@@ -522,6 +522,6 @@ def generic_sweep(cfg: SimConfig, pair_fn, queries, src, anchors, pvec,
                                **(pair_b_kw or {}))
     return neighbor_sweep(
         pair, queries=queries, src=src, anchors=anchors, pvec=pvec,
-        gsize=gsize, out_width=out_width,
+        gsize=gsize, out_width=out_width, win=cfg.sweep_win,
         block=cfg.sweep_block, pair_fn_b=pb, n_rows=n_rows,
         grid_geom_idx=PV_OX, interpret=interpret)

@@ -507,8 +507,9 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
             src_len = cl + 2 * kh
             anchors, miss = plan_windows(src_hash, qcoords, grid.size,
                                          cfg.sweep_block,
-                                         padded_len(src_len),
-                                         active_mask=act_q)
+                                         padded_len(src_len, cfg.sweep_win),
+                                         active_mask=act_q,
+                                         win=cfg.sweep_win)
             pvec = PSs.build_pvec(params, cfg, grid)
             hash_f32 = src_hash.astype(pos.dtype)
             pm = params.particle_mass
@@ -519,9 +520,11 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
             if has_b:
                 b_anchors, b_miss = plan_windows(
                     boundary.sorted_hash, qcoords, grid.size,
-                    cfg.sweep_block, padded_len(src_len)
-                    + padded_len(boundary.num_boundaries),
-                    active_mask=act_q, pos_offset=padded_len(src_len))
+                    cfg.sweep_block, padded_len(src_len, cfg.sweep_win)
+                    + padded_len(boundary.num_boundaries, cfg.sweep_win),
+                    active_mask=act_q,
+                    pos_offset=padded_len(src_len, cfg.sweep_win),
+                    win=cfg.sweep_win)
                 anchors = fuse_plans(anchors, b_anchors)
                 miss = miss + b_miss
                 b_hash_f32 = boundary.sorted_hash.astype(pos.dtype)
@@ -534,13 +537,15 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
                         [vel_cols[:, 0], vel_cols[:, 1], vel_cols[:, 2],
                          slot6],
                         boundary.pos, b_hash_f32,
-                        [bzero, bzero, bzero, boundary.psi], rows=8)
+                        [bzero, bzero, bzero, boundary.psi], rows=8,
+                        win=cfg.sweep_win)
 
             else:
                 n_rows = 9
 
                 def pack(vel_cols, slot6):
-                    return pack_source(src_pos, hash_f32, vel_cols, slot6)
+                    return pack_source(src_pos, hash_f32, vel_cols, slot6,
+                                       win=cfg.sweep_win)
 
 
             q4 = jnp.concatenate(
@@ -745,8 +750,9 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
         qcoords = gridlib.cell_coords(grid, pos_q)
         anchors_f, miss = plan_windows(sctx.src_hash, qcoords, grid.size,
                                        cfg.sweep_block,
-                                       padded_len(src_len),
-                                       active_mask=act_q)
+                                       padded_len(src_len, cfg.sweep_win),
+                                       active_mask=act_q,
+                                       win=cfg.sweep_win)
         anchors = anchors_f
         pvec = PSs.build_pvec(params, cfg, grid)
         psi_fluid = jnp.full((src_len,), 1.0, pos.dtype) * pm
@@ -755,8 +761,11 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
         if has_b:
             b_anchors, b_miss = plan_windows(
                 boundary.sorted_hash, qcoords, grid.size, cfg.sweep_block,
-                padded_len(src_len) + padded_len(boundary.num_boundaries),
-                active_mask=act_q, pos_offset=padded_len(src_len))
+                padded_len(src_len, cfg.sweep_win)
+                + padded_len(boundary.num_boundaries, cfg.sweep_win),
+                active_mask=act_q,
+                pos_offset=padded_len(src_len, cfg.sweep_win),
+                win=cfg.sweep_win)
             anchors = fuse_plans(anchors_f, b_anchors)
             miss = miss + b_miss
             b_hash_f32 = boundary.sorted_hash.astype(pos.dtype)
@@ -765,11 +774,12 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
             def pack(cols_f, rows=8):
                 return pack_source_fused(
                     src_pos, hash_f32, cols_f, boundary.pos, b_hash_f32,
-                    [bzero, bzero, bzero, boundary.psi], rows=rows)
+                    [bzero, bzero, bzero, boundary.psi], rows=rows,
+                    win=cfg.sweep_win)
         else:
             def pack(cols_f, rows=8):
                 return pack_source_wide(src_pos, hash_f32, cols_f,
-                                        rows=rows)
+                                        rows=rows, win=cfg.sweep_win)
 
         def pack8(vel3=None, slot6=None):
             v = vel3 if vel3 is not None else jnp.zeros((src_len, 3),
@@ -1005,16 +1015,20 @@ def make_sharded_pcisph_step(mesh: Mesh, params: SimParams,
         act_q = padq(own_active, False)
         qcoords = gridlib.cell_coords(grid, pos_q)
         anchors, miss = plan_windows(sctx.src_hash, qcoords, grid.size,
-                                     cfg.sweep_block, padded_len(src_len),
-                                     active_mask=act_q)
+                                     cfg.sweep_block,
+                                     padded_len(src_len, cfg.sweep_win),
+                                     active_mask=act_q, win=cfg.sweep_win)
         pvec = PSs.build_pvec(params, cfg, grid)
         psi_fluid = jnp.full((src_len,), 1.0, pos.dtype) * pm
 
         if has_b:
             b_anchors, b_miss = plan_windows(
                 boundary.sorted_hash, qcoords, grid.size, cfg.sweep_block,
-                padded_len(src_len) + padded_len(boundary.num_boundaries),
-                active_mask=act_q, pos_offset=padded_len(src_len))
+                padded_len(src_len, cfg.sweep_win)
+                + padded_len(boundary.num_boundaries, cfg.sweep_win),
+                active_mask=act_q,
+                pos_offset=padded_len(src_len, cfg.sweep_win),
+                win=cfg.sweep_win)
             anchors = fuse_plans(anchors, b_anchors)
             miss = miss + b_miss
             b_hash_f32 = boundary.sorted_hash.astype(pos.dtype)
@@ -1029,7 +1043,8 @@ def make_sharded_pcisph_step(mesh: Mesh, params: SimParams,
                     posf if posf is not None else src_pos, hash_f32,
                     [v[:, 0], v[:, 1], v[:, 2], s6],
                     boundary.pos, b_hash_f32,
-                    [bzero, bzero, bzero, boundary.psi], rows=8)
+                    [bzero, bzero, bzero, boundary.psi], rows=8,
+                    win=cfg.sweep_win)
         else:
             def pack8(vel3=None, slot6=None, posf=None):
                 v = vel3 if vel3 is not None else jnp.zeros(
@@ -1037,7 +1052,7 @@ def make_sharded_pcisph_step(mesh: Mesh, params: SimParams,
                 s6 = slot6 if slot6 is not None else jnp.zeros(
                     (src_len,), pos.dtype)
                 return pack_source(posf if posf is not None else src_pos,
-                                   hash_f32, v, s6)
+                                   hash_f32, v, s6, win=cfg.sweep_win)
 
         def hop(fields):
             return _halo_hop(fields, sctx, scfg, n_own)

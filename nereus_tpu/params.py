@@ -62,10 +62,13 @@ class SimConfig:
     # kernels (ops/pallas_neighbors.py); "auto" = pallas on TPU backends,
     # segments elsewhere.
     engine: str = "auto"
-    # Particles per Pallas sweep block (multiple of 8). Scan-tuned: 88 is
-    # the WCSPH headline optimum; the implicit solvers measure ~7% faster
-    # at 96 — retune after kernel changes.
-    sweep_block: int = 88
+    # Particles per Pallas sweep block (multiple of 8) and window width
+    # (multiple of 128 lanes). Scan-tuned on the real chip at 1M: 176/256
+    # (bigger blocks amortize the span's ±1-cell fringe and alignment
+    # waste, but past ~256 the force pair's live temporaries spill) —
+    # retune after kernel changes.
+    sweep_block: int = 176
+    sweep_win: int = 256
     # Candidate-window size per 3-cell row segment (static shape for the
     # 27-cell gather; see ops/neighbors.py). Must be >= the longest run of
     # particles in any 3 consecutive x-cells; overflow is detected at runtime.
@@ -89,7 +92,7 @@ class SimConfig:
                      str(self.dtype), self.seg_window, self.boundary_seg_window,
                      self.iisph_min_iters, self.iisph_max_iters,
                      self.pcisph_min_iters, self.pcisph_max_iters,
-                     self.engine, self.sweep_block))
+                     self.engine, self.sweep_block, self.sweep_win))
 
     def use_pallas(self) -> bool:
         import jax

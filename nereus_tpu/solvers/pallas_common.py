@@ -29,9 +29,9 @@ def interpret_mode() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def padded_len(m: int) -> int:
+def padded_len(m: int, win: int = WIN) -> int:
     """Region width in the (fused) source matrix for m source particles."""
-    return round_up(m, ALIGN) + WIN
+    return round_up(m, ALIGN) + win
 
 
 @dataclasses.dataclass
@@ -52,6 +52,7 @@ class PallasCtx:
     cb: int                 # block-padded query length
     gsize: tuple
     n_rows: int             # 9 (fluid only) or 18 (fused boundary)
+    win: int                # window width (cfg.sweep_win)
     interp: bool
     b_pos: Optional[jax.Array] = None      # boundary fields (static)
     b_hash_f32: Optional[jax.Array] = None
@@ -77,10 +78,12 @@ class PallasCtx:
                   vel[:c, 2] if vel is not None else zeros,
                   slot6[:c] if slot6 is not None else zeros]
         if self.b_pos is None:
-            return pack_source_wide(posf, self.hash_f32, cols_f, rows=8)
+            return pack_source_wide(posf, self.hash_f32, cols_f, rows=8,
+                                    win=self.win)
         return pack_source_fused(posf, self.hash_f32, cols_f,
                                  self.b_pos, self.b_hash_f32,
-                                 self._bcols(slot6_b), rows=8)
+                                 self._bcols(slot6_b), rows=8,
+                                 win=self.win)
 
     def pack_wide(self, cols_f, rows=16):
         """Wide source; boundary region carries ψ in slot 6 (boundary pair
@@ -88,10 +91,11 @@ class PallasCtx:
         cols_f = [col[:self.c] for col in cols_f]
         if self.b_pos is None:
             return pack_source_wide(self.pos[:self.c], self.hash_f32,
-                                    cols_f, rows=rows)
+                                    cols_f, rows=rows, win=self.win)
         return pack_source_fused(self.pos[:self.c], self.hash_f32, cols_f,
                                  self.b_pos, self.b_hash_f32,
-                                 self._bcols(None), rows=rows)
+                                 self._bcols(None), rows=rows,
+                                 win=self.win)
 
 
 def check_pallas_dtype(cfg: SimConfig, grid: gridlib.Grid):
@@ -135,17 +139,18 @@ def build_pallas_ctx(state: FluidState, params: SimParams,
             [pres_prev, jnp.zeros((pad,), pres_prev.dtype)])
     active = jnp.arange(cb, dtype=jnp.int32) < state.num_active
     coords = gridlib.cell_coords(grid, pos)
+    win = cfg.sweep_win
     anchors, miss = plan_windows(sorted_hash, coords, grid.size,
-                                 cfg.sweep_block, padded_len(c),
-                                 active_mask=active)
+                                 cfg.sweep_block, padded_len(c, win),
+                                 active_mask=active, win=win)
     kwargs = {"anchors_f": anchors}
     n_rows = N_ROWS
     if boundary is not None and boundary.num_boundaries > 0:
         mb = boundary.num_boundaries
         b_anchors, b_miss = plan_windows(
             boundary.sorted_hash, coords, grid.size, cfg.sweep_block,
-            padded_len(c) + padded_len(mb), active_mask=active,
-            pos_offset=padded_len(c))
+            padded_len(c, win) + padded_len(mb, win), active_mask=active,
+            pos_offset=padded_len(c, win), win=win)
         anchors = fuse_plans(anchors, b_anchors)
         miss = miss + b_miss
         n_rows = 2 * N_ROWS
@@ -156,5 +161,5 @@ def build_pallas_ctx(state: FluidState, params: SimParams,
         pos=pos, vel=vel, pres_prev=pres_prev, active=active,
         sorted_hash=sorted_hash, hash_f32=sorted_hash.astype(pos.dtype),
         anchors=anchors, pvec=PS.build_pvec(params, cfg, grid), miss=miss,
-        c=c, cb=cb, gsize=grid.size, n_rows=n_rows, interp=interp,
-        **kwargs)
+        c=c, cb=cb, gsize=grid.size, n_rows=n_rows, win=win,
+        interp=interp, **kwargs)

@@ -105,3 +105,36 @@ def test_chunked_sweeps_match(monkeypatch):
                                rtol=0, atol=0)
     np.testing.assert_allclose(np.asarray(s_chk.vel), np.asarray(s_ref.vel),
                                rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("win,block", [(384, 104), (128, 48)])
+def test_pallas_step_nondefault_window(win, block):
+    """Non-default (sweep_win, sweep_block) combinations stay equivalent —
+    the window width threads through the plan, the packers' region
+    padding/gap and the kernel's ownership rule together."""
+    cfg = nt.SimConfig(seg_window=48, sweep_win=win, sweep_block=block)
+    params = nt.make_params(dt=5e-4)
+    state, grid, boundary = scene.dam_break(
+        params, cfg, cube_size=(0.25, 0.25, 0.25),
+        cube_center=(-0.3, 0.05, 0.5),
+        box_min=(-0.8, -0.3, 0.0), box_max=(0.2, 0.7, 1.0),
+        with_boundary=True, boundary_radius=0.04)
+    n = int(state.num_active)
+    s_ref, d_ref = jax.jit(
+        lambda s: nt.wcsph_step(s, params, grid, cfg, boundary))(state)
+    s_pal, d_pal = jax.jit(
+        lambda s: wcsph_step_pallas(s, params, grid, cfg, boundary))(state)
+    assert int(d_pal.seg_overflow) == 0
+
+    def key(a):
+        a = np.asarray(a)
+        return np.lexsort((a[:, 2], a[:, 1], a[:, 0]))
+
+    k_ref = key(s_ref.pos[:n])
+    k_pal = key(s_pal.pos[:n])
+    np.testing.assert_allclose(np.asarray(s_pal.pos[:n])[k_pal],
+                               np.asarray(s_ref.pos[:n])[k_ref],
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_pal.vel[:n])[k_pal],
+                               np.asarray(s_ref.vel[:n])[k_ref],
+                               rtol=0, atol=1e-5)

@@ -25,6 +25,7 @@ def main():
     ap.add_argument("--n", type=int, default=2 ** 20)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--block", type=int, default=None)
+    ap.add_argument("--win", type=int, default=None)
     ap.add_argument("--variants", default="f0")
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
@@ -36,7 +37,11 @@ def main():
     import kvariants
 
     enable_compilation_cache()
-    kw = {} if args.block is None else {"sweep_block": args.block}
+    kw = {}
+    if args.block is not None:
+        kw["sweep_block"] = args.block
+    if args.win is not None:
+        kw["sweep_win"] = args.win
     cfg = nt.SimConfig(**kw)
     params = nt.make_params()
     state, grid, boundary = scene.dam_break(
