@@ -5,6 +5,7 @@ computation gives."""
 import jax.numpy as jnp
 import numpy as np
 
+import nereus_tpu as nt
 from nereus_tpu import grid as G
 
 
@@ -110,3 +111,53 @@ def test_refit_grid_covers_live_particles():
     assert (pos > lo).all() and (pos < hi).all()
     # parked capacity slots (1e9) must NOT blow up the grid
     assert max(g.size) < 100
+
+
+def test_refit_and_rehash_preserve_physics():
+    """A step's physics must be invariant to the grid frame: refitting the
+    grid to the live AABB (new origin/size) and re-sorting the boundary
+    set (boundary.rehash_boundary) must reproduce the same next state as
+    the original, larger grid — the correctness contract behind the CLI's
+    --refit-every cadence."""
+    import jax
+
+    from nereus_tpu import scene
+    from nereus_tpu.boundary import rehash_boundary
+
+    cfg = nt.SimConfig(seg_window=48)
+    params = nt.make_params(dt=5e-4)
+    state, grid, boundary = scene.dam_break(
+        params, cfg, cube_size=(0.2, 0.2, 0.2), cube_center=(-0.3, 0.05, 0.5),
+        box_min=(-0.8, -0.3, 0.0), box_max=(0.2, 0.7, 1.0),
+        with_boundary=True, boundary_radius=0.04)
+    n = int(state.num_active)
+
+    # frame 1: a deliberately oversized grid (the situation --refit-every
+    # fixes); frame 2: the refit to the live fluid+boundary AABB. Both
+    # must produce identical physics. (Refitting WITHOUT the boundary is
+    # the known-bad move: the shell clamps into edge cells, densifies
+    # them past window coverage, and seg_overflow reports the misses.)
+    ir = float(params.interaction_radius)
+    g1 = nt.fit_grid(np.asarray((-0.8, -0.3, 0.0)) - 0.7,
+                     np.asarray((0.2, 0.7, 1.0)) + 0.7, ir)
+    b1 = rehash_boundary(boundary, g1)
+    g2 = nt.refit_grid(state, ir, boundary=boundary)
+    b2 = rehash_boundary(boundary, g2)
+    assert tuple(g2.size) != tuple(g1.size)  # actually different frames
+
+    s1, d1 = jax.jit(lambda s: nt.wcsph_step(s, params, g1, cfg,
+                                             b1))(state)
+    s2, d2 = jax.jit(lambda s: nt.wcsph_step(s, params, g2, cfg, b2))(state)
+    assert int(d1.seg_overflow) == 0 and int(d2.seg_overflow) == 0
+
+    def key(a):
+        a = np.asarray(a)
+        return np.lexsort((a[:, 2], a[:, 1], a[:, 0]))
+
+    k1, k2 = key(s1.pos[:n]), key(s2.pos[:n])
+    np.testing.assert_allclose(np.asarray(s2.pos[:n])[k2],
+                               np.asarray(s1.pos[:n])[k1],
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s2.vel[:n])[k2],
+                               np.asarray(s1.vel[:n])[k1],
+                               rtol=0, atol=1e-5)

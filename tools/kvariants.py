@@ -170,4 +170,69 @@ def build(name, cfg, params, grid):
         "f0": force_like(None, True),
         "f1": force_like(force_pair_v1, False),
         "f2": force_like(force_pair_v2, False),
+        "f3": force_like(force_pair_bf16, False),
     }[name]
+
+
+def force_pair_bf16(q_ref, src_ref, valid, pv, **_):
+    """f1 with the (B, WIN) pair math in bfloat16 (MEASURED DEAD END:
+    even with per-block recentering, max relative force error vs f32 is
+    ~120% and mean ~32% — the h−r and h²−r² cancellations leave bf16's
+    8 mantissa bits nothing to work with near the cutoff, and the spiky
+    gradient amplifies. Kept as the negative-result record; do not
+    productionize)."""
+    bf = jnp.bfloat16
+    cx, cy, cz = q_ref[0:1, 0:1], q_ref[0:1, 1:2], q_ref[0:1, 2:3]
+    qx = (q_ref[:, 0:1] - cx).astype(bf)
+    qy = (q_ref[:, 1:2] - cy).astype(bf)
+    qz = (q_ref[:, 2:3] - cz).astype(bf)
+    sx = (src_ref[0:1, :] - cx).astype(bf)
+    sy = (src_ref[1:2, :] - cy).astype(bf)
+    sz = (src_ref[2:3, :] - cz).astype(bf)
+    dx = qx - sx
+    dy = qy - sy
+    dz = qz - sz
+    r2 = dx * dx + dy * dy + dz * dz
+    h2 = pv[PV.PV_H2].astype(bf)
+    inv = jax.lax.rsqrt(jnp.maximum(r2, bf(1e-12)))
+    rl = r2 * inv
+    okf = (valid & (r2 < h2)).astype(bf)
+
+    dens_j = jnp.maximum(src_ref[6:7, :], _EPS)          # rank-1 f32
+    inv_dens = 1.0 / dens_j
+
+    inv3 = inv * inv * inv
+    c = ((2.0 / pv[PV.PV_H2]).astype(bf) - rl * (3.0 / pv[PV.PV_KVISC_DEN]).astype(bf)
+         - inv3 * (pv[PV.PV_H] * 0.5).astype(bf))
+    kv = ((2.0 * pv[PV.PV_PM] * pv[PV.PV_VISC] * pv[PV.PV_PM]
+           * pv[PV.PV_KVISC]) * inv_dens).astype(bf)     # rank-1
+    bden = r2 + (0.01 * pv[PV.PV_H2]).astype(bf)
+    cvisc = kv * ((c * r2) / bden) * okf
+
+    ratio = dens_j * (1.0 / pv[PV.PV_RD])
+    ratio2 = ratio * ratio
+    p_j = pv[PV.PV_K] * (ratio2 * ratio2 * ratio2 * ratio - 1.0)
+    pd2_j = (p_j * inv_dens * inv_dens)                  # rank-1 f32
+    hr = jnp.maximum(pv[PV.PV_H].astype(bf) - rl, bf(0))
+    sp = (hr * hr) * inv * (-pv[PV.PV_PM] * pv[PV.PV_PM]
+                            * pv[PV.PV_KPRESS]).astype(bf)
+    cpd = (q_ref[:, 7:8].astype(bf) + pd2_j.astype(bf)) * sp
+
+    dpo = jnp.maximum(h2 - r2, bf(0))
+    w = dpo * dpo * dpo * pv[PV.PV_KPOLY].astype(bf)
+    w_eff = jnp.where(r2 > pv[PV.PV_DIAM2].astype(bf), w,
+                      pv[PV.PV_WDIAM].astype(bf))
+    cpd = (cpd - pv[PV.PV_KAPPA].astype(bf) * w_eff) * okf
+
+    dvx = (q_ref[:, 3:4] - src_ref[3:4, :]).astype(bf)
+    dvy = (q_ref[:, 4:5] - src_ref[4:5, :]).astype(bf)
+    dvz = (q_ref[:, 5:6] - src_ref[5:6, :]).astype(bf)
+    fx = cvisc * dvx + cpd * dx
+    fy = cvisc * dvy + cpd * dy
+    fz = cvisc * dvz + cpd * dz
+    zero = jnp.zeros((q_ref.shape[0], 1), q_ref.dtype)
+    return jnp.concatenate(
+        [jnp.sum(fx.astype(q_ref.dtype), axis=1, keepdims=True),
+         jnp.sum(fy.astype(q_ref.dtype), axis=1, keepdims=True),
+         jnp.sum(fz.astype(q_ref.dtype), axis=1, keepdims=True),
+         zero], axis=1)
