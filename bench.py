@@ -176,12 +176,31 @@ def main():
             raise
         return
 
-    for name in cases:
+    if len(cases) == 1:
         try:
-            print(json.dumps(run_case(name, n_steps=args.steps)),
+            print(json.dumps(run_case(cases[0], n_steps=args.steps)),
                   flush=True)
         except Exception as e:  # noqa: BLE001 — keep the table going
-            print(json.dumps({"metric": name, "error": repr(e)}),
+            print(json.dumps({"metric": cases[0], "error": repr(e)}),
+                  flush=True)
+        return
+
+    # One subprocess per case: a transient TPU-backend error (the
+    # tunneled runtime occasionally wedges a process's TPU client) must
+    # not poison every following row of the table.
+    import subprocess
+    for name in cases:
+        r = subprocess.run(
+            [sys.executable, __file__, "--cases", name,
+             "--steps", str(args.steps)],
+            capture_output=True, text=True)
+        line = [ln for ln in r.stdout.strip().splitlines()
+                if ln.startswith("{")]
+        if line:
+            print(line[-1], flush=True)
+        else:
+            print(json.dumps({"metric": name,
+                              "error": r.stderr.strip()[-400:]}),
                   flush=True)
 
 

@@ -141,3 +141,20 @@ def test_cli_refit_every(capsys, shards):
     assert rc == 0
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["seg_overflow"] == 0
+
+
+def test_cli_watch_latest_png(tmp_path, capsys):
+    out = str(tmp_path / "w")
+    rc = cli_main(["run", "--solver", "wcsph", "--steps", "4",
+                   "--no-boundary", "--export", "png", "--watch",
+                   "--export-every", "2", "--out", out])
+    assert rc == 0
+    capsys.readouterr()
+    files = sorted(os.listdir(out))
+    assert "latest.png" in files
+    # latest.png equals the newest numbered frame
+    import PIL.Image as I
+    last = [f for f in files if f.startswith("frame_")][-1]
+    a = np.asarray(I.open(os.path.join(out, last)))
+    b = np.asarray(I.open(os.path.join(out, "latest.png")))
+    np.testing.assert_array_equal(a, b)
