@@ -85,6 +85,18 @@ class PallasCtx:
                                  self._bcols(slot6_b), rows=8,
                                  win=self.win)
 
+    def update_rows(self, src, row_start: int, new_rows):
+        """Replace rows [row_start, row_start+len(new_rows)) of the FLUID
+        region of a packed source matrix with fresh (c,) columns.
+
+        Packing transposes (M, 3)-major state into the field-major source
+        matrix — measurably expensive at 1M. When consecutive sweeps (or
+        solver-loop iterations) differ only in a few scalar field rows,
+        build the matrix once and splice the changed rows in; boundary
+        region and padding stay untouched."""
+        block = jnp.stack([r[:self.c].astype(src.dtype) for r in new_rows])
+        return jax.lax.dynamic_update_slice(src, block, (row_start, 0))
+
     def pack_wide(self, cols_f, rows=16):
         """Wide source; boundary region carries ψ in slot 6 (boundary pair
         functions read it there regardless of the fluid slot meanings)."""

@@ -39,9 +39,13 @@ def wcsph_step_pallas(state: FluidState, params: SimParams,
     pm = params.particle_mass
 
     # -- density (fluid ψ slot = m; boundary region ψ real) -----------------
+    # ONE pack per step: the density pair ignores the velocity rows, so
+    # the matrix is built with them up front and only the dens/ψ row
+    # changes between the two sweeps (ctx.update_rows — repacking costs a
+    # (M,3)→field-major transpose at 1M).
     q4 = jnp.concatenate([pos, jnp.zeros((cb, 1), pos.dtype)], axis=1)
     psi_fluid = jnp.full((c,), 1.0, pos.dtype) * pm
-    src_d = ctx.pack(slot6=psi_fluid)
+    src_d = ctx.pack(vel=vel, slot6=psi_fluid)
     # self term ψ·W(0) is included by the sweep (self-pairs not excluded)
     dens = PS.density_sweep(cfg, q4, src_d, ctx.anchors, pvec, gsize,
                             n_rows=n_rows, interpret=interp)
@@ -52,7 +56,7 @@ def wcsph_step_pallas(state: FluidState, params: SimParams,
     pd2 = pres / (dens_safe * dens_safe)
     q8 = jnp.concatenate(
         [pos, vel, dens[:, None], pd2[:, None]], axis=1)
-    src_f = ctx.pack(vel=vel, slot6=dens)
+    src_f = ctx.update_rows(src_d, 6, [dens])
     force = PS.fluid_force_sweep(cfg, q8, src_f, ctx.anchors, pvec, gsize,
                                  n_rows=n_rows, interpret=interp)
     force = force + pm * params.gravity
