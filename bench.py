@@ -80,6 +80,7 @@ def run_case(name, n_steps=10):
         "wcsph_150k": ("wcsph", 150_000, False),
         "wcsph_1M": ("wcsph", 2 ** 20, False),
         "wcsph_2M": ("wcsph", 2 ** 21, False),
+        "wcsph_4M": ("wcsph", 2 ** 22, False),
         "wcsph_boundary_274k": ("wcsph", 256_000, True),
         "iisph_256k": ("iisph", 256_000, False),
         "pcisph_256k": ("pcisph", 256_000, False),

@@ -108,7 +108,7 @@ _MERGE_THRESHOLD = 100_000  # above this, sort-merge beats searchsorted
 _KEY_CAP = jnp.int32(2 ** 29)
 
 
-def positions_in_sorted(sorted_hash, queries):
+def _positions_merge(sorted_hash, queries):
     """``searchsorted(sorted_hash, queries, side='left')`` via sort-merge.
 
     TPU lowers ``searchsorted`` to ~log₂N rounds of element gathers at a few
@@ -128,6 +128,40 @@ def positions_in_sorted(sorted_hash, queries):
                    - qrank + 1)
     inv = jnp.argsort(order)
     return data_before[inv[c:]]
+
+
+_COARSE = 128   # hierarchical positioning: data stride per coarse entry
+
+
+def positions_in_sorted(sorted_hash, queries):
+    """``searchsorted(sorted_hash, queries, side='left')``, hierarchical.
+
+    The plain sort-merge pays two argsorts of (data + queries); when the
+    data array dwarfs the query batch (1M sorted hashes vs ~220k plan
+    bounds), subsample the data at stride 128 instead: merge the queries
+    against the 128× smaller coarse array, then refine with ONE contiguous
+    two-row gather per query — every element before coarse row ``pc−1`` is
+    provably < q, so the exact position is ``(pc−1)·128`` plus a masked
+    count over rows pc−1 and pc. Row gathers are the fast kind of gather
+    (~0.165 G rows/s); the element-gather searchsorted stays unthinkably
+    slow (CLAUDE.md).
+    """
+    c = sorted_hash.shape[0]
+    if c < 8 * _COARSE or c % _COARSE != 0:
+        return _positions_merge(sorted_hash, queries)
+    rows = c // _COARSE
+    h2 = sorted_hash.reshape(rows, _COARSE)
+    # one extra I32_MAX row so `base + 1` never clamps onto a real row
+    # (a clamp would double-count that row)
+    h2 = jnp.concatenate(
+        [h2, jnp.full((1, _COARSE), jnp.iinfo(jnp.int32).max,
+                  sorted_hash.dtype)])
+    coarse = h2[:rows, 0]
+    pc = _positions_merge(coarse, queries)           # # coarse < q
+    base = jnp.maximum(pc - 1, 0)
+    w = jnp.concatenate([h2[base], h2[base + 1]], axis=1)  # (nq, 2·128)
+    cnt = jnp.sum((w < queries[:, None]).astype(jnp.int32), axis=1)
+    return base * _COARSE + cnt
 
 
 def _positions(sorted_hash, queries):
