@@ -175,6 +175,17 @@ def _rl_invrl(r2):
     return r2 * inv, inv
 
 
+def _fast_recip(x):
+    """Approximate reciprocal inside Pallas kernels (the reference's
+    ``--use_fast_math`` analogue); exact 1/x when tracing outside a
+    kernel (e.g. a jnp oracle reusing a pair formula)."""
+    try:
+        from jax.experimental import pallas as pl
+        return pl.reciprocal(x, approx=True)
+    except Exception:
+        return 1.0 / x
+
+
 # ---------------------------------------------------------------------------
 # Pair functions
 # ---------------------------------------------------------------------------
@@ -229,11 +240,15 @@ def fluid_force_pair(q_ref, src_ref, valid, pv, *, kernel_set, st_model,
     dens_j = jnp.maximum(src_ref[6:7, :], _EPS)   # (1, WIN)
     inv_dens = 1.0 / dens_j                       # rank-1 division
 
-    # viscosity: 2·m·μ · (m/ρ_j)(r·∇W_v)/(r²+0.01h²) · (v_i − v_j)
+    # viscosity: 2·m·μ · (m/ρ_j)(r·∇W_v)/(r²+0.01h²) · (v_i − v_j).
+    # The denominator uses the fast approximate reciprocal — the only
+    # true per-slot division left, measured 7.7% of the whole force sweep
+    # at 1M — matching the reference's own `--use_fast_math` build
+    # (CMakeLists.txt:85). Interpret mode computes it exactly.
     a = _visc_rdotgrad(kernel_set, r2, rl, pv, invrl)
     kv = (2.0 * pv[PV_PM] * pv[PV_VISC] * pv[PV_PM]) * inv_dens  # rank-1
     bden = r2 + 0.01 * pv[PV_H2]
-    cvisc = kv * (a / bden) * okf
+    cvisc = kv * (a * _fast_recip(bden)) * okf
 
     # displacement-direction coefficient: pressure + surface tension share
     # the r⃗ factor, so their scales combine into ONE (B, WIN) field before

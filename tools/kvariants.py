@@ -171,6 +171,7 @@ def build(name, cfg, params, grid):
         "f1": force_like(force_pair_v1, False),
         "f2": force_like(force_pair_v2, False),
         "f3": force_like(force_pair_bf16, False),
+        "f4": force_like(force_pair_rcp, False),
     }[name]
 
 
@@ -236,3 +237,51 @@ def force_pair_bf16(q_ref, src_ref, valid, pv, **_):
          jnp.sum(fy.astype(q_ref.dtype), axis=1, keepdims=True),
          jnp.sum(fz.astype(q_ref.dtype), axis=1, keepdims=True),
          zero], axis=1)
+
+
+def force_pair_rcp(q_ref, src_ref, valid, pv, **_):
+    """f1 with the viscosity denominator via pl.reciprocal(approx=True)
+    instead of a true divide (the only per-slot division left)."""
+    from jax.experimental import pallas as pl
+    cvisc, cpd, dx, dy, dz, _ = None, None, None, None, None, None
+    qx, qy, qz = q_ref[:, 0:1], q_ref[:, 1:2], q_ref[:, 2:3]
+    sx, sy, sz = src_ref[0:1, :], src_ref[1:2, :], src_ref[2:3, :]
+    dx = qx - sx
+    dy = qy - sy
+    dz = qz - sz
+    r2 = dx * dx + dy * dy + dz * dz
+    inv = jax.lax.rsqrt(jnp.maximum(r2, _EPS * _EPS))
+    rl = r2 * inv
+    okf = (valid & (r2 < pv[PV.PV_H2])).astype(q_ref.dtype)
+    dens_j = jnp.maximum(src_ref[6:7, :], _EPS)
+    inv_dens = 1.0 / dens_j
+    inv3 = inv * inv * inv
+    c = ((2.0 / pv[PV.PV_H2]) - rl * (3.0 / pv[PV.PV_KVISC_DEN])
+         - inv3 * (pv[PV.PV_H] * 0.5))
+    kv = (2.0 * pv[PV.PV_PM] * pv[PV.PV_VISC] * pv[PV.PV_PM]
+          * pv[PV.PV_KVISC]) * inv_dens
+    bden = r2 + 0.01 * pv[PV.PV_H2]
+    cvisc = kv * ((c * r2) * pl.reciprocal(bden, approx=True)) * okf
+    ratio = dens_j * (1.0 / pv[PV.PV_RD])
+    ratio2 = ratio * ratio
+    p_j = pv[PV.PV_K] * (ratio2 * ratio2 * ratio2 * ratio - 1.0)
+    pd2_j = p_j * inv_dens * inv_dens
+    hr = jnp.maximum(pv[PV.PV_H] - rl, 0.0)
+    sp = (hr * hr) * inv * (-pv[PV.PV_PM] * pv[PV.PV_PM] * pv[PV.PV_KPRESS])
+    cpd = (q_ref[:, 7:8] + pd2_j) * sp
+    dpo = jnp.maximum(pv[PV.PV_H2] - r2, 0.0)
+    w = dpo * dpo * dpo * (pv[PV.PV_KPOLY] * pv[PV.PV_KAPPA])
+    w_eff = jnp.where(r2 > pv[PV.PV_DIAM2], w,
+                      pv[PV.PV_WDIAM] * pv[PV.PV_KAPPA])
+    cpd = (cpd - w_eff) * okf
+    dvx = q_ref[:, 3:4] - src_ref[3:4, :]
+    dvy = q_ref[:, 4:5] - src_ref[4:5, :]
+    dvz = q_ref[:, 5:6] - src_ref[5:6, :]
+    fx = cvisc * dvx + cpd * dx
+    fy = cvisc * dvy + cpd * dy
+    fz = cvisc * dvz + cpd * dz
+    zero = jnp.zeros_like(fx[:, :1])
+    return jnp.concatenate(
+        [jnp.sum(fx, axis=1, keepdims=True),
+         jnp.sum(fy, axis=1, keepdims=True),
+         jnp.sum(fz, axis=1, keepdims=True), zero], axis=1)
