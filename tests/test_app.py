@@ -158,3 +158,13 @@ def test_cli_watch_latest_png(tmp_path, capsys):
     a = np.asarray(I.open(os.path.join(out, last)))
     b = np.asarray(I.open(os.path.join(out, "latest.png")))
     np.testing.assert_array_equal(a, b)
+
+
+def test_cli_segments_engine(capsys):
+    """The jnp segment engine stays reachable from the CLI (the oracle
+    path users get off-TPU or by explicit choice)."""
+    rc = cli_main(["run", "--solver", "wcsph", "--steps", "3",
+                   "--no-boundary", "--neighbor-engine", "segments"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["seg_overflow"] == 0
