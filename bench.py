@@ -60,6 +60,11 @@ def _chain_and_time(step_fn, state, n_steps):
 
 
 def _scene(nt, scene, params, cfg, n_target, with_boundary):
+    if with_boundary == "settled":
+        # resting block on the floor of a tight box: implicit solvers face
+        # real hydrostatic compression from step 1 (the free-fall dam-break
+        # gives them nothing to solve for its first dozens of steps)
+        return scene.resting_block(params, cfg, n_target=n_target)
     return scene.dam_break(params, cfg, n_target=n_target,
                            with_boundary=with_boundary)
 
@@ -84,6 +89,10 @@ def run_case(name, n_steps=10):
         "wcsph_boundary_274k": ("wcsph", 256_000, True),
         "iisph_256k": ("iisph", 256_000, False),
         "pcisph_256k": ("pcisph", 256_000, False),
+        # settled-state rows: solver_iters_per_step must exceed the
+        # configured minimum or the row is not pricing a real solve
+        "iisph_256k_settled": ("iisph", 256_000, "settled"),
+        "pcisph_256k_settled": ("pcisph", 256_000, "settled"),
         "sharded_wcsph_1M": ("sharded_wcsph", 2 ** 20, False),
     }[name]
 
@@ -145,8 +154,8 @@ def main():
     args = ap.parse_args()
 
     all_cases = ["wcsph_150k", "wcsph_1M", "wcsph_boundary_274k",
-                 "iisph_256k", "pcisph_256k", "sharded_wcsph_1M",
-                 "wcsph_2M"]
+                 "iisph_256k", "pcisph_256k", "iisph_256k_settled",
+                 "pcisph_256k_settled", "sharded_wcsph_1M", "wcsph_2M"]
     if args.cases:
         cases = args.cases.split(",")
     elif args.all:

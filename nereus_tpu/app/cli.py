@@ -70,6 +70,11 @@ def _build_parser():
     run.add_argument("--out", default="out")
     run.add_argument("--checkpoint-every", type=int, default=0)
     run.add_argument("--resume", default=None, metavar="CKPT.npz")
+    run.add_argument("--allow-resume-mismatch", action="store_true",
+                     help="resume even when the checkpoint header records a "
+                          "different solver/scene/physics config (default: "
+                          "refuse — stepping a restored state under "
+                          "different physics is usually a mistake)")
     run.add_argument("--profile-dir", default=None,
                      help="write a jax.profiler trace of the run here")
     run.add_argument("--report-every", type=int, default=100)
@@ -143,6 +148,29 @@ def _make_setup(args):
     return cfg, params, state, grid, boundary
 
 
+def _run_desc(args, params, grid):
+    """Physics-identifying header written into every checkpoint, so a
+    checkpoint can refuse to resume under different physics (the ``extra``
+    slot of ``save_checkpoint``; the reference has no persistence at all,
+    SURVEY §5.4). ``grid_size`` is informational only — it is derived from
+    the scene and may legitimately change across --refit-every rebuilds."""
+    return {
+        "solver": args.solver,
+        "scene": args.scene,
+        "kernel_set": args.kernel_set,
+        "surface_tension": args.surface_tension,
+        "boundary": not args.no_boundary,
+        "n_target": args.n_target,
+        "dt": float(np.asarray(params.dt)),
+        "grid_size": np.asarray(grid.size).tolist(),
+    }
+
+
+# Header keys that must match between a checkpoint and the resuming run.
+_RESUME_KEYS = ("solver", "scene", "kernel_set", "surface_tension",
+                "boundary", "n_target", "dt")
+
+
 def cmd_run(args):
     import jax
     import nereus_tpu as nt
@@ -156,9 +184,28 @@ def cmd_run(args):
 
     log = get_logger()
     cfg, params, state, grid, boundary = _make_setup(args)
+    desc = _run_desc(args, params, grid)
     step0 = 0
     if args.resume:
         state, header = load_checkpoint(args.resume)
+        prev = header.get("extra") or {}
+        mismatch = {k: {"checkpoint": prev[k], "run": desc[k]}
+                    for k in _RESUME_KEYS
+                    if k in prev and prev[k] != desc[k]}
+        if mismatch:
+            if args.allow_resume_mismatch:
+                log.warning("resume config mismatch (continuing as asked): "
+                            "%s", json.dumps(mismatch))
+            else:
+                log.error("refusing to resume %s: it was written by a "
+                          "different run config %s — pass "
+                          "--allow-resume-mismatch to step it under the new "
+                          "physics anyway", args.resume,
+                          json.dumps(mismatch))
+                return 2
+        elif not prev:
+            log.warning("checkpoint %s has no config header (pre-v2 file); "
+                        "cannot verify it matches this run", args.resume)
         # --steps counts *additional* steps; loop/checkpoint numbering
         # continues from the checkpoint's absolute step so resumed runs
         # never overwrite earlier checkpoint files.
@@ -315,7 +362,7 @@ def cmd_run(args):
                              np.asarray(hs.pressure)[:na])
             if args.checkpoint_every and i and i % args.checkpoint_every == 0:
                 save_checkpoint(f"{args.out}_ckpt_{i:06d}.npz",
-                                to_host(run_state), step=i)
+                                to_host(run_state), step=i, extra=desc)
         jax.block_until_ready(run_state.pos)
     dt_wall = time.perf_counter() - t0
     if exporter is not None:

@@ -74,15 +74,16 @@ def fit_grid(lo, hi, cell_size, margin: float = 0.1, dtype=jnp.float32) -> Grid:
     """Fit a grid around an AABB, host-side.
 
     Mirrors ``SPH::updateGrid`` (``sph/sph.cpp:313-337``): origin is the AABB
-    min shifted by ``margin``; the extent is padded by ``margin`` and divided
-    by the cell size. The reference then rounds to powers of two
+    min shifted by ``margin``; the extent is padded by ``margin`` on *both*
+    faces of every axis (so a particle up to ``margin`` beyond ``hi`` still
+    lands in an interior cell) and divided by the cell size. The reference then rounds to powers of two
     (``nextPower2``, sph.cpp:300-311) because its hash wraps with a bitmask —
     our clamped hash needs no such rounding, so the grid is exact-size.
     """
     lo = np.asarray(lo, dtype=np.float64)
     hi = np.asarray(hi, dtype=np.float64)
     origin = lo - margin
-    size = np.ceil((hi - lo + margin) / cell_size).astype(np.int32)
+    size = np.ceil((hi - lo + 2.0 * margin) / cell_size).astype(np.int32)
     size = np.maximum(size, 1)
     return make_grid(origin.astype(dtype), size, cell_size, dtype=dtype)
 

@@ -511,17 +511,34 @@ def neighbor_sweep(pair_fn, *, queries, src, anchors, pvec, gsize,
     bytes_per_block = n_rows * N_WORDS * 4
     max_blocks = max(SMEM_ANCHOR_BUDGET // bytes_per_block, 1)
     if nb > max_blocks:
-        outs = []
+        # Equal-shape chunks: pad queries (parked rows) and anchors (all-
+        # sentinel blocks) so every chunk is the SAME (nb_c·block, …)
+        # pallas_call — identical Mosaic modules compile once and are
+        # cache-hits for the remaining chunks, where ragged chunks each
+        # paid a full kernel compile (the 4M wall: 3 ragged chunks × 2
+        # sweeps of 27-operand kernels).
+        k = -(-nb // max_blocks)
+        nb_c = -(-nb // k)
         stride = n_rows * N_WORDS
-        for b0 in range(0, nb, max_blocks):
-            b1 = min(b0 + max_blocks, nb)
+        pad_blocks = k * nb_c - nb
+        if pad_blocks:
+            q_pad = jnp.full((pad_blocks * block, fq), PARK_LIMIT * 10,
+                             queries.dtype)
+            queries = jnp.concatenate([queries, q_pad])
+            anchors = jnp.concatenate(
+                [anchors, jnp.zeros((pad_blocks * stride,), anchors.dtype)])
+        outs = []
+        for i in range(k):
             outs.append(neighbor_sweep(
-                pair_fn, queries=queries[b0 * block:b1 * block], src=src,
-                anchors=anchors[b0 * stride:b1 * stride], pvec=pvec,
-                gsize=gsize, out_width=out_width, block=block,
+                pair_fn,
+                queries=queries[i * nb_c * block:(i + 1) * nb_c * block],
+                src=src,
+                anchors=anchors[i * nb_c * stride:(i + 1) * nb_c * stride],
+                pvec=pvec, gsize=gsize, out_width=out_width, block=block,
                 grid_geom_idx=grid_geom_idx, pair_fn_b=pair_fn_b,
                 n_rows=n_rows, win=win, interpret=interpret))
-        return jnp.concatenate(outs)
+        out = jnp.concatenate(outs)
+        return out[:n] if pad_blocks else out
 
     kernel = functools.partial(
         _sweep_kernel, pair_fn=pair_fn, pair_fn_b=pair_fn_b, n_rows=n_rows,

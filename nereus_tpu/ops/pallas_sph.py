@@ -178,7 +178,11 @@ def _rl_invrl(r2):
 def _fast_recip(x):
     """Approximate reciprocal inside Pallas kernels (the reference's
     ``--use_fast_math`` analogue); exact 1/x when tracing outside a
-    kernel (e.g. a jnp oracle reusing a pair formula)."""
+    kernel (e.g. a jnp oracle reusing a pair formula) or for non-f32
+    operands (the fp64 interpret path: ``pl.reciprocal(approx=True)``
+    returns f32 regardless of input, which poisons f64 math)."""
+    if jnp.result_type(x) != jnp.float32:
+        return 1.0 / x
     try:
         from jax.experimental import pallas as pl
         return pl.reciprocal(x, approx=True)

@@ -143,6 +143,40 @@ def test_cli_refit_every(capsys, shards):
     assert summary["seg_overflow"] == 0
 
 
+def test_cli_resume_verifies_config(tmp_path, capsys):
+    """Checkpoints are self-describing: --resume under a different physics
+    config refuses (rc 2) unless --allow-resume-mismatch is given."""
+    out = str(tmp_path / "r")
+    rc = cli_main(["run", "--solver", "wcsph", "--steps", "5",
+                   "--no-boundary", "--checkpoint-every", "2",
+                   "--out", out])
+    assert rc == 0
+    capsys.readouterr()
+    ckpt = f"{out}_ckpt_000004.npz"
+    assert os.path.exists(ckpt)
+    _, header = load_checkpoint(ckpt)
+    assert header["extra"]["solver"] == "wcsph"
+    assert header["extra"]["boundary"] is False
+
+    # same config resumes fine, continuing absolute step numbering
+    rc = cli_main(["run", "--solver", "wcsph", "--steps", "2",
+                   "--no-boundary", "--resume", ckpt, "--out", out])
+    assert rc == 0
+    capsys.readouterr()
+
+    # different solver refuses ...
+    rc = cli_main(["run", "--solver", "iisph", "--steps", "2",
+                   "--no-boundary", "--resume", ckpt, "--out", out])
+    assert rc == 2
+    capsys.readouterr()
+    # ... unless explicitly overridden
+    rc = cli_main(["run", "--solver", "iisph", "--steps", "2",
+                   "--no-boundary", "--resume", ckpt, "--out", out,
+                   "--allow-resume-mismatch"])
+    assert rc == 0
+    capsys.readouterr()
+
+
 def test_cli_watch_latest_png(tmp_path, capsys):
     out = str(tmp_path / "w")
     rc = cli_main(["run", "--solver", "wcsph", "--steps", "4",

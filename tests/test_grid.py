@@ -98,6 +98,22 @@ def test_fit_grid_covers_domain():
     assert np.all(np.asarray(c) < np.asarray(grid.size))
 
 
+def test_fit_grid_margin_pads_both_faces():
+    """The margin contract holds on the hi faces too: a particle at
+    ``hi + margin/2`` (and one at ``lo − margin/2``) must land inside the
+    grid WITHOUT clamping — i.e. in a cell computed from its true
+    position, not an edge cell it was clipped into."""
+    lo, hi, margin, cell = -1.0, 2.0, 0.1, 0.0537
+    grid = G.fit_grid((lo,) * 3, (hi,) * 3, cell, margin=margin)
+    for p in (hi + margin / 2, lo - margin / 2):
+        pos = jnp.asarray([[p, p, p]])
+        raw = np.floor((np.asarray([p] * 3) - np.asarray(grid.origin))
+                       / np.asarray(grid.cell)).astype(np.int32)
+        c = np.asarray(G.cell_coords(grid, pos))[0]
+        np.testing.assert_array_equal(c, raw)  # unclamped == clamped
+        assert np.all(c >= 0) and np.all(c < np.asarray(grid.size))
+
+
 def test_refit_grid_covers_live_particles():
     import nereus_tpu as nt
     import numpy as np

@@ -190,3 +190,18 @@ def test_iisph_compressed_block_relaxes():
     active = newpos[:, 0] < 1e8
     outward = np.sum((newpos[active] - center) * vel[active])
     assert outward > 0.0
+
+
+def test_resting_block_exercises_real_solve():
+    """The settled bench scene (scene.resting_block) must make the solver
+    iterate PAST its configured minimum from the first step — that is the
+    whole point of benchmarking from a settled state instead of free fall
+    (the reference's host loop iterates against real compression,
+    sph_cuda.cu:736-823)."""
+    from nereus_tpu import scene
+
+    params = iisph_params()
+    state, grid, boundary = scene.resting_block(params, CFG, n_target=1500)
+    _, diag = iisph.iisph_step(state, params, grid, CFG, boundary=boundary)
+    assert int(diag.solver_iters) > CFG.iisph_min_iters
+    assert np.isfinite(float(diag.mean_density_error))
