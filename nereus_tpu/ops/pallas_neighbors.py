@@ -104,7 +104,8 @@ def row_hash_bounds(coords, gsize, r):
 # Window planning
 # ---------------------------------------------------------------------------
 
-_MERGE_THRESHOLD = 100_000  # above this, sort-merge beats searchsorted
+_MERGE_THRESHOLD = 8_192    # above this, (hierarchical) sort-merge beats
+                            # searchsorted's ~log2(N) element-gather rounds
 _KEY_CAP = jnp.int32(2 ** 29)
 
 
@@ -147,9 +148,19 @@ def positions_in_sorted(sorted_hash, queries):
     slow (CLAUDE.md).
     """
     c = sorted_hash.shape[0]
-    if c < 8 * _COARSE or c % _COARSE != 0:
+    if c < 8 * _COARSE:
         return _positions_merge(sorted_hash, queries)
-    rows = c // _COARSE
+    pad = (-c) % _COARSE
+    if pad:
+        # Pad to a row multiple with INT32_MAX (the same sentinel the
+        # inactive tail already carries): pad keys sort after every
+        # clamped query key, so side='left' positions are unchanged.
+        # Without this, any capacity not divisible by 128 silently fell
+        # back to the full-array sort-merge (two ~1.3M argsorts at 1M).
+        sorted_hash = jnp.concatenate(
+            [sorted_hash,
+             jnp.full((pad,), jnp.iinfo(jnp.int32).max, sorted_hash.dtype)])
+    rows = (c + pad) // _COARSE
     h2 = sorted_hash.reshape(rows, _COARSE)
     # one extra I32_MAX row so `base + 1` never clamps onto a real row
     # (a clamp would double-count that row)
