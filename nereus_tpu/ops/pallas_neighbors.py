@@ -78,17 +78,25 @@ def round_up(x: int, m: int) -> int:
 # Row hash bounds (shared definition: jnp plan + in-kernel masks)
 # ---------------------------------------------------------------------------
 
+def _coords_xyz(coords):
+    """Accept cell coords as an (..., 3) int32 array or an (x, y, z) tuple
+    of columns (the lane-padding-free form the solver ctx uses)."""
+    if isinstance(coords, tuple):
+        return coords
+    return coords[..., 0], coords[..., 1], coords[..., 2]
+
+
 def row_hash_bounds(coords, gsize, r):
     """[lo, hi] cell-hash bounds of row offset ``r`` for query cells.
 
-    coords: (..., 3) int32; gsize: (gx, gy, gz) python ints; r: row index
-    0..8 mapping to (dy, dz) = (r%3−1, r//3−1). Out-of-grid rows return
-    lo > hi (empty).
+    coords: (..., 3) int32 or (x, y, z) column tuple; gsize: (gx, gy, gz)
+    python ints; r: row index 0..8 mapping to (dy, dz) = (r%3−1, r//3−1).
+    Out-of-grid rows return lo > hi (empty).
     """
     gx, gy, gz = gsize
     dy = r % 3 - 1
     dz = r // 3 - 1
-    x, y, z = coords[..., 0], coords[..., 1], coords[..., 2]
+    x, y, z = _coords_xyz(coords)
     yy = y + dy
     zz = z + dz
     base = (zz * gy + yy) * gx
@@ -214,13 +222,14 @@ def plan_windows(sorted_hash, coords, gsize, block: int,
     """
     assert pos_offset % ALIGN == 0, pos_offset
     assert win % ALIGN == 0, win
-    n = coords.shape[0]
+    zc = _coords_xyz(coords)[2]
+    n = zc.shape[0]
     nb = n // block
     big = jnp.int32(2 ** 30)
     a_cap = max(src_len_padded - win, 0) // ALIGN
 
     # Cluster split: first z-value group vs rest (z-plane crossing).
-    z = coords[..., 2].reshape(nb, block)
+    z = zc.reshape(nb, block)
     in_a = z == z[:, :1]
     if active_mask is not None:
         act = active_mask.reshape(nb, block)
@@ -320,6 +329,14 @@ def fuse_plans(anchors_f, anchors_b):
     return jnp.concatenate([af, ab], axis=1).reshape(-1)
 
 
+def _pos_cols(pos):
+    """Position operand as columns: accepts an (M, 3) array or an
+    (x, y, z) tuple of (M,) columns (preferred — no lane-padding reads)."""
+    if isinstance(pos, tuple):
+        return pos
+    return pos[:, 0], pos[:, 1], pos[:, 2]
+
+
 def pack_source(pos, hash_f32, vel=None, dens_or_psi=None,
                 win: int = WIN):
     """Pack source fields into the (8, M_padded) field-major matrix:
@@ -328,12 +345,11 @@ def pack_source(pos, hash_f32, vel=None, dens_or_psi=None,
     Padding columns carry parked positions and hash −1 so stray window
     tails never match a row range nor pass the radius cutoff.
     """
-    zeros = jnp.zeros((pos.shape[0],), pos.dtype)
-    cols = [vel[:, 0] if vel is not None else zeros,
-            vel[:, 1] if vel is not None else zeros,
-            vel[:, 2] if vel is not None else zeros,
-            dens_or_psi if dens_or_psi is not None else zeros]
-    return pack_source_wide(pos, hash_f32, cols, rows=8, win=win)
+    px, py, pz = _pos_cols(pos)
+    zeros = jnp.zeros((px.shape[0],), px.dtype)
+    vel = _pos_cols(vel) if vel is not None else (zeros, zeros, zeros)
+    cols = [*vel, dens_or_psi if dens_or_psi is not None else zeros]
+    return pack_source_wide((px, py, pz), hash_f32, cols, rows=8, win=win)
 
 
 def pack_source_wide(pos, hash_f32, cols, rows: int = 16,
@@ -341,16 +357,18 @@ def pack_source_wide(pos, hash_f32, cols, rows: int = 16,
     """Pack an arbitrary source matrix: rows 0-2 = x,y,z, then ``cols``
     (each (M,)), zero filler, and the cell hash in the LAST row
     (``rows−1``). ``rows`` must be a multiple of 8."""
-    return _pack_region(pos, hash_f32, cols, rows,
-                        round_up(pos.shape[0], ALIGN) + win)
+    px, py, pz = _pos_cols(pos)
+    return _pack_region((px, py, pz), hash_f32, cols, rows,
+                        round_up(px.shape[0], ALIGN) + win)
 
 
 def _pack_region(pos, hash_f32, cols, rows: int, width: int):
-    m = pos.shape[0]
+    px, py, pz = _pos_cols(pos)
+    m = px.shape[0]
     assert len(cols) <= rows - 4, (len(cols), rows)
-    zeros = jnp.zeros((m,), pos.dtype)
+    zeros = jnp.zeros((m,), px.dtype)
     fill = [zeros] * (rows - 4 - len(cols))
-    src = jnp.stack([pos[:, 0], pos[:, 1], pos[:, 2], *cols, *fill,
+    src = jnp.stack([px, py, pz, *cols, *fill,
                      hash_f32])                        # (rows, m)
     pad = jnp.full((rows, width - m), 0.0, src.dtype)
     pad = pad.at[:3].set(1e9).at[rows - 1].set(-1.0)
@@ -373,10 +391,11 @@ def pack_source_fused(pos_f, hash_f, cols_f, pos_b, hash_b, cols_b,
     columns and boundary rows boundary columns, routed by the fused anchor
     plan, so the meanings never mix.
     """
+    pos_f, pos_b = _pos_cols(pos_f), _pos_cols(pos_b)
     f = _pack_region(pos_f, hash_f, cols_f, rows,
-                     fused_offset(pos_f.shape[0], win))
+                     fused_offset(pos_f[0].shape[0], win))
     b = _pack_region(pos_b, hash_b, cols_b, rows,
-                     round_up(pos_b.shape[0], ALIGN) + win)
+                     round_up(pos_b[0].shape[0], ALIGN) + win)
     return jnp.concatenate([f, b], axis=1)
 
 

@@ -30,7 +30,7 @@ def iisph_step_pallas(state: FluidState, params: SimParams,
                       boundary: Optional[BoundaryData] = None,
                       tol: float = 1.0, omega: float = 0.5):
     ctx = build_pallas_ctx(state, params, grid, cfg, boundary)
-    pos, vel = ctx.pos, ctx.vel
+    vel = (ctx.vx, ctx.vy, ctx.vz)
     c, cb = ctx.c, ctx.cb
     active = ctx.active
     nact = jnp.maximum(state.num_active.astype(cfg.dtype), 1.0)
@@ -40,8 +40,8 @@ def iisph_step_pallas(state: FluidState, params: SimParams,
     pvec, gsize, n_rows = ctx.pvec, ctx.gsize, ctx.n_rows
 
     # --- density -----------------------------------------------------------
-    q4 = jnp.concatenate([pos, jnp.zeros((cb, 1), pos.dtype)], axis=1)
-    psi_fluid = jnp.full((c,), 1.0, pos.dtype) * pm
+    q4 = ctx.queries(width=4)
+    psi_fluid = jnp.full((c,), 1.0, ctx.dtype) * pm
     # self term ψ·W(0) is included by the sweep (self-pairs not excluded)
     dens = PS.density_sweep(cfg, q4, ctx.pack(slot6=psi_fluid), ctx.anchors,
                             pvec, gsize, n_rows=n_rows, interpret=interp)
@@ -49,30 +49,28 @@ def iisph_step_pallas(state: FluidState, params: SimParams,
     inv_d2 = 1.0 / (dens_safe * dens_safe)
 
     # --- non-pressure (advection) forces ------------------------------------
-    q8 = jnp.concatenate([pos, vel, dens[:, None],
-                          jnp.zeros((cb, 1), pos.dtype)], axis=1)
+    q8 = ctx.queries(*vel, dens, jnp.zeros((cb,), ctx.dtype))
     f_adv = PS.fluid_force_sweep(cfg, q8, ctx.pack(vel=vel, slot6=dens),
                                  ctx.anchors, pvec, gsize,
                                  include_pressure=False, n_rows=n_rows,
                                  interpret=interp)
-    f_adv = f_adv + pm * params.gravity
-    vel_adv = vel + (dt / pm) * f_adv
+    g = params.gravity
+    vel_adv = tuple(v + (dt / pm) * (f_adv[:, k] + pm * g[k])
+                    for k, v in enumerate(vel))
 
     # --- dii + rho_adv (fused fluid+boundary), then aii ----------------------
-    q12 = jnp.concatenate([pos, vel_adv, vel, inv_d2[:, None],
-                           jnp.zeros((cb, 2), pos.dtype)], axis=1)
+    q12 = ctx.queries(*vel_adv, *vel, inv_d2, width=12)
     src_p = ctx.pack(vel=vel_adv, slot6=psi_fluid)
     pr = PS.generic_sweep(cfg, PS.dii_rhoadv_pair, q12, src_p, ctx.anchors,
                           pvec, gsize, out_width=4,
                           n_rows=n_rows, interpret=interp, vel_q_offset=3,
                           pair_fn_b=PS.dii_rhoadv_pair,
                           pair_b_kw=dict(vel_q_offset=6))
-    dii = pr[:, :3]
+    diix, diiy, diiz = (pr[:, k] for k in range(3))
     rho_adv = dens + pr[:, 3]
 
     dpi = pm * inv_d2
-    q_aii = jnp.concatenate([pos, dii, dpi[:, None],
-                             jnp.zeros((cb, 1), pos.dtype)], axis=1)
+    q_aii = ctx.queries(diix, diiy, diiz, dpi, width=8)
     # aii formula is identical for fluid (ψ = m) and boundary (ψ) rows
     aii = PS.generic_sweep(cfg, PS.aii_pair, q_aii, src_p, ctx.anchors,
                            pvec, gsize, out_width=1,
@@ -99,10 +97,10 @@ def iisph_step_pallas(state: FluidState, params: SimParams,
             out_width=4, n_rows=9, interpret=interp)[:, :3]
 
         src16 = ctx.pack_wide(
-            [dii[:, 0], dii[:, 1], dii[:, 2], p,
+            [diix, diiy, diiz, p,
              sum_dij[:, 0], sum_dij[:, 1], sum_dij[:, 2]], rows=16)
-        qj = jnp.concatenate([pos, sum_dij, (dpi * p)[:, None],
-                              jnp.zeros((cb, 1), pos.dtype)], axis=1)
+        qj = ctx.queries(sum_dij[:, 0], sum_dij[:, 1], sum_dij[:, 2],
+                         dpi * p, width=8)
         # fused: fluid Jacobi sum + boundary ψ term in one sweep
         fb = PS.generic_sweep(cfg, PS.jacobi_fluid_pair, qj, src16,
                               ctx.anchors, pvec, gsize, out_width=1,
@@ -127,23 +125,27 @@ def iisph_step_pallas(state: FluidState, params: SimParams,
 
     # --- pressure force + integration ---------------------------------------
     pd2 = p * inv_d2
-    q_pf = jnp.concatenate([pos, pd2[:, None]], axis=1)
+    q_pf = ctx.queries(pd2)
     src_pf = ctx.pack(slot6=pd2)   # boundary region slot6 = ψ
     f_p = PS.generic_sweep(
         cfg, PS.grad_pressure_force_pair, q_pf, src_pf, ctx.anchors, pvec,
         gsize, out_width=4, n_rows=n_rows,
         interpret=interp, boundary=False,
         pair_fn_b=PS.grad_pressure_force_pair,
-        pair_b_kw=dict(boundary=True, boundary_sign=-1.0))[:, :3]
+        pair_b_kw=dict(boundary=True, boundary_sign=-1.0))
 
-    new_vel = vel_adv + (dt / pm) * f_p
-    new_pos = pos + dt * new_vel
-    new_vel = jnp.where(active[:, None], new_vel, vel)
-    new_pos = jnp.where(active[:, None], new_pos, pos)
+    pos = (ctx.px, ctx.py, ctx.pz)
+    nv, np_ = [], []
+    for k in range(3):
+        v = vel_adv[k] + (dt / pm) * f_p[:, k]
+        nv.append(jnp.where(active, v, vel[k]))
+        np_.append(jnp.where(active, pos[k] + dt * v, pos[k]))
 
-    new_state = FluidState(pos=new_pos[:c], vel=new_vel[:c],
-                           pressure=jnp.where(active, p, 0.0)[:c],
-                           num_active=state.num_active)
+    new_state = FluidState(
+        pos=jnp.stack([a[:c] for a in np_], axis=1),
+        vel=jnp.stack([a[:c] for a in nv], axis=1),
+        pressure=jnp.where(active, p, 0.0)[:c],
+        num_active=state.num_active)
     diag = StepDiagnostics(
         max_density=jnp.max(jnp.where(active, dens, 0.0)),
         mean_density_error=rho_err / params.rest_density,

@@ -37,10 +37,24 @@ def padded_len(m: int, win: int = WIN) -> int:
 @dataclasses.dataclass
 class PallasCtx:
     """Per-step sorted state + window plan (plain container, built inside
-    the jitted step; not a pytree)."""
+    the jitted step; not a pytree).
 
-    pos: jax.Array          # (cb, 3) sorted, padded (parked tail)
-    vel: jax.Array          # (cb, 3)
+    Positions/velocities live as SoA *columns* ((cb,) arrays), not (cb, 3)
+    matrices: on TPU a row-major (N, 3) f32 array is tiled (8, 128), so 3
+    of every 128 lanes are real — every elementwise pass over it physically
+    moves ~42× the logical bytes (measured ~1.7 ms per op at 1M where the
+    column form costs ~0.05 ms). Columns enter the variadic sort, the
+    plan, and the field-major source packing directly; only the (N, fq)
+    query operands of the sweeps (built by :meth:`queries`) materialize a
+    lane-padded matrix, once per sweep.
+    """
+
+    px: jax.Array           # (cb,) sorted, padded (parked tail)
+    py: jax.Array
+    pz: jax.Array
+    vx: jax.Array           # (cb,)
+    vy: jax.Array
+    vz: jax.Array
     pres_prev: jax.Array    # (cb,)
     active: jax.Array       # (cb,) bool
     sorted_hash: jax.Array  # (c,) int32
@@ -54,10 +68,26 @@ class PallasCtx:
     n_rows: int             # 9 (fluid only) or 18 (fused boundary)
     win: int                # window width (cfg.sweep_win)
     interp: bool
-    b_pos: Optional[jax.Array] = None      # boundary fields (static)
+    b_pos: Optional[tuple] = None          # boundary columns (static)
     b_hash_f32: Optional[jax.Array] = None
     b_psi: Optional[jax.Array] = None
     anchors_f: Optional[jax.Array] = None  # fluid-only 9-row plan
+
+    @property
+    def dtype(self):
+        return self.px.dtype
+
+    def queries(self, *cols, width: int | None = None):
+        """Build the (cb, fq) query operand from columns; positions first.
+
+        ``width`` pads with zero columns up to the requested field count.
+        This is the ONE place a lane-padded row-major matrix gets built
+        per sweep — everything upstream stays columns."""
+        cols = [self.px, self.py, self.pz, *cols]
+        if width is not None:
+            z = jnp.zeros((self.cb,), self.dtype)
+            cols += [z] * (width - len(cols))
+        return jnp.stack(cols, axis=1)
 
     # -- fused source packing -------------------------------------------
     def _bcols(self, slot6_b):
@@ -66,16 +96,19 @@ class PallasCtx:
                 self.b_psi if slot6_b is None else slot6_b]
 
     def pack(self, vel=None, slot6=None, slot6_b=None, pos_override=None):
-        """8-row source: fluid cols (vel, slot6) + boundary region
-        (vel 0, slot6 = ψ unless overridden). ``pos_override`` substitutes
-        the fluid position rows (PCISPH predicted positions) while keeping
-        the hash row — the frozen-neighborhood semantics."""
+        """8-row source: fluid cols (vel = (vx, vy, vz) columns, slot6) +
+        boundary region (vel 0, slot6 = ψ unless overridden).
+        ``pos_override`` substitutes the fluid position columns (PCISPH
+        predicted positions) while keeping the hash row — the
+        frozen-neighborhood semantics."""
         c = self.c
-        posf = (self.pos if pos_override is None else pos_override)[:c]
-        zeros = jnp.zeros((c,), self.pos.dtype)
-        cols_f = [vel[:c, 0] if vel is not None else zeros,
-                  vel[:c, 1] if vel is not None else zeros,
-                  vel[:c, 2] if vel is not None else zeros,
+        posf = ((self.px, self.py, self.pz) if pos_override is None
+                else pos_override)
+        posf = tuple(p[:c] for p in posf)
+        zeros = jnp.zeros((c,), self.dtype)
+        cols_f = [vel[0][:c] if vel is not None else zeros,
+                  vel[1][:c] if vel is not None else zeros,
+                  vel[2][:c] if vel is not None else zeros,
                   slot6[:c] if slot6 is not None else zeros]
         if self.b_pos is None:
             return pack_source_wide(posf, self.hash_f32, cols_f, rows=8,
@@ -101,10 +134,11 @@ class PallasCtx:
         """Wide source; boundary region carries ψ in slot 6 (boundary pair
         functions read it there regardless of the fluid slot meanings)."""
         cols_f = [col[:self.c] for col in cols_f]
+        posf = (self.px[:self.c], self.py[:self.c], self.pz[:self.c])
         if self.b_pos is None:
-            return pack_source_wide(self.pos[:self.c], self.hash_f32,
+            return pack_source_wide(posf, self.hash_f32,
                                     cols_f, rows=rows, win=self.win)
-        return pack_source_fused(self.pos[:self.c], self.hash_f32, cols_f,
+        return pack_source_fused(posf, self.hash_f32, cols_f,
                                  self.b_pos, self.b_hash_f32,
                                  self._bcols(None), rows=rows,
                                  win=self.win)
@@ -140,17 +174,25 @@ def build_pallas_ctx(state: FluidState, params: SimParams,
     c = state.capacity
     cb = round_up(c, cfg.sweep_block)
     mask = state.active_mask()
+    # ONE lane-padded read of the (N, 3) carry arrays, splitting them into
+    # columns; everything downstream (sort, plan, packing) stays columns.
+    px, py, pz = (state.pos[:, k] for k in range(3))
+    vx, vy, vz = (state.vel[:, k] for k in range(3))
     h = gridlib.hash_positions(grid, state.pos, mask)
-    sorted_hash, _, (pos, vel, pres_prev) = gridlib.sort_by_hash(
-        h, state.pos, state.vel, state.pressure)
+    sorted_hash, _, (px, py, pz, vx, vy, vz, pres_prev) = \
+        gridlib.sort_by_hash(h, px, py, pz, vx, vy, vz, state.pressure)
     if cb != c:
         pad = cb - c
-        pos = jnp.concatenate([pos, jnp.full((pad, 3), 1e9, pos.dtype)])
-        vel = jnp.concatenate([vel, jnp.zeros((pad, 3), vel.dtype)])
-        pres_prev = jnp.concatenate(
-            [pres_prev, jnp.zeros((pad,), pres_prev.dtype)])
+        dt_ = px.dtype
+
+        def padc(a, v):
+            return jnp.concatenate([a, jnp.full((pad,), v, dt_)])
+
+        px, py, pz = padc(px, 1e9), padc(py, 1e9), padc(pz, 1e9)
+        vx, vy, vz = padc(vx, 0.0), padc(vy, 0.0), padc(vz, 0.0)
+        pres_prev = padc(pres_prev, 0.0)
     active = jnp.arange(cb, dtype=jnp.int32) < state.num_active
-    coords = gridlib.cell_coords(grid, pos)
+    coords = gridlib.cell_coords_cols(grid, px, py, pz)
     win = cfg.sweep_win
     anchors, miss = plan_windows(sorted_hash, coords, grid.size,
                                  cfg.sweep_block, padded_len(c, win),
@@ -166,12 +208,13 @@ def build_pallas_ctx(state: FluidState, params: SimParams,
         anchors = fuse_plans(anchors, b_anchors)
         miss = miss + b_miss
         n_rows = 2 * N_ROWS
-        kwargs.update(b_pos=boundary.pos,
-                      b_hash_f32=boundary.sorted_hash.astype(pos.dtype),
+        kwargs.update(b_pos=tuple(boundary.pos[:, k] for k in range(3)),
+                      b_hash_f32=boundary.sorted_hash.astype(px.dtype),
                       b_psi=boundary.psi)
     return PallasCtx(
-        pos=pos, vel=vel, pres_prev=pres_prev, active=active,
-        sorted_hash=sorted_hash, hash_f32=sorted_hash.astype(pos.dtype),
+        px=px, py=py, pz=pz, vx=vx, vy=vy, vz=vz, pres_prev=pres_prev,
+        active=active,
+        sorted_hash=sorted_hash, hash_f32=sorted_hash.astype(px.dtype),
         anchors=anchors, pvec=PS.build_pvec(params, cfg, grid), miss=miss,
         c=c, cb=cb, gsize=grid.size, n_rows=n_rows, win=win,
         interp=interp, **kwargs)

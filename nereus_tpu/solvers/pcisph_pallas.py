@@ -34,49 +34,52 @@ def pcisph_step_pallas(state: FluidState, params: SimParams,
     delta = jnp.asarray(delta, cfg.dtype)
 
     ctx = build_pallas_ctx(state, params, grid, cfg, boundary)
-    pos, vel = ctx.pos, ctx.vel
+    pos = (ctx.px, ctx.py, ctx.pz)
+    vel = (ctx.vx, ctx.vy, ctx.vz)
     c, cb = ctx.c, ctx.cb
     active = ctx.active
     dt = params.dt
     pm = params.particle_mass
+    g = params.gravity
     interp = ctx.interp
     pvec, gsize, n_rows = ctx.pvec, ctx.gsize, ctx.n_rows
 
     # --- density + advection forces -----------------------------------------
-    q4 = jnp.concatenate([pos, jnp.zeros((cb, 1), pos.dtype)], axis=1)
-    psi_fluid = jnp.full((c,), 1.0, pos.dtype) * pm
+    q4 = ctx.queries(width=4)
+    psi_fluid = jnp.full((c,), 1.0, ctx.dtype) * pm
     # self term ψ·W(0) is included by the sweeps (self-pairs not excluded)
     dens = PS.density_sweep(cfg, q4, ctx.pack(slot6=psi_fluid), ctx.anchors,
                             pvec, gsize, n_rows=n_rows, interpret=interp)
     dens_safe = jnp.maximum(dens, 1e-12)
     inv_d2 = 1.0 / (dens_safe * dens_safe)
 
-    q8 = jnp.concatenate([pos, vel, dens[:, None],
-                          jnp.zeros((cb, 1), pos.dtype)], axis=1)
+    q8 = ctx.queries(*vel, dens, width=8)
     f_adv = PS.fluid_force_sweep(cfg, q8, ctx.pack(vel=vel, slot6=dens),
                                  ctx.anchors, pvec, gsize,
                                  include_pressure=False, n_rows=n_rows,
                                  interpret=interp)
-    f_adv = f_adv + pm * params.gravity
+    f_adv = tuple(f_adv[:, k] + pm * g[k] for k in range(3))
 
     tol = tol_frac * params.rest_density
 
     # --- predictive-corrective loop ------------------------------------------
     def cond(carry):
-        p, f_p, err, it = carry
+        p, fpx, fpy, fpz, err, it = carry
         return ((err > tol) | (it < cfg.pcisph_min_iters)) & \
             (it < cfg.pcisph_max_iters)
 
     def body(carry):
-        p, f_p, _, it = carry
-        vel_pred = vel + (dt / pm) * (f_adv + f_p)
-        pos_pred = pos + dt * vel_pred
+        p, fpx, fpy, fpz, _, it = carry
+        f_p = (fpx, fpy, fpz)
+        pos_pred = tuple(
+            pos[k] + dt * (vel[k] + (dt / pm) * (f_adv[k] + f_p[k]))
+            for k in range(3))
         # predicted density over the frozen neighbor structure: columns 0-2
         # keep the start-of-step positions so the in-kernel hash masks match
         # the frozen window plan; columns 3-5 carry the predicted positions
         # for the pair distances (geom_offset=3). The source pack likewise
         # refreshes its position rows but keeps the hash row.
-        q6p = jnp.concatenate([pos, pos_pred], axis=1)
+        q6p = ctx.queries(*pos_pred, width=8)
         src_dp = ctx.pack(slot6=psi_fluid, pos_override=pos_pred)
         rho_pred = PS.density_sweep(cfg, q6p, src_dp, ctx.anchors, pvec,
                                     gsize, n_rows=n_rows,
@@ -86,28 +89,33 @@ def pcisph_step_pallas(state: FluidState, params: SimParams,
         p_new = p + delta * rho_err
 
         pd2 = p_new * inv_d2
-        q_pf = jnp.concatenate([pos, pd2[:, None]], axis=1)
+        q_pf = ctx.queries(pd2)
         f_p_new = PS.generic_sweep(
             cfg, PS.grad_pressure_force_pair, q_pf, ctx.pack(slot6=pd2),
             ctx.anchors, pvec, gsize, out_width=4,
             n_rows=n_rows, interpret=interp, boundary=False,
             pair_fn_b=PS.grad_pressure_force_pair,
-            pair_b_kw=dict(boundary=True, boundary_sign=-1.0))[:, :3]
+            pair_b_kw=dict(boundary=True, boundary_sign=-1.0))
         err = jnp.max(rho_err)
-        return (p_new, f_p_new, err, it + 1)
+        return (p_new, f_p_new[:, 0], f_p_new[:, 1], f_p_new[:, 2],
+                err, it + 1)
 
-    init = (jnp.zeros((cb,), cfg.dtype), jnp.zeros_like(pos),
+    zc = jnp.zeros((cb,), cfg.dtype)
+    init = (zc, zc, zc, zc,
             jnp.asarray(jnp.inf, cfg.dtype), jnp.asarray(0, jnp.int32))
-    p, f_p, err, iters = jax.lax.while_loop(cond, body, init)
+    p, fpx, fpy, fpz, err, iters = jax.lax.while_loop(cond, body, init)
 
-    new_vel = vel + (dt / pm) * (f_adv + f_p)
-    new_pos = pos + dt * new_vel
-    new_vel = jnp.where(active[:, None], new_vel, vel)
-    new_pos = jnp.where(active[:, None], new_pos, pos)
+    nv, np_ = [], []
+    for k, fp in enumerate((fpx, fpy, fpz)):
+        v = vel[k] + (dt / pm) * (f_adv[k] + fp)
+        nv.append(jnp.where(active, v, vel[k]))
+        np_.append(jnp.where(active, pos[k] + dt * v, pos[k]))
 
-    new_state = FluidState(pos=new_pos[:c], vel=new_vel[:c],
-                           pressure=jnp.where(active, p, 0.0)[:c],
-                           num_active=state.num_active)
+    new_state = FluidState(
+        pos=jnp.stack([a[:c] for a in np_], axis=1),
+        vel=jnp.stack([a[:c] for a in nv], axis=1),
+        pressure=jnp.where(active, p, 0.0)[:c],
+        num_active=state.num_active)
     diag = StepDiagnostics(
         max_density=jnp.max(jnp.where(active, dens, 0.0)),
         mean_density_error=err / params.rest_density,

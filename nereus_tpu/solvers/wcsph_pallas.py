@@ -31,7 +31,7 @@ def wcsph_step_pallas(state: FluidState, params: SimParams,
     misses (0 in healthy runs) rather than segment-window truncation.
     """
     ctx = build_pallas_ctx(state, params, grid, cfg, boundary)
-    pos, vel = ctx.pos, ctx.vel
+    vel = (ctx.vx, ctx.vy, ctx.vz)
     c, cb = ctx.c, ctx.cb
     active = ctx.active
     interp = ctx.interp
@@ -42,9 +42,9 @@ def wcsph_step_pallas(state: FluidState, params: SimParams,
     # ONE pack per step: the density pair ignores the velocity rows, so
     # the matrix is built with them up front and only the dens/ψ row
     # changes between the two sweeps (ctx.update_rows — repacking costs a
-    # (M,3)→field-major transpose at 1M).
-    q4 = jnp.concatenate([pos, jnp.zeros((cb, 1), pos.dtype)], axis=1)
-    psi_fluid = jnp.full((c,), 1.0, pos.dtype) * pm
+    # column→field-major transpose at 1M).
+    q4 = ctx.queries(width=4)
+    psi_fluid = jnp.full((c,), 1.0, ctx.dtype) * pm
     src_d = ctx.pack(vel=vel, slot6=psi_fluid)
     # self term ψ·W(0) is included by the sweep (self-pairs not excluded)
     dens = PS.density_sweep(cfg, q4, src_d, ctx.anchors, pvec, gsize,
@@ -54,23 +54,29 @@ def wcsph_step_pallas(state: FluidState, params: SimParams,
     # -- forces (viscosity + surface tension + pressure + boundary terms) ---
     dens_safe = jnp.maximum(dens, 1e-12)
     pd2 = pres / (dens_safe * dens_safe)
-    q8 = jnp.concatenate(
-        [pos, vel, dens[:, None], pd2[:, None]], axis=1)
+    q8 = ctx.queries(*vel, dens, pd2)
     src_f = ctx.update_rows(src_d, 6, [dens])
     force = PS.fluid_force_sweep(cfg, q8, src_f, ctx.anchors, pvec, gsize,
                                  n_rows=n_rows, interpret=interp)
-    force = force + pm * params.gravity
+    fx, fy, fz = (force[:, k] for k in range(3))
 
     # -- symplectic Euler (``integrate_functor``) --------------------------
     dt = params.dt
-    new_vel = vel + (dt / pm) * force
-    new_pos = pos + dt * new_vel
-    new_vel = jnp.where(active[:, None], new_vel, vel)
-    new_pos = jnp.where(active[:, None], new_pos, pos)
+    g = params.gravity
 
-    new_state = FluidState(pos=new_pos[:c], vel=new_vel[:c],
-                           pressure=jnp.where(active, pres, 0.0)[:c],
-                           num_active=state.num_active)
+    def integ(v, p, f, gk):
+        nv = v + (dt / pm) * (f + pm * gk)
+        return jnp.where(active, nv, v), jnp.where(active, p + dt * nv, p)
+
+    nvx, npx = integ(ctx.vx, ctx.px, fx, g[0])
+    nvy, npy = integ(ctx.vy, ctx.py, fy, g[1])
+    nvz, npz = integ(ctx.vz, ctx.pz, fz, g[2])
+
+    new_state = FluidState(
+        pos=jnp.stack([npx[:c], npy[:c], npz[:c]], axis=1),
+        vel=jnp.stack([nvx[:c], nvy[:c], nvz[:c]], axis=1),
+        pressure=jnp.where(active, pres, 0.0)[:c],
+        num_active=state.num_active)
     nact = jnp.maximum(state.num_active.astype(cfg.dtype), 1.0)
     diag = StepDiagnostics(
         max_density=jnp.max(jnp.where(active, dens, 0.0)),

@@ -126,12 +126,12 @@ def build(name, cfg, params, grid):
 
     def density_like(pair_fn, _unused=None):
         def run(ctx, q_extra):
-            pos, cb, c = ctx.pos, ctx.cb, ctx.c
+            cb, c = ctx.cb, ctx.c
             pm = params.particle_mass
-            psi = jnp.full((c,), 1.0, pos.dtype) * pm
-            q = jnp.concatenate(
-                [pos + q_extra[:, None] * 1e-20,
-                 jnp.zeros((cb, 1), pos.dtype)], axis=1)
+            psi = jnp.full((c,), 1.0, ctx.dtype) * pm
+            q = jnp.stack(
+                [ctx.px + q_extra * 1e-20, ctx.py, ctx.pz,
+                 jnp.zeros((cb,), ctx.dtype)], axis=1)
             out = neighbor_sweep(
                 functools.partial(pair_fn, kernel_set=cfg.kernel_set)
                 if pair_fn is PS.density_pair else pair_fn,
@@ -145,18 +145,20 @@ def build(name, cfg, params, grid):
 
     def force_like(pair_fn, _unused=None):
         def run(ctx, q_extra):
-            pos, cb = ctx.pos, ctx.cb
-            dens = jnp.full((cb,), params.rest_density, pos.dtype)
-            q = jnp.concatenate(
-                [pos + q_extra[:, None] * 1e-20, ctx.vel,
-                 dens[:, None], jnp.zeros((cb, 1), pos.dtype)], axis=1)
+            cb = ctx.cb
+            dens = jnp.full((cb,), params.rest_density, ctx.dtype)
+            q = jnp.stack(
+                [ctx.px + q_extra * 1e-20, ctx.py, ctx.pz,
+                 ctx.vx, ctx.vy, ctx.vz,
+                 dens, jnp.zeros((cb,), ctx.dtype)], axis=1)
             pf = pair_fn
             if pair_fn is None:
                 pf = functools.partial(
                     PS.fluid_force_pair, kernel_set=cfg.kernel_set,
                     st_model=cfg.surface_tension_model)
+            vel = (ctx.vx, ctx.vy, ctx.vz)
             out = neighbor_sweep(
-                pf, queries=q, src=ctx.pack(vel=ctx.vel, slot6=dens),
+                pf, queries=q, src=ctx.pack(vel=vel, slot6=dens),
                 anchors=ctx.anchors, pvec=ctx.pvec, gsize=ctx.gsize,
                 out_width=4, block=cfg.sweep_block, win=ctx.win,
                 grid_geom_idx=PS.PV_OX, n_rows=ctx.n_rows,

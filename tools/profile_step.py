@@ -103,36 +103,37 @@ def main():
         @jax.jit
         def chain(s):
             ctx = build_pallas_ctx(s, params, grid, cfg, None)
-            pos, cb, c = ctx.pos, ctx.cb, ctx.c
+            cb, c = ctx.cb, ctx.c
             pm = params.particle_mass
-            psi = jnp.full((c,), 1.0, pos.dtype) * pm
+            psi = jnp.full((c,), 1.0, ctx.dtype) * pm
 
             def body(i, carry):
                 q_extra, acc = carry
                 if which == "density":
-                    q = jnp.concatenate(
-                        [pos + q_extra[:, None] * 1e-20,
-                         jnp.zeros((cb, 1), pos.dtype)], axis=1)
+                    q = jnp.stack(
+                        [ctx.px + q_extra * 1e-20, ctx.py, ctx.pz,
+                         jnp.zeros((cb,), ctx.dtype)], axis=1)
                     out = PS.density_sweep(
                         cfg, q, ctx.pack(slot6=psi), ctx.anchors,
                         ctx.pvec, ctx.gsize,
                         n_rows=ctx.n_rows, interpret=ctx.interp)
                     r = out
                 else:
-                    dens = jnp.full((cb,), params.rest_density, pos.dtype)
-                    q = jnp.concatenate(
-                        [pos + q_extra[:, None] * 1e-20, ctx.vel,
-                         dens[:, None], jnp.zeros((cb, 1), pos.dtype)],
-                        axis=1)
+                    dens = jnp.full((cb,), params.rest_density, ctx.dtype)
+                    q = jnp.stack(
+                        [ctx.px + q_extra * 1e-20, ctx.py, ctx.pz,
+                         ctx.vx, ctx.vy, ctx.vz,
+                         dens, jnp.zeros((cb,), ctx.dtype)], axis=1)
                     out = PS.fluid_force_sweep(
-                        cfg, q, ctx.pack(vel=ctx.vel, slot6=dens),
+                        cfg, q, ctx.pack(vel=(ctx.vx, ctx.vy, ctx.vz),
+                                         slot6=dens),
                         ctx.anchors, ctx.pvec, ctx.gsize,
                         n_rows=ctx.n_rows, interpret=ctx.interp)
                     r = out[:, 0]
                 return (r * 1e-30, acc + jnp.sum(r[::997]))
             return jax.lax.fori_loop(
                 0, S, body,
-                (jnp.zeros((cb,), pos.dtype), jnp.float32(0)))[1]
+                (jnp.zeros((cb,), ctx.dtype), jnp.float32(0)))[1]
         return chain
 
     if "density" in pieces:
