@@ -87,7 +87,11 @@ class PallasCtx:
         if width is not None:
             z = jnp.zeros((self.cb,), self.dtype)
             cols += [z] * (width - len(cols))
-        return jnp.stack(cols, axis=1)
+        # stack along axis 0 (compact (fq, N) concat) + one tiled
+        # transpose — measured cheaper than stacking along axis 1, which
+        # concatenates fq lane-padded (N, 1) pieces (~6.9 ms at 1M vs
+        # ~1 ms for the transpose)
+        return jnp.stack(cols, axis=0).T
 
     # -- fused source packing -------------------------------------------
     def _bcols(self, slot6_b):
