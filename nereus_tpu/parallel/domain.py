@@ -316,8 +316,9 @@ def _migrate_and_halo(pos, vel, pres, n_loc, *, grid, scfg) -> _ShardCtx:
     n0 = n_loc[0]
     active = jnp.arange(cl, dtype=jnp.int32) < n0
     h = gridlib.hash_positions(grid, pos, active)
-    order = jnp.argsort(h, stable=True)
-    h, pos, vel, pres = h[order], pos[order], vel[order], pres[order]
+    # variadic sort carrying all fields — no permutation gathers (see
+    # gridlib.sort_by_hash; ~100x below HBM bandwidth on TPU)
+    h, _, (pos, vel, pres) = gridlib.sort_by_hash(h, pos, vel, pres)
 
     # -- migration accounting ------------------------------------------
     coords = gridlib.cell_coords(grid, pos)
@@ -361,13 +362,12 @@ def _migrate_and_halo(pos, vel, pres, n_loc, *, grid, scfg) -> _ShardCtx:
     mh = jnp.concatenate([kh_hash, rl_h, rr_h])
     mfields = {k: jnp.concatenate([kfields[k], rl_buf[k], rr_buf[k]])
                for k in fields}
-    morder_full = jnp.argsort(mh, stable=True)
-    mh_sorted = mh[morder_full]
-    morder = morder_full[:cl]
+    mh_sorted, _, (pos_s, vel_s, pres_s) = gridlib.sort_by_hash(
+        mh, mfields["pos"], mfields["vel"], mfields["pres"])
     h = mh_sorted[:cl]
-    pos = mfields["pos"][morder]
-    vel = mfields["vel"][morder]
-    pres = mfields["pres"][morder]
+    pos = pos_s[:cl]
+    vel = vel_s[:cl]
+    pres = pres_s[:cl]
     total_valid = jnp.searchsorted(mh_sorted, I32_MAX,
                                    side="left").astype(jnp.int32)
     cap_overflow = jnp.maximum(total_valid - cl, 0)
