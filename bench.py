@@ -62,9 +62,12 @@ def _chain_and_time(step_fn, state, n_steps):
 def _scene(nt, scene, params, cfg, n_target, with_boundary):
     if with_boundary == "settled":
         # resting block on the floor of a tight box: implicit solvers face
-        # real hydrostatic compression from step 1 (the free-fall dam-break
-        # gives them nothing to solve for its first dozens of steps)
-        return scene.resting_block(params, cfg, n_target=n_target)
+        # real compression from step 1 (the free-fall dam-break gives them
+        # nothing to solve for its first dozens of steps). Mass MUST be
+        # calibrated to the lattice spacing (see resting_block docstring).
+        spacing = 0.8 * float(params.interaction_radius)
+        return scene.resting_block(params, cfg, n_target=n_target,
+                                   spacing=spacing, impact_velocity=-1.0)
     return scene.dam_break(params, cfg, n_target=n_target,
                            with_boundary=with_boundary)
 
@@ -96,13 +99,25 @@ def run_case(name, n_steps=10):
         "sharded_wcsph_1M": ("sharded_wcsph", 2 ** 20, False),
     }[name]
 
-    cfg = nt.SimConfig()   # scan-tuned defaults (block 176, win 256)
+    cfg_kw = {}
+    if name.endswith("_settled"):
+        # rest-density packing + dense boundary faces give low-occupancy
+        # query blocks row spans beyond the 3x256 window coverage
+        # (seg_overflow > 0); 3x512 covers them
+        cfg_kw["sweep_win"] = 512
+    cfg = nt.SimConfig(**cfg_kw)  # scan-tuned defaults (block 176, win 256)
     if solver == "iisph":
         params = nt.iisph_params()
     elif solver == "pcisph":
         params = calibrate_mass(nt.pcisph_params(), cfg)
     else:
         params = nt.make_params()
+    if with_boundary == "settled":
+        # calibrate mass to the settled scene's lattice spacing so the
+        # uncompressed lattice sums to exactly rho0 (resting_block docs)
+        params = calibrate_mass(params, cfg,
+                                spacing=0.8 * float(
+                                    params.interaction_radius))
     state, grid, boundary = _scene(nt, scene, params, cfg, n_target,
                                    with_boundary)
     n = int(np.asarray(state.num_active).sum())
@@ -113,8 +128,13 @@ def run_case(name, n_steps=10):
         step = lambda s: nt.iisph_step(s, params, grid, cfg, boundary)  # noqa: E731
     elif solver == "pcisph":
         delta = nt.pcisph_delta(params, cfg)
+        # settled row: tighten the corrective tolerance from the default
+        # 1% to the 0.1% the reference's IISPH loop uses (its PCISPH is an
+        # empty stub, sph_cuda.cu:944-952 — no upstream tolerance exists)
+        # so the loop is driven by measured density error, not the minimum
+        tol = {"settled": 0.001}.get(with_boundary, 0.01)
         step = lambda s: nt.pcisph_step(  # noqa: E731
-            s, params, grid, cfg, boundary, delta=delta)
+            s, params, grid, cfg, boundary, delta=delta, tol_frac=tol)
     else:  # sharded_wcsph (1 slab on the single reachable chip)
         from jax.sharding import Mesh
         from nereus_tpu.parallel import (ShardConfig,

@@ -35,26 +35,35 @@ def resting_block(params: SimParams, cfg: SimConfig, *,
                   side: float | None = None,
                   capacity: int | None = None,
                   boundary_radius: float = 0.02,
-                  spacing_factor: float = 0.99):
+                  spacing: float | None = None,
+                  compress: float = 0.003,
+                  impact_velocity: float = 0.0):
     """A fluid block at rest-density packing on the floor of a boundary box.
 
     The free-fall dam-break starts with nothing opposing gravity, so an
     implicit pressure solve has (almost) no work for its first dozens of
     steps — benchmarks seeded from it price the predict phase plus the
-    configured minimum iterations only. Here the block is seeded at the
-    *rest-density lattice spacing* ``(m/ρ₀)^⅓`` (times ``spacing_factor``,
-    default 1% compressed) sitting on the floor: real compression exists
-    from the very first predicted advection, so IISPH/PCISPH iterate for
-    real (the situation the reference's host loop was written for,
-    ``sph/sph_cuda.cu:736-823``). The demo's ``ir − 0.005`` spacing
-    (``sph.cpp:375``) would seed ~0.67·ρ₀ under-dense, where a
-    clamped-positive error solver correctly exits at min-iters.
+    configured minimum iterations only. Here the block sits on the floor
+    at lattice spacing ``spacing`` (default 0.8·h) compressed by
+    ``compress`` in *density* (spacing × (1+compress)^(−⅓)): real
+    compression exists from the very first predicted advection, so
+    IISPH/PCISPH iterate for real — the situation the reference's host
+    loop was written for (``sph/sph_cuda.cu:736-823``).
+
+    IMPORTANT: pass ``calibrate_mass(params, cfg, spacing=spacing)``
+    params so the uncompressed lattice sums to exactly ρ₀. With the raw
+    reference masses the lattice is percent-level off rest density and an
+    incompressible solver ejects the imbalance at hundreds of m/s in the
+    first steps (measured: particles leave the grid, clamp into edge
+    cells and overflow the boundary window plan). ``compress = 0.003``
+    keeps the initial correction velocities ~1 m/s.
 
     The box hugs the block: walls one spacing outside the fluid in x/z,
     headroom of half a block above. Returns ``(state, grid, boundary)``.
     """
-    spacing = spacing_factor * float(
-        params.particle_mass / params.rest_density) ** (1.0 / 3.0)
+    if spacing is None:
+        spacing = 0.8 * float(params.interaction_radius)
+    spacing = spacing * float(1.0 + compress) ** (-1.0 / 3.0)
     if side is None:
         side = spacing * ((n_target or 8000) ** (1.0 / 3.0))
     gap = 2.0 * spacing
@@ -65,7 +74,18 @@ def resting_block(params: SimParams, cfg: SimConfig, *,
     grid = gridlib.fit_grid(box_min, box_max,
                             float(params.interaction_radius),
                             dtype=cfg.dtype)
-    state = make_fluid_state(pts, capacity=capacity, dtype=cfg.dtype)
+    # A downward bulk velocity makes the pressure solve SUSTAINED: a
+    # settled hydrostatic state with warm-started pressure genuinely
+    # converges in ~min iters after the first step; an impact in progress
+    # sends a compression wave up the column that the solver fights every
+    # step (the dam-break-impact regime the reference's host loop was
+    # written for).
+    vel = None
+    if impact_velocity:
+        vel = np.broadcast_to(
+            np.asarray([0.0, impact_velocity, 0.0]), pts.shape)
+    state = make_fluid_state(pts, velocities=vel, capacity=capacity,
+                             dtype=cfg.dtype)
     boundary = bnd.box_boundary(grid, box_min, box_max, boundary_radius,
                                 params, cfg.kernel_set, dtype=cfg.dtype)
     return state, grid, boundary

@@ -199,9 +199,18 @@ def test_resting_block_exercises_real_solve():
     (the reference's host loop iterates against real compression,
     sph_cuda.cu:736-823)."""
     from nereus_tpu import scene
+    from nereus_tpu.params import calibrate_mass
 
     params = iisph_params()
-    state, grid, boundary = scene.resting_block(params, CFG, n_target=1500)
-    _, diag = iisph.iisph_step(state, params, grid, CFG, boundary=boundary)
+    spacing = 0.8 * float(params.interaction_radius)
+    params = calibrate_mass(params, CFG, spacing=spacing)
+    state, grid, boundary = scene.resting_block(params, CFG, n_target=1500,
+                                                spacing=spacing)
+    state, diag = iisph.iisph_step(state, params, grid, CFG,
+                                   boundary=boundary)
     assert int(diag.solver_iters) > CFG.iisph_min_iters
     assert np.isfinite(float(diag.mean_density_error))
+    # the scene must be stable, not explosive: the first correction
+    # velocities stay ~1 m/s (a miscalibrated lattice ejects at 100s m/s)
+    v = np.asarray(state.vel)[:int(state.num_active)]
+    assert np.abs(v).max() < 5.0, np.abs(v).max()
