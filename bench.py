@@ -59,15 +59,18 @@ def _chain_and_time(step_fn, state, n_steps):
                 solver_iters=float(np.asarray(iters)) / n_steps)
 
 
-def _scene(nt, scene, params, cfg, n_target, with_boundary):
+def _scene(nt, scene, params, cfg, n_target, with_boundary,
+           settle_spacing=None):
     if with_boundary == "settled":
         # resting block on the floor of a tight box: implicit solvers face
         # real compression from step 1 (the free-fall dam-break gives them
-        # nothing to solve for its first dozens of steps). Mass MUST be
-        # calibrated to the lattice spacing (see resting_block docstring).
-        spacing = 0.8 * float(params.interaction_radius)
+        # nothing to solve for its first dozens of steps). settle_spacing
+        # is the SAME value the caller calibrated the mass to — computed
+        # once in run_case (a spacing/calibration mismatch is the
+        # documented explosive failure, see resting_block).
         return scene.resting_block(params, cfg, n_target=n_target,
-                                   spacing=spacing, impact_velocity=-1.0)
+                                   spacing=settle_spacing,
+                                   impact_velocity=-1.0)
     return scene.dam_break(params, cfg, n_target=n_target,
                            with_boundary=with_boundary)
 
@@ -100,6 +103,11 @@ def run_case(name, n_steps=10):
     }[name]
 
     cfg_kw = {}
+    if name == "wcsph_4M":
+        # at 4M a block near a z-plane crossing can need 2 windows per
+        # cluster (multi-y-row spans); 3x256 coverage measured 7312
+        # misses, 3x384 covers cleanly
+        cfg_kw["sweep_win"] = 384
     if name.endswith("_settled"):
         # rest-density packing + dense boundary faces give low-occupancy
         # query blocks row spans beyond the 3x256 window coverage
@@ -112,14 +120,14 @@ def run_case(name, n_steps=10):
         params = calibrate_mass(nt.pcisph_params(), cfg)
     else:
         params = nt.make_params()
+    settle_spacing = None
     if with_boundary == "settled":
-        # calibrate mass to the settled scene's lattice spacing so the
-        # uncompressed lattice sums to exactly rho0 (resting_block docs)
-        params = calibrate_mass(params, cfg,
-                                spacing=0.8 * float(
-                                    params.interaction_radius))
+        # ONE spacing value feeds both the mass calibration and the scene
+        # lattice (resting_block documents why they must agree)
+        settle_spacing = 0.8 * float(params.interaction_radius)
+        params = calibrate_mass(params, cfg, spacing=settle_spacing)
     state, grid, boundary = _scene(nt, scene, params, cfg, n_target,
-                                   with_boundary)
+                                   with_boundary, settle_spacing)
     n = int(np.asarray(state.num_active).sum())
 
     if solver == "wcsph":
@@ -175,7 +183,8 @@ def main():
 
     all_cases = ["wcsph_150k", "wcsph_1M", "wcsph_boundary_274k",
                  "iisph_256k", "pcisph_256k", "iisph_256k_settled",
-                 "pcisph_256k_settled", "sharded_wcsph_1M", "wcsph_2M"]
+                 "pcisph_256k_settled", "sharded_wcsph_1M", "wcsph_2M",
+                 "wcsph_4M"]
     if args.cases:
         cases = args.cases.split(",")
     elif args.all:

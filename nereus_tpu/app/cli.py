@@ -162,13 +162,16 @@ def _run_desc(args, params, grid):
         "boundary": not args.no_boundary,
         "n_target": args.n_target,
         "dt": float(np.asarray(params.dt)),
+        # catches a --calibrate-mass mismatch (mass changes by a large
+        # factor and silently alters the physics of a restored state)
+        "particle_mass": float(np.asarray(params.particle_mass)),
         "grid_size": np.asarray(grid.size).tolist(),
     }
 
 
 # Header keys that must match between a checkpoint and the resuming run.
 _RESUME_KEYS = ("solver", "scene", "kernel_set", "surface_tension",
-                "boundary", "n_target", "dt")
+                "boundary", "n_target", "dt", "particle_mass")
 
 
 def cmd_run(args):

@@ -158,8 +158,12 @@ def hash_positions(grid: Grid, pos, active_mask=None):
     return h
 
 
-def sort_by_hash(hashes, *arrays):
+def sort_by_hash(hashes, *arrays, return_perm=False):
     """Sort particles by cell hash; returns (sorted_hash, perm, sorted_arrays).
+
+    ``perm`` is None unless ``return_perm=True``: carrying the arange
+    payload through the sort's merge passes costs real bandwidth and no
+    production caller uses it.
 
     The XLA analogue of thrust ``sort_by_key`` + the reorder kernel
     (``sph_cuda.cu:58-63``, ``sph_kernel_impl.cuh:210-281``): ONE variadic
@@ -172,7 +176,9 @@ def sort_by_hash(hashes, *arrays):
     sorted and original index spaces — SURVEY §5).
     """
     n = hashes.shape[0]
-    ops = [hashes, jnp.arange(n, dtype=jnp.int32)]
+    ops = [hashes]
+    if return_perm:
+        ops.append(jnp.arange(n, dtype=jnp.int32))
     widths = []
     for a in arrays:
         if a.ndim == 1:
@@ -183,7 +189,7 @@ def sort_by_hash(hashes, *arrays):
             widths.append(a.shape[1])
     out = jax.lax.sort(tuple(ops), num_keys=1, is_stable=True)
     res = []
-    i = 2
+    i = 2 if return_perm else 1
     for a, k in zip(arrays, widths):
         if k is None:
             res.append(out[i])
@@ -191,7 +197,7 @@ def sort_by_hash(hashes, *arrays):
         else:
             res.append(jnp.stack(out[i:i + k], axis=1))
             i += k
-    return out[0], out[1], tuple(res)
+    return out[0], out[1] if return_perm else None, tuple(res)
 
 
 def row_segments(grid: Grid, sorted_hash, coords):

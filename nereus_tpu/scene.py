@@ -58,14 +58,25 @@ def resting_block(params: SimParams, cfg: SimConfig, *,
     cells and overflow the boundary window plan). ``compress = 0.003``
     keeps the initial correction velocities ~1 m/s.
 
-    The box hugs the block: walls one spacing outside the fluid in x/z,
-    headroom of half a block above. Returns ``(state, grid, boundary)``.
+    The box hugs the block: walls TWO spacings outside the fluid on every
+    face (see the gap comment below — one spacing is measured unstable),
+    headroom of half a block above. The solve work therefore comes from
+    the seeded compression and the impact velocity, with floor contact
+    developing over the first steps. Returns ``(state, grid, boundary)``.
     """
     if spacing is None:
         spacing = 0.8 * float(params.interaction_radius)
     spacing = spacing * float(1.0 + compress) ** (-1.0 / 3.0)
     if side is None:
         side = spacing * ((n_target or 8000) ** (1.0 / 3.0))
+    # Two lattice spacings of standoff between fluid and every wall —
+    # measured, not arbitrary: at one spacing the floor is inside the
+    # kernel support from step 0 and the wall term stacks onto the
+    # lattice compression, the 100-iteration cap can't solve it and the
+    # block destabilizes within 10 steps (CPU probe: vmax 600+ m/s,
+    # floor penetration). At two spacings the compression wave (and the
+    # optional impact velocity) does the solver work while contact
+    # develops over the first steps.
     gap = 2.0 * spacing
     box_min = (0.0, 0.0, 0.0)
     box_max = (side + 2 * gap, 1.5 * side + gap, side + 2 * gap)

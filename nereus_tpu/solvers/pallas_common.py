@@ -85,6 +85,7 @@ class PallasCtx:
         per sweep — everything upstream stays columns."""
         cols = [self.px, self.py, self.pz, *cols]
         if width is not None:
+            assert width >= len(cols), (width, len(cols))
             z = jnp.zeros((self.cb,), self.dtype)
             cols += [z] * (width - len(cols))
         # stack along axis 0 (compact (fq, N) concat) + one tiled

@@ -26,7 +26,7 @@ def test_cell_coords_in_range():
 def test_sort_by_hash_orders_hashes():
     pos, grid = _random_setup()
     h = G.hash_positions(grid, jnp.asarray(pos))
-    sh, perm, (ps,) = G.sort_by_hash(h, jnp.asarray(pos))
+    sh, perm, (ps,) = G.sort_by_hash(h, jnp.asarray(pos), return_perm=True)
     sh = np.asarray(sh)
     assert np.all(np.diff(sh) >= 0)
     assert np.allclose(np.asarray(ps), pos[np.asarray(perm)])
@@ -35,7 +35,7 @@ def test_sort_by_hash_orders_hashes():
 def test_segments_cover_exact_27cell_membership():
     pos, grid = _random_setup(n=500, seed=3)
     h = G.hash_positions(grid, jnp.asarray(pos))
-    sh, perm, (ps,) = G.sort_by_hash(h, jnp.asarray(pos))
+    sh, perm, (ps,) = G.sort_by_hash(h, jnp.asarray(pos), return_perm=True)
     coords = G.cell_coords(grid, ps)
     seg_s, seg_e = G.row_segments(grid, sh, coords)
     seg_s, seg_e = np.asarray(seg_s), np.asarray(seg_e)
@@ -177,3 +177,25 @@ def test_refit_and_rehash_preserve_physics():
     np.testing.assert_allclose(np.asarray(s2.vel[:n])[k2],
                                np.asarray(s1.vel[:n])[k1],
                                rtol=0, atol=1e-5)
+
+
+def test_positions_in_sorted_matches_searchsorted():
+    """The hierarchical positioning path (coarse merge + two-row-gather
+    refine) serves ALL production runs; it must agree exactly with
+    searchsorted(side='left') — including capacities NOT divisible by
+    128, where it pads the sorted input with INT32_MAX internally (a
+    silent regression here corrupts window plans and only surfaces as
+    seg_overflow on real hardware)."""
+    from nereus_tpu.ops.pallas_neighbors import positions_in_sorted
+
+    rng = np.random.RandomState(7)
+    for c in (1024, 1153, 4096, 4223, 8191):
+        data = np.sort(rng.randint(0, 5000, size=c)).astype(np.int32)
+        # inactive tail sentinel, as production sorted hashes carry
+        data[-c // 10:] = np.iinfo(np.int32).max
+        data = np.sort(data)
+        queries = rng.randint(0, 6000, size=777).astype(np.int32)
+        got = np.asarray(positions_in_sorted(jnp.asarray(data),
+                                             jnp.asarray(queries)))
+        want = np.searchsorted(data, queries, side="left")
+        np.testing.assert_array_equal(got, want, err_msg=f"c={c}")
