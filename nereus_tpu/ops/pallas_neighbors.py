@@ -205,9 +205,20 @@ def _cover_miss(s, e, anchors_elem, win):
     return jnp.maximum(total - covered, 0)
 
 
+def anchors_pack16(src_len_padded: int, win: int = WIN) -> bool:
+    """True when every anchor of a source this long fits the 16-bit
+    packed format (encoded value a+1 ≤ 0xFFFF, a in ALIGN units). Sources
+    beyond ~8.38M elements (65534·128 + win) need the 32-bit format —
+    measured: a 8.49M single-chip scene silently wrapped 16-bit anchors
+    into garbage windows (67M misses, NaN densities)."""
+    a_cap = max(src_len_padded - win, 0) // ALIGN
+    return a_cap + 1 <= 0xFFFF
+
+
 def plan_windows(sorted_hash, coords, gsize, block: int,
                  src_len_padded: int, active_mask=None,
-                 pos_offset: int = 0, win: int = WIN):
+                 pos_offset: int = 0, win: int = WIN,
+                 pack16: bool | None = None):
     """Plan window anchors per (particle-block, row offset).
 
     sorted_hash: (M,) ascending source hashes (int32, inactive = INT32_MAX).
@@ -218,10 +229,22 @@ def plan_windows(sorted_hash, coords, gsize, block: int,
     ``pos_offset`` (elements, ALIGN-multiple) shifts all positions — used
     when this source occupies a later region of a fused source matrix.
 
-    Returns ``(anchors (nb·9·N_WORDS,) packed int32, miss () int32)``.
+    ``pack16`` selects the anchor encoding: two 16-bit anchors per int32
+    word (default for sources within the 16-bit address space, see
+    :func:`anchors_pack16`) or one 32-bit anchor per word (giant
+    sources). Plans fused together must use the SAME format — pass the
+    format of the WHOLE fused address space to both calls.
+
+    Returns ``(anchors (nb·9·words,) int32, miss () int32)``.
     """
     assert pos_offset % ALIGN == 0, pos_offset
     assert win % ALIGN == 0, win
+    if pack16 is None:
+        pack16 = anchors_pack16(src_len_padded, win)
+    if pack16:
+        assert anchors_pack16(src_len_padded, win), (
+            f"source of {src_len_padded} elements exceeds the 16-bit "
+            "anchor address space; plan with pack16=False")
     zc = _coords_xyz(coords)[2]
     n = zc.shape[0]
     nb = n // block
@@ -297,35 +320,48 @@ def plan_windows(sorted_hash, coords, gsize, block: int,
         m = jnp.where(has_a, _cover_miss(s_a, e_a, elems, win), 0) + \
             jnp.where(has_b, _cover_miss(s_b, e_b, elems, win), 0)
         miss = miss + jnp.sum(m)
-        # Encode each anchor as (a+1) in 16 bits (0 = unused sentinel) and
-        # pack two per int32 word — the scalar-prefetch array lives in SMEM
-        # (≈1 MB), which a flat int32-per-anchor layout would overflow at
-        # 1M+ particles.
+        # Encode each anchor as (a+1) (0 = unused sentinel). Default: two
+        # 16-bit anchors per int32 word — the scalar-prefetch array lives
+        # in SMEM (≈1 MB), which a flat int32-per-anchor layout would
+        # overflow earlier at 1M+ particles. Giant sources (pack16=False)
+        # store one anchor per word.
         enc = [jnp.where(sent, 0, a + 1) for a, sent in
                zip(a_list, sentinel)]
-        enc += [jnp.zeros_like(enc[0])] * (2 * N_WORDS - N_PASS)
-        words = [enc[2 * w] | (enc[2 * w + 1] << 16)
-                 for w in range(N_WORDS)]
-        anchors.append(jnp.stack(words, axis=-1))     # (nb, N_WORDS)
+        if pack16:
+            enc += [jnp.zeros_like(enc[0])] * (2 * N_WORDS - N_PASS)
+            words = [enc[2 * w] | (enc[2 * w + 1] << 16)
+                     for w in range(N_WORDS)]
+        else:
+            words = enc
+        anchors.append(jnp.stack(words, axis=-1))     # (nb, words)
 
-    anchors = jnp.stack(anchors, axis=1)              # (nb, 9, N_WORDS)
+    anchors = jnp.stack(anchors, axis=1)              # (nb, 9, words)
     return anchors.reshape(-1).astype(jnp.int32), miss
 
 
-def _unpack_anchor(anchors_ref, b, r, p, n_rows=N_ROWS):
-    """Decode anchor p of (block b, row r) from the packed words.
+def plan_words(pack16: bool) -> int:
+    """int32 words per (block, row) for the given anchor format."""
+    return N_WORDS if pack16 else N_PASS
+
+
+def _unpack_anchor(anchors_ref, b, r, p, n_rows=N_ROWS, pack16=True):
+    """Decode anchor p of (block b, row r) from the plan words.
 
     Returns the encoded value: 0 = unused, else anchor+1 (ALIGN units).
     """
-    word = anchors_ref[(b * n_rows + r) * N_WORDS + p // 2]
-    return (word >> (16 * (p % 2))) & 0xFFFF
+    if pack16:
+        word = anchors_ref[(b * n_rows + r) * N_WORDS + p // 2]
+        return (word >> (16 * (p % 2))) & 0xFFFF
+    return anchors_ref[(b * n_rows + r) * N_PASS + p]
 
 
-def fuse_plans(anchors_f, anchors_b):
+def fuse_plans(anchors_f, anchors_b, pack16=True):
     """Interleave a fluid plan and a boundary plan into one 18-row plan
-    (rows 0-8 = fluid source region, rows 9-17 = boundary region)."""
-    af = anchors_f.reshape(-1, N_ROWS, N_WORDS)
-    ab = anchors_b.reshape(-1, N_ROWS, N_WORDS)
+    (rows 0-8 = fluid source region, rows 9-17 = boundary region). Both
+    plans must use the same anchor format (``pack16``)."""
+    w = plan_words(pack16)
+    af = anchors_f.reshape(-1, N_ROWS, w)
+    ab = anchors_b.reshape(-1, N_ROWS, w)
     return jnp.concatenate([af, ab], axis=1).reshape(-1)
 
 
@@ -406,7 +442,7 @@ def pack_source_fused(pos_f, hash_f, cols_f, pos_b, hash_b, cols_b,
 def _sweep_kernel(anchors_ref, pvec_ref, q_ref, *refs,
                   pair_fn, pair_fn_b, n_rows: int, block: int,
                   gsize, grid_geom_idx: int, src_rows: int,
-                  win: int):
+                  win: int, pack16: bool = True):
     """Grid = (nb, n_rows // 9); ALL 9·N_PASS windows of a block's
     row-group arrive as separate operands (``refs[:-1]``) fetched by
     per-(row, pass) BlockSpecs, and python loops sweep them inside ONE
@@ -462,7 +498,7 @@ def _sweep_kernel(anchors_ref, pvec_ref, q_ref, *refs,
 
         for p in range(N_PASS):
             src_ref = srcs[r_local * N_PASS + p]
-            a_enc = _unpack_anchor(anchors_ref, b, r, p, n_rows)
+            a_enc = _unpack_anchor(anchors_ref, b, r, p, n_rows, pack16)
 
             # 0 sentinel: window unused, skip compute. No inner
             # any(valid) guard: the plan only emits a non-sentinel anchor
@@ -479,7 +515,7 @@ def _sweep_kernel(anchors_ref, pvec_ref, q_ref, *refs,
                     # end of the previous pass's window — this pass owns
                     # columns at/beyond it (pass 0 owns its whole window)
                     a_prev = _unpack_anchor(anchors_ref, b, r, p - 1,
-                                            n_rows)
+                                            n_rows, pack16)
                     a_prev_end = (a_prev - 1) * ALIGN + win
                     col = a_this + jax.lax.broadcasted_iota(
                         jnp.int32, (1, win), 1)
@@ -535,10 +571,18 @@ def neighbor_sweep(pair_fn, *, queries, src, anchors, pvec, gsize,
     src_rows = src.shape[0]
     assert src_rows % 8 == 0, src_rows
 
+    # Anchor format is deduced from the plan's words-per-(block,row):
+    # 16-bit packed (N_WORDS) for ordinary sources, 32-bit (N_PASS) for
+    # giant sources beyond the 16-bit address space (anchors_pack16).
+    words = anchors.size // (nb * n_rows)
+    assert words in (N_WORDS, N_PASS) and \
+        anchors.size == nb * n_rows * words, (anchors.size, nb, n_rows)
+    pack16 = words == N_WORDS
+
     # The anchor plan is a scalar-prefetch operand and must fit in ~1MB of
     # SMEM; beyond ~10k blocks (per fused row count) the sweep is chunked
     # into independent pallas_calls over disjoint query-block ranges.
-    bytes_per_block = n_rows * N_WORDS * 4
+    bytes_per_block = n_rows * words * 4
     max_blocks = max(SMEM_ANCHOR_BUDGET // bytes_per_block, 1)
     if nb > max_blocks:
         # Equal-shape chunks: pad queries (parked rows) and anchors (all-
@@ -549,7 +593,7 @@ def neighbor_sweep(pair_fn, *, queries, src, anchors, pvec, gsize,
         # sweeps of 27-operand kernels).
         k = -(-nb // max_blocks)
         nb_c = -(-nb // k)
-        stride = n_rows * N_WORDS
+        stride = n_rows * words
         pad_blocks = k * nb_c - nb
         if pad_blocks:
             q_pad = jnp.full((pad_blocks * block, fq), PARK_LIMIT * 10,
@@ -573,17 +617,18 @@ def neighbor_sweep(pair_fn, *, queries, src, anchors, pvec, gsize,
     kernel = functools.partial(
         _sweep_kernel, pair_fn=pair_fn, pair_fn_b=pair_fn_b, n_rows=n_rows,
         block=block, gsize=gsize,
-        grid_geom_idx=grid_geom_idx, src_rows=src_rows, win=win)
+        grid_geom_idx=grid_geom_idx, src_rows=src_rows, win=win,
+        pack16=pack16)
 
     def win_spec(r_local, p):
         # one BlockSpec per (row-in-group, pass); a sentinel anchor
         # fetches the dummy window at column 0 (the kernel skips compute)
         return pl.BlockSpec((pl.Element(src_rows), pl.Element(win)),
                             lambda b, ro, a, pv, _nr=n_rows, _rl=r_local,
-                            _p=p:
+                            _p=p, _pk=pack16:
                             (0, jnp.maximum(
                                 _unpack_anchor(a, b, ro * N_ROWS + _rl,
-                                               _p, _nr) - 1,
+                                               _p, _nr, _pk) - 1,
                                 0) * ALIGN))
 
     assert n_rows % N_ROWS == 0, n_rows

@@ -85,6 +85,17 @@ class ShardedDiagnostics:
     solver_iters: jax.Array        # pressure-solver iterations (IISPH)
 
 
+def _fused_pack16(src_len: int, boundary, win: int) -> bool:
+    """One anchor format for a slab's whole fused address space (fluid
+    region + optional boundary region) — fused plans must agree."""
+    from ..ops.pallas_neighbors import anchors_pack16
+    from ..solvers.pallas_common import padded_len
+    total = padded_len(src_len, win)
+    if boundary is not None and boundary.num_boundaries > 0:
+        total += padded_len(boundary.num_boundaries, win)
+    return anchors_pack16(total, win)
+
+
 def _slab_cells(grid: gridlib.Grid, n_shards: int):
     """Cells per slab along z (ceil). Traced-value friendly."""
     return (grid.size[2] + n_shards - 1) // n_shards
@@ -505,11 +516,12 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
             act_q = padq(own_active, False)
             qcoords = gridlib.cell_coords(grid, pos_q)
             src_len = cl + 2 * kh
+            pk16 = _fused_pack16(src_len, boundary, cfg.sweep_win)
             anchors, miss = plan_windows(src_hash, qcoords, grid.size,
                                          cfg.sweep_block,
                                          padded_len(src_len, cfg.sweep_win),
                                          active_mask=act_q,
-                                         win=cfg.sweep_win)
+                                         win=cfg.sweep_win, pack16=pk16)
             pvec = PSs.build_pvec(params, cfg, grid)
             hash_f32 = src_hash.astype(pos.dtype)
             pm = params.particle_mass
@@ -524,8 +536,8 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
                     + padded_len(boundary.num_boundaries, cfg.sweep_win),
                     active_mask=act_q,
                     pos_offset=padded_len(src_len, cfg.sweep_win),
-                    win=cfg.sweep_win)
-                anchors = fuse_plans(anchors, b_anchors)
+                    win=cfg.sweep_win, pack16=pk16)
+                anchors = fuse_plans(anchors, b_anchors, pack16=pk16)
                 miss = miss + b_miss
                 b_hash_f32 = boundary.sorted_hash.astype(pos.dtype)
                 bzero = jnp.zeros_like(boundary.psi)
@@ -748,11 +760,12 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
         vel_q = padq(vel, 0.0)
         act_q = padq(own_active, False)
         qcoords = gridlib.cell_coords(grid, pos_q)
+        pk16 = _fused_pack16(src_len, boundary, cfg.sweep_win)
         anchors_f, miss = plan_windows(sctx.src_hash, qcoords, grid.size,
                                        cfg.sweep_block,
                                        padded_len(src_len, cfg.sweep_win),
                                        active_mask=act_q,
-                                       win=cfg.sweep_win)
+                                       win=cfg.sweep_win, pack16=pk16)
         anchors = anchors_f
         pvec = PSs.build_pvec(params, cfg, grid)
         psi_fluid = jnp.full((src_len,), 1.0, pos.dtype) * pm
@@ -765,8 +778,8 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
                 + padded_len(boundary.num_boundaries, cfg.sweep_win),
                 active_mask=act_q,
                 pos_offset=padded_len(src_len, cfg.sweep_win),
-                win=cfg.sweep_win)
-            anchors = fuse_plans(anchors_f, b_anchors)
+                win=cfg.sweep_win, pack16=pk16)
+            anchors = fuse_plans(anchors_f, b_anchors, pack16=pk16)
             miss = miss + b_miss
             b_hash_f32 = boundary.sorted_hash.astype(pos.dtype)
             bzero = jnp.zeros_like(boundary.psi)
@@ -1014,10 +1027,12 @@ def make_sharded_pcisph_step(mesh: Mesh, params: SimParams,
         vel_q = padq(vel, 0.0)
         act_q = padq(own_active, False)
         qcoords = gridlib.cell_coords(grid, pos_q)
+        pk16 = _fused_pack16(src_len, boundary, cfg.sweep_win)
         anchors, miss = plan_windows(sctx.src_hash, qcoords, grid.size,
                                      cfg.sweep_block,
                                      padded_len(src_len, cfg.sweep_win),
-                                     active_mask=act_q, win=cfg.sweep_win)
+                                     active_mask=act_q, win=cfg.sweep_win,
+                                     pack16=pk16)
         pvec = PSs.build_pvec(params, cfg, grid)
         psi_fluid = jnp.full((src_len,), 1.0, pos.dtype) * pm
 
@@ -1028,8 +1043,8 @@ def make_sharded_pcisph_step(mesh: Mesh, params: SimParams,
                 + padded_len(boundary.num_boundaries, cfg.sweep_win),
                 active_mask=act_q,
                 pos_offset=padded_len(src_len, cfg.sweep_win),
-                win=cfg.sweep_win)
-            anchors = fuse_plans(anchors, b_anchors)
+                win=cfg.sweep_win, pack16=pk16)
+            anchors = fuse_plans(anchors, b_anchors, pack16=pk16)
             miss = miss + b_miss
             b_hash_f32 = boundary.sorted_hash.astype(pos.dtype)
             bzero = jnp.zeros_like(boundary.psi)

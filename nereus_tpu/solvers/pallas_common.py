@@ -199,9 +199,17 @@ def build_pallas_ctx(state: FluidState, params: SimParams,
     active = jnp.arange(cb, dtype=jnp.int32) < state.num_active
     coords = gridlib.cell_coords_cols(grid, px, py, pz)
     win = cfg.sweep_win
+    # ONE anchor format for the whole (possibly fused) address space —
+    # fused fluid+boundary plans must agree (anchors_pack16)
+    from ..ops.pallas_neighbors import anchors_pack16
+    total_len = padded_len(c, win)
+    if boundary is not None and boundary.num_boundaries > 0:
+        total_len += padded_len(boundary.num_boundaries, win)
+    pack16 = anchors_pack16(total_len, win)
     anchors, miss = plan_windows(sorted_hash, coords, grid.size,
                                  cfg.sweep_block, padded_len(c, win),
-                                 active_mask=active, win=win)
+                                 active_mask=active, win=win,
+                                 pack16=pack16)
     kwargs = {"anchors_f": anchors}
     n_rows = N_ROWS
     if boundary is not None and boundary.num_boundaries > 0:
@@ -209,8 +217,8 @@ def build_pallas_ctx(state: FluidState, params: SimParams,
         b_anchors, b_miss = plan_windows(
             boundary.sorted_hash, coords, grid.size, cfg.sweep_block,
             padded_len(c, win) + padded_len(mb, win), active_mask=active,
-            pos_offset=padded_len(c, win), win=win)
-        anchors = fuse_plans(anchors, b_anchors)
+            pos_offset=padded_len(c, win), win=win, pack16=pack16)
+        anchors = fuse_plans(anchors, b_anchors, pack16=pack16)
         miss = miss + b_miss
         n_rows = 2 * N_ROWS
         kwargs.update(b_pos=tuple(boundary.pos[:, k] for k in range(3)),

@@ -138,3 +138,22 @@ def test_pallas_step_nondefault_window(win, block):
     np.testing.assert_allclose(np.asarray(s_pal.vel[:n])[k_pal],
                                np.asarray(s_ref.vel[:n])[k_ref],
                                rtol=0, atol=1e-5)
+
+
+def test_wide_anchor_format_matches(monkeypatch):
+    """Force the 32-bit anchor format (the one giant >8.38M-element
+    sources use, where 16-bit packed anchors would wrap) on a small scene
+    — fluid+boundary fused — and require bit-identical results to the
+    default 16-bit plan."""
+    from nereus_tpu.ops import pallas_neighbors as PN
+    cfg, params, state, grid, boundary = _scene(True)
+    s_ref, d_ref = jax.jit(
+        lambda s: wcsph_step_pallas(s, params, grid, cfg, boundary))(state)
+    monkeypatch.setattr(PN, "anchors_pack16", lambda *a, **k: False)
+    s_chk, d_chk = jax.jit(
+        lambda s: wcsph_step_pallas(s, params, grid, cfg, boundary))(state)
+    assert int(d_chk.seg_overflow) == 0
+    np.testing.assert_allclose(np.asarray(s_chk.pos), np.asarray(s_ref.pos),
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(s_chk.vel), np.asarray(s_ref.vel),
+                               rtol=0, atol=0)
