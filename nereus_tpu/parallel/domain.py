@@ -511,10 +511,13 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
                 fill = jnp.full((qpad,) + a.shape[1:], fillv, a.dtype)
                 return jnp.concatenate([a, fill])
 
-            pos_q = padq(pos, PARK)
-            vel_q = padq(vel, 0.0)
+            # SoA columns for everything query-side: row-major (N, 3)
+            # arrays tile (8, 128) and pad 42x (CLAUDE.md) — same
+            # treatment as the single-chip ctx
+            pq = tuple(padq(pos[:, k], PARK) for k in range(3))
+            vq = tuple(padq(vel[:, k], 0.0) for k in range(3))
             act_q = padq(own_active, False)
-            qcoords = gridlib.cell_coords(grid, pos_q)
+            qcoords = gridlib.cell_coords_cols(grid, *pq)
             src_len = cl + 2 * kh
             pk16 = _fused_pack16(src_len, boundary, cfg.sweep_win)
             anchors, miss = plan_windows(src_hash, qcoords, grid.size,
@@ -546,8 +549,7 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
                 def pack(vel_cols, slot6):
                     return pack_source_fused(
                         src_pos, hash_f32,
-                        [vel_cols[:, 0], vel_cols[:, 1], vel_cols[:, 2],
-                         slot6],
+                        [*vel_cols, slot6],
                         boundary.pos, b_hash_f32,
                         [bzero, bzero, bzero, boundary.psi], rows=8,
                         win=cfg.sweep_win)
@@ -559,12 +561,17 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
                     return pack_source(src_pos, hash_f32, vel_cols, slot6,
                                        win=cfg.sweep_win)
 
+            def queries(*cols, width):
+                cols = [*pq, *cols]
+                z = jnp.zeros((clb,), pos.dtype)
+                return jnp.stack(cols + [z] * (width - len(cols)),
+                                 axis=0).T
 
-            q4 = jnp.concatenate(
-                [pos_q, jnp.zeros((clb, 1), pos.dtype)], axis=1)
-            zvel = jnp.zeros((src_len, 3), pos.dtype)
+            src_vel_cols = tuple(src_vel[:, k] for k in range(3))
+            q4 = queries(width=4)
+            zc = jnp.zeros((src_len,), pos.dtype)
             # self term ψ·W(0) included by the sweep (no self-exclusion)
-            dens = PSs.density_sweep(cfg, q4, pack(zvel, psi_fluid),
+            dens = PSs.density_sweep(cfg, q4, pack((zc, zc, zc), psi_fluid),
                                      anchors, pvec, grid.size,
                                      n_rows=n_rows, interpret=interp)
             dens = dens[:cl]
@@ -578,11 +585,9 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
 
             dens_safe = jnp.maximum(dens, 1e-12)
             pd2 = prs / (dens_safe * dens_safe)
-            q8 = jnp.concatenate(
-                [pos_q, vel_q, padq(dens, 0.0)[:, None],
-                 padq(pd2, 0.0)[:, None]], axis=1)
+            q8 = queries(*vq, padq(dens, 0.0), padq(pd2, 0.0), width=8)
             force = PSs.fluid_force_sweep(
-                cfg, q8, pack(src_vel, src_dens), anchors,
+                cfg, q8, pack(src_vel_cols, src_dens), anchors,
                 pvec, grid.size, n_rows=n_rows,
                 interpret=interp)
             force = force[:cl] + pm * params.gravity
