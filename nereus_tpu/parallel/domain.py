@@ -761,10 +761,17 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
         dt = params.dt
         pm = params.particle_mass
 
-        pos_q = padq(pos, PARK)
-        vel_q = padq(vel, 0.0)
+        # SoA columns for the query side (lane-padding, see CLAUDE.md)
+        pq = tuple(padq(pos[:, k], PARK) for k in range(3))
+        vq = tuple(padq(vel[:, k], 0.0) for k in range(3))
         act_q = padq(own_active, False)
-        qcoords = gridlib.cell_coords(grid, pos_q)
+        qcoords = gridlib.cell_coords_cols(grid, *pq)
+
+        def queries(*cols, width):
+            cols = [*pq, *cols]
+            z = jnp.zeros((clb,), pos.dtype)
+            return jnp.stack(list(cols) + [z] * (width - len(cols)),
+                             axis=0).T
         pk16 = _fused_pack16(src_len, boundary, cfg.sweep_win)
         anchors_f, miss = plan_windows(sctx.src_hash, qcoords, grid.size,
                                        cfg.sweep_block,
@@ -809,8 +816,7 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
             return _halo_hop(fields, sctx, scfg, n_own)
 
         # --- density ------------------------------------------------------
-        q4 = jnp.concatenate([pos_q, jnp.zeros((clb, 1), pos.dtype)],
-                             axis=1)
+        q4 = queries(width=4)
         # self term ψ·W(0) included by the sweep (no self-exclusion)
         dens = PSs.density_sweep(cfg, q4, pack8(slot6=psi_fluid), anchors,
                                  pvec, grid.size, n_rows=n_rows,
@@ -820,8 +826,7 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
         (src_dens,) = hop({"dens": dens})
 
         # --- non-pressure forces → vel_adv ---------------------------------
-        q8 = jnp.concatenate([pos_q, vel_q, padq(dens, 0.0)[:, None],
-                              jnp.zeros((clb, 1), pos.dtype)], axis=1)
+        q8 = queries(*vq, padq(dens, 0.0), width=8)
         f_adv = PSs.fluid_force_sweep(cfg, q8, pack8(src_vel, src_dens),
                                       anchors, pvec, grid.size,
                                       include_pressure=False,
@@ -831,9 +836,8 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
         (src_vel_adv,) = hop({"va": vel_adv})
 
         # --- dii + rho_adv (fused), then aii --------------------------------
-        q12 = jnp.concatenate(
-            [pos_q, padq(vel_adv, 0.0), vel_q, padq(inv_d2, 0.0)[:, None],
-             jnp.zeros((clb, 2), pos.dtype)], axis=1)
+        q12 = queries(*(padq(vel_adv[:, k], 0.0) for k in range(3)),
+                      *vq, padq(inv_d2, 0.0), width=12)
         src_pred = pack8(src_vel_adv, psi_fluid)
         pr = PSs.generic_sweep(cfg, PSs.dii_rhoadv_pair, q12, src_pred,
                                anchors, pvec, grid.size, out_width=4,
@@ -846,9 +850,8 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
         rho_adv = dens + pr[:cl, 3]
 
         dpi = pm * inv_d2
-        q_aii = jnp.concatenate([pos_q, padq(dii, 0.0),
-                                 padq(dpi, 0.0)[:, None],
-                                 jnp.zeros((clb, 1), pos.dtype)], axis=1)
+        q_aii = queries(*(padq(dii[:, k], 0.0) for k in range(3)),
+                        padq(dpi, 0.0), width=8)
         aii = PSs.generic_sweep(cfg, PSs.aii_pair, q_aii, src_pred,
                                 anchors, pvec, grid.size, out_width=1,
                                 n_rows=n_rows, interpret=interp)[:cl, 0]
@@ -879,9 +882,8 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
             src16 = pack(
                 [src_dii[:, 0], src_dii[:, 1], src_dii[:, 2], src_p,
                  src_sd3[:, 0], src_sd3[:, 1], src_sd3[:, 2]], rows=16)
-            qj = jnp.concatenate(
-                [pos_q, padq(sum_dij, 0.0), padq(dpi * p, 0.0)[:, None],
-                 jnp.zeros((clb, 1), pos.dtype)], axis=1)
+            qj = queries(*(padq(sum_dij[:, k], 0.0) for k in range(3)),
+                         padq(dpi * p, 0.0), width=8)
             fb = PSs.generic_sweep(
                 cfg, PSs.jacobi_fluid_pair, qj, src16, anchors, pvec,
                 grid.size, out_width=1,
@@ -911,7 +913,7 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
         # --- pressure force + integration -----------------------------------
         pd2 = p * inv_d2
         (src_pd2,) = hop({"pd2": pd2})
-        q_pf = jnp.concatenate([pos_q, padq(pd2, 0.0)[:, None]], axis=1)
+        q_pf = queries(padq(pd2, 0.0), width=4)
         f_p = PSs.generic_sweep(
             cfg, PSs.grad_pressure_force_pair, q_pf, pack8(slot6=src_pd2),
             anchors, pvec, grid.size, out_width=4,
@@ -1028,10 +1030,17 @@ def make_sharded_pcisph_step(mesh: Mesh, params: SimParams,
         dt = params.dt
         pm = params.particle_mass
 
-        pos_q = padq(pos, PARK)
-        vel_q = padq(vel, 0.0)
+        # SoA columns for the query side (lane-padding, see CLAUDE.md)
+        pq = tuple(padq(pos[:, k], PARK) for k in range(3))
+        vq = tuple(padq(vel[:, k], 0.0) for k in range(3))
         act_q = padq(own_active, False)
-        qcoords = gridlib.cell_coords(grid, pos_q)
+        qcoords = gridlib.cell_coords_cols(grid, *pq)
+
+        def queries(*cols, width):
+            cols = [*pq, *cols]
+            z = jnp.zeros((clb,), pos.dtype)
+            return jnp.stack(list(cols) + [z] * (width - len(cols)),
+                             axis=0).T
         pk16 = _fused_pack16(src_len, boundary, cfg.sweep_win)
         anchors, miss = plan_windows(sctx.src_hash, qcoords, grid.size,
                                      cfg.sweep_block,
@@ -1078,8 +1087,7 @@ def make_sharded_pcisph_step(mesh: Mesh, params: SimParams,
             return _halo_hop(fields, sctx, scfg, n_own)
 
         # --- density + advection forces ------------------------------------
-        q4 = jnp.concatenate([pos_q, jnp.zeros((clb, 1), pos.dtype)],
-                             axis=1)
+        q4 = queries(width=4)
         # self term ψ·W(0) included by the sweeps (no self-exclusion)
         dens = PSs.density_sweep(cfg, q4, pack8(slot6=psi_fluid), anchors,
                                  pvec, grid.size, n_rows=n_rows,
@@ -1088,8 +1096,7 @@ def make_sharded_pcisph_step(mesh: Mesh, params: SimParams,
         inv_d2 = 1.0 / (dens_safe * dens_safe)
         (src_dens,) = hop({"dens": dens})
 
-        q8 = jnp.concatenate([pos_q, vel_q, padq(dens, 0.0)[:, None],
-                              jnp.zeros((clb, 1), pos.dtype)], axis=1)
+        q8 = queries(*vq, padq(dens, 0.0), width=8)
         f_adv = PSs.fluid_force_sweep(cfg, q8, pack8(src_vel, src_dens),
                                       anchors, pvec, grid.size,
                                       include_pressure=False,
@@ -1111,7 +1118,8 @@ def make_sharded_pcisph_step(mesh: Mesh, params: SimParams,
             (src_pos_pred,) = hop({"pp": pos_pred})
             # columns 0-2 = start-of-step positions (mask matches the frozen
             # plan), 3-5 = predicted positions for distances (geom_offset=3)
-            q6p = jnp.concatenate([pos_q, padq(pos_pred, PARK)], axis=1)
+            q6p = queries(*(padq(pos_pred[:, k], PARK)
+                            for k in range(3)), width=8)
             rho_pred = PSs.density_sweep(
                 cfg, q6p, pack8(slot6=psi_fluid, posf=src_pos_pred),
                 anchors, pvec, grid.size,
@@ -1122,7 +1130,7 @@ def make_sharded_pcisph_step(mesh: Mesh, params: SimParams,
 
             pd2 = p_new * inv_d2
             (src_pd2,) = hop({"pd2": pd2})
-            q_pf = jnp.concatenate([pos_q, padq(pd2, 0.0)[:, None]], axis=1)
+            q_pf = queries(padq(pd2, 0.0), width=4)
             f_p_new = PSs.generic_sweep(
                 cfg, PSs.grad_pressure_force_pair, q_pf,
                 pack8(slot6=src_pd2), anchors, pvec, grid.size, out_width=4,
