@@ -93,6 +93,7 @@ def run_case(name, n_steps=10):
         "wcsph_2M": ("wcsph", 2 ** 21, False),
         "wcsph_4M": ("wcsph", 2 ** 22, False),
         "wcsph_8M": ("wcsph", 2 ** 23, False),
+        "wcsph_10M": ("wcsph", 10_000_000, False),
         "iisph_1M": ("iisph", 2 ** 20, False),
         "wcsph_boundary_274k": ("wcsph", 256_000, True),
         "iisph_256k": ("iisph", 256_000, False),
@@ -105,7 +106,7 @@ def run_case(name, n_steps=10):
     }[name]
 
     cfg_kw = {}
-    if name in ("wcsph_4M", "wcsph_8M"):
+    if name in ("wcsph_4M", "wcsph_8M", "wcsph_10M"):
         # at 4M+ a block near a z-plane crossing can need 2 windows per
         # cluster (multi-y-row spans); 3x256 coverage measured 7312
         # misses at 4M, 3x384 covers cleanly
@@ -186,7 +187,7 @@ def main():
     all_cases = ["wcsph_150k", "wcsph_1M", "wcsph_boundary_274k",
                  "iisph_256k", "pcisph_256k", "iisph_256k_settled",
                  "pcisph_256k_settled", "sharded_wcsph_1M", "wcsph_2M",
-                 "wcsph_4M", "wcsph_8M", "iisph_1M"]
+                 "wcsph_4M", "wcsph_8M", "wcsph_10M", "iisph_1M"]
     if args.cases:
         cases = args.cases.split(",")
     elif args.all:
