@@ -269,7 +269,10 @@ def fluid_force_pair(q_ref, src_ref, valid, pv, *, kernel_set, st_model,
 
     if st_model == SurfaceTensionModel.BECKER:
         w = _w_value(kernel_set, r2, rl, pv)
-        w_eff = jnp.where(r2 > pv[PV_DIAM2], w, pv[PV_WDIAM])
+        # the diameter clamp `where(r2 > diam², w, W(diam))` is exactly
+        # min(w, W(diam)) for any monotone-decreasing kernel — one VPU op
+        # instead of compare+select, bit-identical
+        w_eff = jnp.minimum(w, pv[PV_WDIAM])
         cs = w_eff * (-pv[PV_KAPPA])
         cpd = cs if cpd is None else cpd + cs
     elif st_model == SurfaceTensionModel.AKINCI:
