@@ -442,27 +442,32 @@ def pack_source_fused(pos_f, hash_f, cols_f, pos_b, hash_b, cols_b,
 def _sweep_kernel(anchors_ref, pvec_ref, q_ref, *refs,
                   pair_fn, pair_fn_b, n_rows: int, block: int,
                   gsize, grid_geom_idx: int, src_rows: int,
-                  win: int, pack16: bool = True):
-    """Grid = (nb, n_rows // 9); ALL 9·N_PASS windows of a block's
-    row-group arrive as separate operands (``refs[:-1]``) fetched by
-    per-(row, pass) BlockSpecs, and python loops sweep them inside ONE
-    kernel invocation. Folding the row and pass dimensions out of the grid
-    matters twice over: each Mosaic grid step carries ~1 µs of fixed cost
-    (measured, 1M particles) — formerly paid (rows·passes)=27× per block,
-    mostly on sentinel-skipped passes — and with the row index static
-    inside the kernel, each row's (dy, dz) offsets fold into compile-time
-    constants. The second grid dimension is the row GROUP: 0 = the 9 fluid
-    rows, 1 = the 9 boundary rows of a fused plan.
+                  win: int, pack16: bool = True, kfold: int = 1):
+    """Grid = (nb // kfold, n_rows // 9); ALL kfold·9·N_PASS windows of a
+    block-group arrive as separate operands (``refs[:-1]``) fetched by
+    per-(sub-block, row, pass) BlockSpecs, and python loops sweep them
+    inside ONE kernel invocation. Folding the row and pass dimensions out
+    of the grid matters twice over: each Mosaic grid step carries ~1 µs of
+    fixed cost (measured, 1M particles) — formerly paid (rows·passes)=27×
+    per block, mostly on sentinel-skipped passes — and with the row index
+    static inside the kernel, each row's (dy, dz) offsets fold into
+    compile-time constants. ``kfold`` folds the BLOCK dimension the same
+    way: kfold consecutive query sub-blocks share one grid step, so small
+    blocks (whose narrower source spans raise window occupancy — the
+    structural ~1.2% hash-valid-slots number, tools/occupancy.py) stop
+    paying the per-grid-step fixed cost kfold times over. The second grid
+    dimension is the row GROUP: 0 = the 9 fluid rows, 1 = the 9 boundary
+    rows of a fused plan.
     """
     srcs, out_ref = refs[:-1], refs[-1]
-    b = pl.program_id(0)
+    bg = pl.program_id(0)   # block group (kfold consecutive sub-blocks)
     ro = pl.program_id(1)   # row group (0 = fluid rows, 1 = boundary rows)
 
     @pl.when(ro == 0)
     def _init():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    # Query cell coords, once per block. They use the same
+    # Query cell coords, once per block group. They use the same
     # multiply-by-1/cell arithmetic as the host-side plan
     # (grid.cell_coords) so bounds and plan agree exactly.
     ox, oy, oz = (pvec_ref[grid_geom_idx], pvec_ref[grid_geom_idx + 1],
@@ -474,82 +479,89 @@ def _sweep_kernel(anchors_ref, pvec_ref, q_ref, *refs,
         c = jnp.floor((v - o) * inv_cell)
         return jnp.clip(c, 0.0, float(g - 1))
 
-    qx, qy, qz = q_ref[:, 0:1], q_ref[:, 1:2], q_ref[:, 2:3]
-    cx = cellc(qx, ox, gx)
-    cy = cellc(qy, oy, gy)
-    cz = cellc(qz, oz, gz)
+    for i in range(kfold):
+        b = bg * kfold + i
+        sub = pl.dslice(i * block, block)
+        q_sub = q_ref[sub, :]
+        qx, qy, qz = q_sub[:, 0:1], q_sub[:, 1:2], q_sub[:, 2:3]
+        cx = cellc(qx, ox, gx)
+        cy = cellc(qy, oy, gy)
+        cz = cellc(qz, oz, gz)
 
-    for r_local in range(N_ROWS):
-        # static (dy, dz) per unrolled row
-        dy = float(r_local % 3 - 1)
-        dz = float(r_local // 3 - 1)
-        yy = cy + dy
-        zz = cz + dz
-        base = (zz * gy + yy) * gx
-        lo = base + jnp.maximum(cx - 1.0, 0.0)
-        hi = base + jnp.minimum(cx + 1.0, float(gx - 1))
-        # fold row validity into the rank-1 bounds (lo > hi matches no
-        # hash) instead of AND-ing a (B, WIN) row_ok per slot
-        row_ok = ((yy >= 0.0) & (yy < float(gy))
-                  & (zz >= 0.0) & (zz < float(gz)))
-        lo = jnp.where(row_ok, lo, 1.0)
-        hi = jnp.where(row_ok, hi, 0.0)
-        r = ro * N_ROWS + r_local
+        for r_local in range(N_ROWS):
+            # static (dy, dz) per unrolled row
+            dy = float(r_local % 3 - 1)
+            dz = float(r_local // 3 - 1)
+            yy = cy + dy
+            zz = cz + dz
+            base = (zz * gy + yy) * gx
+            lo = base + jnp.maximum(cx - 1.0, 0.0)
+            hi = base + jnp.minimum(cx + 1.0, float(gx - 1))
+            # fold row validity into the rank-1 bounds (lo > hi matches no
+            # hash) instead of AND-ing a (B, WIN) row_ok per slot
+            row_ok = ((yy >= 0.0) & (yy < float(gy))
+                      & (zz >= 0.0) & (zz < float(gz)))
+            lo = jnp.where(row_ok, lo, 1.0)
+            hi = jnp.where(row_ok, hi, 0.0)
+            r = ro * N_ROWS + r_local
 
-        for p in range(N_PASS):
-            src_ref = srcs[r_local * N_PASS + p]
-            a_enc = _unpack_anchor(anchors_ref, b, r, p, n_rows, pack16)
+            for p in range(N_PASS):
+                src_ref = srcs[(i * N_ROWS + r_local) * N_PASS + p]
+                a_enc = _unpack_anchor(anchors_ref, b, r, p, n_rows,
+                                       pack16)
 
-            # 0 sentinel: window unused, skip compute. No inner
-            # any(valid) guard: the plan only emits a non-sentinel anchor
-            # when the window contains needed sources, so the guard never
-            # skipped — it was a pure (B, WIN) reduction + branch per
-            # window.
-            @pl.when(a_enc > 0)
-            def _window(p=p, r=r, src_ref=src_ref, a_enc=a_enc,
-                        lo=lo, hi=hi):
-                a_this = (a_enc - 1) * ALIGN
-                src_hash = src_ref[src_rows - 1:src_rows, :]   # (1, WIN)
-                valid = (src_hash >= lo) & (src_hash <= hi)
-                if p > 0:
-                    # end of the previous pass's window — this pass owns
-                    # columns at/beyond it (pass 0 owns its whole window)
-                    a_prev = _unpack_anchor(anchors_ref, b, r, p - 1,
-                                            n_rows, pack16)
-                    a_prev_end = (a_prev - 1) * ALIGN + win
-                    col = a_this + jax.lax.broadcasted_iota(
-                        jnp.int32, (1, win), 1)
-                    valid = valid & (col >= a_prev_end)
+                # 0 sentinel: window unused, skip compute. No inner
+                # any(valid) guard: the plan only emits a non-sentinel
+                # anchor when the window contains needed sources, so the
+                # guard never skipped — it was a pure (B, WIN) reduction +
+                # branch per window.
+                @pl.when(a_enc > 0)
+                def _window(p=p, r=r, src_ref=src_ref, a_enc=a_enc,
+                            lo=lo, hi=hi, q_sub=q_sub, sub=sub):
+                    a_this = (a_enc - 1) * ALIGN
+                    src_hash = src_ref[src_rows - 1:src_rows, :]  # (1, WIN)
+                    valid = (src_hash >= lo) & (src_hash <= hi)
+                    if p > 0:
+                        # end of the previous pass's window — this pass
+                        # owns columns at/beyond it (pass 0 owns its whole
+                        # window)
+                        a_prev = _unpack_anchor(anchors_ref, b, r, p - 1,
+                                                n_rows, pack16)
+                        a_prev_end = (a_prev - 1) * ALIGN + win
+                        col = a_this + jax.lax.broadcasted_iota(
+                            jnp.int32, (1, win), 1)
+                        valid = valid & (col >= a_prev_end)
 
-                # NOTE: the query's own source slot is NOT excluded. Every
-                # pair term carries a factor of the displacement (or r²),
-                # which is exactly 0 at self with finite coefficients (the
-                # eps-clamped rsqrt guarantees no inf), and the density
-                # pair's self term ψ·W(0) is the term the solvers
-                # previously added separately — so self-inclusion is both
-                # free and two VPU ops cheaper per (B, WIN) slot.
-                if pair_fn_b is None:
-                    out_ref[:] = out_ref[:] + pair_fn(
-                        q_ref, src_ref, valid, pvec_ref)
-                else:
-                    # fused sweep: row group 0 = fluid formula,
-                    # row group 1 = boundary formula
-                    @pl.when(ro == 0)
-                    def _fluid():
-                        out_ref[:] = out_ref[:] + pair_fn(
-                            q_ref, src_ref, valid, pvec_ref)
+                    # NOTE: the query's own source slot is NOT excluded.
+                    # Every pair term carries a factor of the displacement
+                    # (or r²), which is exactly 0 at self with finite
+                    # coefficients (the eps-clamped rsqrt guarantees no
+                    # inf), and the density pair's self term ψ·W(0) is the
+                    # term the solvers previously added separately — so
+                    # self-inclusion is both free and two VPU ops cheaper
+                    # per (B, WIN) slot.
+                    if pair_fn_b is None:
+                        out_ref[sub, :] = out_ref[sub, :] + pair_fn(
+                            q_sub, src_ref, valid, pvec_ref)
+                    else:
+                        # fused sweep: row group 0 = fluid formula,
+                        # row group 1 = boundary formula
+                        @pl.when(ro == 0)
+                        def _fluid():
+                            out_ref[sub, :] = out_ref[sub, :] + pair_fn(
+                                q_sub, src_ref, valid, pvec_ref)
 
-                    @pl.when(ro > 0)
-                    def _bnd():
-                        out_ref[:] = out_ref[:] + pair_fn_b(
-                            q_ref, src_ref, valid, pvec_ref)
+                        @pl.when(ro > 0)
+                        def _bnd():
+                            out_ref[sub, :] = out_ref[sub, :] + pair_fn_b(
+                                q_sub, src_ref, valid, pvec_ref)
 
 
 def neighbor_sweep(pair_fn, *, queries, src, anchors, pvec, gsize,
                    out_width: int, block: int = DEF_BLOCK,
                    grid_geom_idx: int, pair_fn_b=None,
                    n_rows: int = N_ROWS, win: int = WIN,
-                   interpret: bool = False):
+                   kfold: int = 1, interpret: bool = False):
     """Run one Pallas neighbor sweep.
 
     Args:
@@ -561,6 +573,10 @@ def neighbor_sweep(pair_fn, *, queries, src, anchors, pvec, gsize,
       pvec: (P,) float32 parameter vector; entries
         [grid_geom_idx .. +3] = (ox, oy, oz, 1/cell).
       gsize: static (gx, gy, gz).
+      kfold: query sub-blocks folded into one Mosaic grid step (the
+        per-grid-step fixed cost is paid once per group of kfold blocks —
+        lets small blocks, whose narrow spans raise window occupancy, run
+        without drowning in fixed cost).
     Returns (N, out_width). Self-pairs are included (see the kernel note:
     they contribute the density self term and exactly 0 to everything
     else).
@@ -578,22 +594,25 @@ def neighbor_sweep(pair_fn, *, queries, src, anchors, pvec, gsize,
     assert words in (N_WORDS, N_PASS) and \
         anchors.size == nb * n_rows * words, (anchors.size, nb, n_rows)
     pack16 = words == N_WORDS
+    stride = n_rows * words
 
     # The anchor plan is a scalar-prefetch operand and must fit in ~1MB of
     # SMEM; beyond ~10k blocks (per fused row count) the sweep is chunked
     # into independent pallas_calls over disjoint query-block ranges.
     bytes_per_block = n_rows * words * 4
     max_blocks = max(SMEM_ANCHOR_BUDGET // bytes_per_block, 1)
-    if nb > max_blocks:
+    max_blocks = max(max_blocks // kfold, 1) * kfold
+    if nb > max_blocks or nb % kfold:
         # Equal-shape chunks: pad queries (parked rows) and anchors (all-
         # sentinel blocks) so every chunk is the SAME (nb_c·block, …)
         # pallas_call — identical Mosaic modules compile once and are
         # cache-hits for the remaining chunks, where ragged chunks each
         # paid a full kernel compile (the 4M wall: 3 ragged chunks × 2
-        # sweeps of 27-operand kernels).
+        # sweeps of 27-operand kernels). The same padding rounds nb up to
+        # a kfold multiple (a group of kfold blocks is one grid step).
         k = -(-nb // max_blocks)
         nb_c = -(-nb // k)
-        stride = n_rows * words
+        nb_c = -(-nb_c // kfold) * kfold
         pad_blocks = k * nb_c - nb
         if pad_blocks:
             q_pad = jnp.full((pad_blocks * block, fq), PARK_LIMIT * 10,
@@ -610,7 +629,7 @@ def neighbor_sweep(pair_fn, *, queries, src, anchors, pvec, gsize,
                 anchors=anchors[i * nb_c * stride:(i + 1) * nb_c * stride],
                 pvec=pvec, gsize=gsize, out_width=out_width, block=block,
                 grid_geom_idx=grid_geom_idx, pair_fn_b=pair_fn_b,
-                n_rows=n_rows, win=win, interpret=interpret))
+                n_rows=n_rows, win=win, kfold=kfold, interpret=interpret))
         out = jnp.concatenate(outs)
         return out[:n] if pad_blocks else out
 
@@ -618,30 +637,32 @@ def neighbor_sweep(pair_fn, *, queries, src, anchors, pvec, gsize,
         _sweep_kernel, pair_fn=pair_fn, pair_fn_b=pair_fn_b, n_rows=n_rows,
         block=block, gsize=gsize,
         grid_geom_idx=grid_geom_idx, src_rows=src_rows, win=win,
-        pack16=pack16)
+        pack16=pack16, kfold=kfold)
 
-    def win_spec(r_local, p):
-        # one BlockSpec per (row-in-group, pass); a sentinel anchor
-        # fetches the dummy window at column 0 (the kernel skips compute)
+    def win_spec(i, r_local, p):
+        # one BlockSpec per (sub-block, row-in-group, pass); a sentinel
+        # anchor fetches the dummy window at column 0 (the kernel skips
+        # compute)
         return pl.BlockSpec((pl.Element(src_rows), pl.Element(win)),
-                            lambda b, ro, a, pv, _nr=n_rows, _rl=r_local,
-                            _p=p, _pk=pack16:
+                            lambda bg, ro, a, pv, _nr=n_rows, _i=i,
+                            _rl=r_local, _p=p, _pk=pack16, _k=kfold:
                             (0, jnp.maximum(
-                                _unpack_anchor(a, b, ro * N_ROWS + _rl,
+                                _unpack_anchor(a, bg * _k + _i,
+                                               ro * N_ROWS + _rl,
                                                _p, _nr, _pk) - 1,
                                 0) * ALIGN))
 
     assert n_rows % N_ROWS == 0, n_rows
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,   # anchors, pvec
-        grid=(nb, n_rows // N_ROWS),
+        grid=(nb // kfold, n_rows // N_ROWS),
         in_specs=[
-            pl.BlockSpec((block, fq), lambda b, ro, a, pv: (b, 0)),
-            *[win_spec(rl, p) for rl in range(N_ROWS)
-              for p in range(N_PASS)],
+            pl.BlockSpec((kfold * block, fq), lambda bg, ro, a, pv: (bg, 0)),
+            *[win_spec(i, rl, p) for i in range(kfold)
+              for rl in range(N_ROWS) for p in range(N_PASS)],
         ],
-        out_specs=pl.BlockSpec((block, out_width),
-                               lambda b, ro, a, pv: (b, 0)),
+        out_specs=pl.BlockSpec((kfold * block, out_width),
+                               lambda bg, ro, a, pv: (bg, 0)),
     )
     return pl.pallas_call(
         kernel,
@@ -651,4 +672,4 @@ def neighbor_sweep(pair_fn, *, queries, src, anchors, pvec, gsize,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
     )(anchors, pvec.astype(queries.dtype), queries,
-      *([src] * (N_ROWS * N_PASS)))
+      *([src] * (kfold * N_ROWS * N_PASS)))

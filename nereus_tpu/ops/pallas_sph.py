@@ -495,7 +495,7 @@ def density_sweep(cfg: SimConfig, queries_pos, src, anchors, pvec, gsize,
     out = neighbor_sweep(
         pair, queries=queries_pos, src=src, anchors=anchors, pvec=pvec,
         gsize=gsize, out_width=1, n_rows=n_rows, win=cfg.sweep_win,
-        block=cfg.sweep_block, grid_geom_idx=PV_OX, interpret=interpret)
+        block=cfg.sweep_block, kfold=cfg.sweep_kfold, grid_geom_idx=PV_OX, interpret=interpret)
     return out[:, 0]
 
 
@@ -515,7 +515,7 @@ def fluid_force_sweep(cfg: SimConfig, queries, src, anchors, pvec, gsize,
     out = neighbor_sweep(
         pair, queries=queries, src=src, anchors=anchors, pvec=pvec,
         gsize=gsize, out_width=4, n_rows=n_rows, win=cfg.sweep_win,
-        block=cfg.sweep_block, pair_fn_b=pair_b, grid_geom_idx=PV_OX,
+        block=cfg.sweep_block, kfold=cfg.sweep_kfold, pair_fn_b=pair_b, grid_geom_idx=PV_OX,
         interpret=interpret)
     return out[:, :3]
 
@@ -545,5 +545,5 @@ def generic_sweep(cfg: SimConfig, pair_fn, queries, src, anchors, pvec,
     return neighbor_sweep(
         pair, queries=queries, src=src, anchors=anchors, pvec=pvec,
         gsize=gsize, out_width=out_width, win=cfg.sweep_win,
-        block=cfg.sweep_block, pair_fn_b=pb, n_rows=n_rows,
+        block=cfg.sweep_block, kfold=cfg.sweep_kfold, pair_fn_b=pb, n_rows=n_rows,
         grid_geom_idx=PV_OX, interpret=interpret)

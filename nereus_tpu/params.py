@@ -69,6 +69,10 @@ class SimConfig:
     # retune after kernel changes.
     sweep_block: int = 176
     sweep_win: int = 256
+    # Query sub-blocks folded into one Mosaic grid step (the per-grid-step
+    # fixed cost is shared by the group; lets small high-occupancy blocks
+    # win — see ops/pallas_neighbors._sweep_kernel and tools/occupancy.py).
+    sweep_kfold: int = 1
     # Candidate-window size per 3-cell row segment (static shape for the
     # 27-cell gather; see ops/neighbors.py). Must be >= the longest run of
     # particles in any 3 consecutive x-cells; overflow is detected at runtime.
@@ -92,7 +96,8 @@ class SimConfig:
                      str(self.dtype), self.seg_window, self.boundary_seg_window,
                      self.iisph_min_iters, self.iisph_max_iters,
                      self.pcisph_min_iters, self.pcisph_max_iters,
-                     self.engine, self.sweep_block, self.sweep_win))
+                     self.engine, self.sweep_block, self.sweep_win,
+                     self.sweep_kfold))
 
     def use_pallas(self) -> bool:
         import jax

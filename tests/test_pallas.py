@@ -140,6 +140,26 @@ def test_pallas_step_nondefault_window(win, block):
                                rtol=0, atol=1e-5)
 
 
+@pytest.mark.parametrize("kfold", [2, 4])
+def test_kfold_sweeps_match(kfold):
+    """sweep_kfold folds k query sub-blocks into one Mosaic grid step
+    (sharing the per-grid-step fixed cost); each sub-block sweeps its
+    windows in the same order as the unfolded kernel, so results must be
+    bit-identical to kfold=1 — including when nb is not a kfold multiple
+    (the equal-shape chunk path pads with sentinel blocks)."""
+    cfg, params, state, grid, boundary = _scene(True)
+    s_ref, d_ref = jax.jit(
+        lambda s: wcsph_step_pallas(s, params, grid, cfg, boundary))(state)
+    cfg_k = nt.SimConfig(seg_window=48, sweep_kfold=kfold)
+    s_chk, d_chk = jax.jit(
+        lambda s: wcsph_step_pallas(s, params, grid, cfg_k, boundary))(state)
+    assert int(d_chk.seg_overflow) == 0
+    np.testing.assert_allclose(np.asarray(s_chk.pos), np.asarray(s_ref.pos),
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(s_chk.vel), np.asarray(s_ref.vel),
+                               rtol=0, atol=0)
+
+
 def test_wide_anchor_format_matches(monkeypatch):
     """Force the 32-bit anchor format (the one giant >8.38M-element
     sources use, where 16-bit packed anchors would wrap) on a small scene
