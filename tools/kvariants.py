@@ -131,7 +131,7 @@ def build(name, cfg, params, grid):
             psi = jnp.full((c,), 1.0, ctx.dtype) * pm
             q = jnp.stack(
                 [ctx.px + q_extra * 1e-20, ctx.py, ctx.pz,
-                 jnp.zeros((cb,), ctx.dtype)], axis=1)
+                 jnp.zeros((cb,), ctx.dtype)], axis=0).T
             out = neighbor_sweep(
                 functools.partial(pair_fn, kernel_set=cfg.kernel_set)
                 if pair_fn is PS.density_pair else pair_fn,
@@ -150,7 +150,7 @@ def build(name, cfg, params, grid):
             q = jnp.stack(
                 [ctx.px + q_extra * 1e-20, ctx.py, ctx.pz,
                  ctx.vx, ctx.vy, ctx.vz,
-                 dens, jnp.zeros((cb,), ctx.dtype)], axis=1)
+                 dens, jnp.zeros((cb,), ctx.dtype)], axis=0).T
             pf = pair_fn
             if pair_fn is None:
                 pf = functools.partial(

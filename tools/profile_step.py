@@ -109,10 +109,13 @@ def main():
 
             def body(i, carry):
                 q_extra, acc = carry
+                # stack(axis=0).T matches the production query build
+                # (pallas_common.queries); axis=1 concat is the measured
+                # ~7x slower lane-padded form (ADVICE r3)
                 if which == "density":
                     q = jnp.stack(
                         [ctx.px + q_extra * 1e-20, ctx.py, ctx.pz,
-                         jnp.zeros((cb,), ctx.dtype)], axis=1)
+                         jnp.zeros((cb,), ctx.dtype)], axis=0).T
                     out = PS.density_sweep(
                         cfg, q, ctx.pack(slot6=psi), ctx.anchors,
                         ctx.pvec, ctx.gsize,
@@ -123,7 +126,7 @@ def main():
                     q = jnp.stack(
                         [ctx.px + q_extra * 1e-20, ctx.py, ctx.pz,
                          ctx.vx, ctx.vy, ctx.vz,
-                         dens, jnp.zeros((cb,), ctx.dtype)], axis=1)
+                         dens, jnp.zeros((cb,), ctx.dtype)], axis=0).T
                     out = PS.fluid_force_sweep(
                         cfg, q, ctx.pack(vel=(ctx.vx, ctx.vy, ctx.vz),
                                          slot6=dens),
