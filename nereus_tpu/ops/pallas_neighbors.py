@@ -108,6 +108,47 @@ def row_hash_bounds(coords, gsize, r):
     return lo, hi
 
 
+def row3_hash_bounds(coords, gsize, r):
+    """[lo, hi] hash SPAN of fused row ``r`` (dz = r−1): all 3 y-rows of
+    one z-plane in a single contiguous window.
+
+    The span [(zz·gy + y − 1)·gx + xlo, (zz·gy + y + 1)·gx + xhi] covers
+    the 9 neighbor cells of plane zz *plus* the between-cells of the two
+    full x-rows in between. Admitting those extras is exact: every pair
+    function applies the ``r² < h²`` radius cutoff (or the equivalent
+    poly6 clamp), and any particle in a non-neighbor cell is ≥ one cell
+    size (= h) away, so its contribution is exactly 0 — the contributing
+    pair set is identical to the 9-row mask. y is deliberately NOT
+    clamped at grid edges: the wrapped hash ranges only ever admit
+    geometrically-far sources (again 0), and a clamp would cost two more
+    per-slot selects in the kernel.
+
+    Correctness requires the per-query spans of adjacent dz to not
+    overlap — gx·gy ≥ 2·gx + 3 (:func:`rows3_supported`) — so no pair
+    can be admitted by two windows; within one window the multi-pass
+    ownership rule already prevents double counting.
+    """
+    gx, gy, gz = gsize
+    dz = r - 1
+    x, y, z = _coords_xyz(coords)
+    zz = z + dz
+    base = (zz * gy + y) * gx
+    lo = base + (jnp.maximum(x - 1, 0) - gx)
+    hi = base + (jnp.minimum(x + 1, gx - 1) + gx)
+    invalid = (zz < 0) | (zz >= gz)
+    lo = jnp.where(invalid, 1, lo)
+    hi = jnp.where(invalid, 0, hi)
+    return lo, hi
+
+
+def rows3_supported(gsize) -> bool:
+    """Fused 3-row windows need adjacent-dz spans (width 2·gx+3, separated
+    by gx·gy) to never overlap for one query — else a real pair lands in
+    two windows and double-counts."""
+    gx, gy, _ = gsize
+    return gx * gy >= 2 * gx + 3
+
+
 # ---------------------------------------------------------------------------
 # Window planning
 # ---------------------------------------------------------------------------
@@ -218,7 +259,7 @@ def anchors_pack16(src_len_padded: int, win: int = WIN) -> bool:
 def plan_windows(sorted_hash, coords, gsize, block: int,
                  src_len_padded: int, active_mask=None,
                  pos_offset: int = 0, win: int = WIN,
-                 pack16: bool | None = None):
+                 pack16: bool | None = None, rows_local: int = N_ROWS):
     """Plan window anchors per (particle-block, row offset).
 
     sorted_hash: (M,) ascending source hashes (int32, inactive = INT32_MAX).
@@ -235,16 +276,26 @@ def plan_windows(sorted_hash, coords, gsize, block: int,
     sources). Plans fused together must use the SAME format — pass the
     format of the WHOLE fused address space to both calls.
 
-    Returns ``(anchors (nb·9·words,) int32, miss () int32)``.
+    ``rows_local``: 9 = one window row per (dy, dz) offset; 3 = fused
+    3-row windows, one per dz (:func:`row3_hash_bounds`) — ~0.55× the
+    slots and ~0.27× the window DMAs at 1M (the measured ~0.3 µs/window
+    DMA-issue cost dominated the 9-row sweeps).
+
+    Returns ``(anchors (nb·rows_local·words,) int32, miss () int32)``.
     """
     assert pos_offset % ALIGN == 0, pos_offset
     assert win % ALIGN == 0, win
+    assert rows_local in (3, N_ROWS), rows_local
+    if rows_local == 3:
+        assert rows3_supported(gsize), (
+            f"grid {gsize} too small for fused 3-row windows")
     if pack16 is None:
         pack16 = anchors_pack16(src_len_padded, win)
     if pack16:
         assert anchors_pack16(src_len_padded, win), (
             f"source of {src_len_padded} elements exceeds the 16-bit "
             "anchor address space; plan with pack16=False")
+    bounds_fn = row_hash_bounds if rows_local == N_ROWS else row3_hash_bounds
     zc = _coords_xyz(coords)[2]
     n = zc.shape[0]
     nb = n // block
@@ -263,8 +314,8 @@ def plan_windows(sorted_hash, coords, gsize, block: int,
     # pass (sort-merge above the threshold — per-row searchsorted is the
     # dominant plan cost at 1M+ particles).
     row_bounds = []
-    for r in range(N_ROWS):
-        lo, hi = row_hash_bounds(coords, gsize, r)
+    for r in range(rows_local):
+        lo, hi = bounds_fn(coords, gsize, r)
         lo = lo.reshape(nb, block)
         hi = hi.reshape(nb, block)
         ok = act & (hi >= lo)
@@ -280,13 +331,13 @@ def plan_windows(sorted_hash, coords, gsize, block: int,
 
     all_q = jnp.stack([jnp.stack([jnp.minimum(la, big - 1), ha + 1,
                                   jnp.minimum(lb, big - 1), hb + 1])
-                       for la, ha, lb, hb in row_bounds])   # (9, 4, nb)
+                       for la, ha, lb, hb in row_bounds])   # (rows, 4, nb)
     all_pos = _positions(sorted_hash, all_q.reshape(-1)).reshape(
-        N_ROWS, 4, nb)
+        rows_local, 4, nb)
 
     anchors = []
     miss = jnp.int32(0)
-    for r in range(N_ROWS):
+    for r in range(rows_local):
         la, ha, lb, hb = row_bounds[r]
         s_a, e_a, s_b, e_b = (x + pos_offset for x in all_pos[r])
         has_a = (ha >= 0) & (e_a > s_a)
@@ -355,13 +406,14 @@ def _unpack_anchor(anchors_ref, b, r, p, n_rows=N_ROWS, pack16=True):
     return anchors_ref[(b * n_rows + r) * N_PASS + p]
 
 
-def fuse_plans(anchors_f, anchors_b, pack16=True):
-    """Interleave a fluid plan and a boundary plan into one 18-row plan
-    (rows 0-8 = fluid source region, rows 9-17 = boundary region). Both
-    plans must use the same anchor format (``pack16``)."""
+def fuse_plans(anchors_f, anchors_b, pack16=True,
+               rows_local: int = N_ROWS):
+    """Interleave a fluid plan and a boundary plan into one 2-group plan
+    (rows [0, rows_local) = fluid source region, the rest = boundary
+    region). Both plans must use the same anchor format (``pack16``)."""
     w = plan_words(pack16)
-    af = anchors_f.reshape(-1, N_ROWS, w)
-    ab = anchors_b.reshape(-1, N_ROWS, w)
+    af = anchors_f.reshape(-1, rows_local, w)
+    ab = anchors_b.reshape(-1, rows_local, w)
     return jnp.concatenate([af, ab], axis=1).reshape(-1)
 
 
@@ -442,7 +494,8 @@ def pack_source_fused(pos_f, hash_f, cols_f, pos_b, hash_b, cols_b,
 def _sweep_kernel(anchors_ref, pvec_ref, q_ref, *refs,
                   pair_fn, pair_fn_b, n_rows: int, block: int,
                   gsize, grid_geom_idx: int, src_rows: int,
-                  win: int, pack16: bool = True, kfold: int = 1):
+                  win: int, pack16: bool = True, kfold: int = 1,
+                  rows_local: int = N_ROWS):
     """Grid = (nb // kfold, n_rows // 9); ALL kfold·9·N_PASS windows of a
     block-group arrive as separate operands (``refs[:-1]``) fetched by
     per-(sub-block, row, pass) BlockSpecs, and python loops sweep them
@@ -488,25 +541,38 @@ def _sweep_kernel(anchors_ref, pvec_ref, q_ref, *refs,
         cy = cellc(qy, oy, gy)
         cz = cellc(qz, oz, gz)
 
-        for r_local in range(N_ROWS):
-            # static (dy, dz) per unrolled row
-            dy = float(r_local % 3 - 1)
-            dz = float(r_local // 3 - 1)
-            yy = cy + dy
-            zz = cz + dz
-            base = (zz * gy + yy) * gx
-            lo = base + jnp.maximum(cx - 1.0, 0.0)
-            hi = base + jnp.minimum(cx + 1.0, float(gx - 1))
-            # fold row validity into the rank-1 bounds (lo > hi matches no
-            # hash) instead of AND-ing a (B, WIN) row_ok per slot
-            row_ok = ((yy >= 0.0) & (yy < float(gy))
-                      & (zz >= 0.0) & (zz < float(gz)))
+        for r_local in range(rows_local):
+            if rows_local == N_ROWS:
+                # static (dy, dz) per unrolled row
+                dy = float(r_local % 3 - 1)
+                dz = float(r_local // 3 - 1)
+                yy = cy + dy
+                zz = cz + dz
+                base = (zz * gy + yy) * gx
+                lo = base + jnp.maximum(cx - 1.0, 0.0)
+                hi = base + jnp.minimum(cx + 1.0, float(gx - 1))
+                # fold row validity into the rank-1 bounds (lo > hi matches
+                # no hash) instead of AND-ing a (B, WIN) row_ok per slot
+                row_ok = ((yy >= 0.0) & (yy < float(gy))
+                          & (zz >= 0.0) & (zz < float(gz)))
+            else:
+                # fused 3-row span per dz (row3_hash_bounds): between-cell
+                # sources inside the span are admitted here and zeroed by
+                # the pair functions' r² < h² cutoff — exact, see the plan
+                # docstring. Same rank-1 bounds shape ⇒ same 3-op per-slot
+                # mask as the 9-row mode.
+                dz = float(r_local - 1)
+                zz = cz + dz
+                base = (zz * gy + cy) * gx
+                lo = base + (jnp.maximum(cx - 1.0, 0.0) - float(gx))
+                hi = base + (jnp.minimum(cx + 1.0, float(gx - 1)) + float(gx))
+                row_ok = (zz >= 0.0) & (zz < float(gz))
             lo = jnp.where(row_ok, lo, 1.0)
             hi = jnp.where(row_ok, hi, 0.0)
-            r = ro * N_ROWS + r_local
+            r = ro * rows_local + r_local
 
             for p in range(N_PASS):
-                src_ref = srcs[(i * N_ROWS + r_local) * N_PASS + p]
+                src_ref = srcs[(i * rows_local + r_local) * N_PASS + p]
                 a_enc = _unpack_anchor(anchors_ref, b, r, p, n_rows,
                                        pack16)
 
@@ -586,6 +652,10 @@ def neighbor_sweep(pair_fn, *, queries, src, anchors, pvec, gsize,
     nb = n // block
     src_rows = src.shape[0]
     assert src_rows % 8 == 0, src_rows
+    # row mode: 9/18 = one row per (dy, dz) offset (plus boundary group);
+    # 3/6 = fused 3-row windows, one per dz (row3_hash_bounds)
+    assert n_rows in (3, 6, 9, 18), n_rows
+    rows_local = N_ROWS if n_rows % N_ROWS == 0 else 3
 
     # Anchor format is deduced from the plan's words-per-(block,row):
     # 16-bit packed (N_WORDS) for ordinary sources, 32-bit (N_PASS) for
@@ -637,7 +707,7 @@ def neighbor_sweep(pair_fn, *, queries, src, anchors, pvec, gsize,
         _sweep_kernel, pair_fn=pair_fn, pair_fn_b=pair_fn_b, n_rows=n_rows,
         block=block, gsize=gsize,
         grid_geom_idx=grid_geom_idx, src_rows=src_rows, win=win,
-        pack16=pack16, kfold=kfold)
+        pack16=pack16, kfold=kfold, rows_local=rows_local)
 
     def win_spec(i, r_local, p):
         # one BlockSpec per (sub-block, row-in-group, pass); a sentinel
@@ -645,21 +715,21 @@ def neighbor_sweep(pair_fn, *, queries, src, anchors, pvec, gsize,
         # compute)
         return pl.BlockSpec((pl.Element(src_rows), pl.Element(win)),
                             lambda bg, ro, a, pv, _nr=n_rows, _i=i,
-                            _rl=r_local, _p=p, _pk=pack16, _k=kfold:
+                            _rl=r_local, _p=p, _pk=pack16, _k=kfold,
+                            _rg=rows_local:
                             (0, jnp.maximum(
                                 _unpack_anchor(a, bg * _k + _i,
-                                               ro * N_ROWS + _rl,
+                                               ro * _rg + _rl,
                                                _p, _nr, _pk) - 1,
                                 0) * ALIGN))
 
-    assert n_rows % N_ROWS == 0, n_rows
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,   # anchors, pvec
-        grid=(nb // kfold, n_rows // N_ROWS),
+        grid=(nb // kfold, n_rows // rows_local),
         in_specs=[
             pl.BlockSpec((kfold * block, fq), lambda bg, ro, a, pv: (bg, 0)),
             *[win_spec(i, rl, p) for i in range(kfold)
-              for rl in range(N_ROWS) for p in range(N_PASS)],
+              for rl in range(rows_local) for p in range(N_PASS)],
         ],
         out_specs=pl.BlockSpec((kfold * block, out_width),
                                lambda bg, ro, a, pv: (bg, 0)),
@@ -672,4 +742,4 @@ def neighbor_sweep(pair_fn, *, queries, src, anchors, pvec, gsize,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
     )(anchors, pvec.astype(queries.dtype), queries,
-      *([src] * (kfold * N_ROWS * N_PASS)))
+      *([src] * (kfold * rows_local * N_PASS)))

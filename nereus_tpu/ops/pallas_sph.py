@@ -494,7 +494,8 @@ def density_sweep(cfg: SimConfig, queries_pos, src, anchors, pvec, gsize,
                              geom_offset=geom_offset)
     out = neighbor_sweep(
         pair, queries=queries_pos, src=src, anchors=anchors, pvec=pvec,
-        gsize=gsize, out_width=1, n_rows=n_rows, win=cfg.sweep_win,
+        gsize=gsize, out_width=1, n_rows=n_rows,
+        win=cfg.resolve_win(n_rows < 9),
         block=cfg.sweep_block, kfold=cfg.sweep_kfold, grid_geom_idx=PV_OX, interpret=interpret)
     return out[:, 0]
 
@@ -508,13 +509,14 @@ def fluid_force_sweep(cfg: SimConfig, queries, src, anchors, pvec, gsize,
                              st_model=cfg.surface_tension_model,
                              include_pressure=include_pressure)
     pair_b = None
-    if n_rows > 9:
+    if n_rows in (6, 18):   # two window groups: rows_local fluid + boundary
         pair_b = functools.partial(boundary_force_pair,
                                    kernel_set=cfg.kernel_set,
                                    include_pressure=include_pressure)
     out = neighbor_sweep(
         pair, queries=queries, src=src, anchors=anchors, pvec=pvec,
-        gsize=gsize, out_width=4, n_rows=n_rows, win=cfg.sweep_win,
+        gsize=gsize, out_width=4, n_rows=n_rows,
+        win=cfg.resolve_win(n_rows < 9),
         block=cfg.sweep_block, kfold=cfg.sweep_kfold, pair_fn_b=pair_b, grid_geom_idx=PV_OX,
         interpret=interpret)
     return out[:, :3]
@@ -526,7 +528,7 @@ def boundary_force_sweep(cfg: SimConfig, queries, bsrc, anchors, pvec, gsize,
                              include_pressure=include_pressure)
     out = neighbor_sweep(
         pair, queries=queries, src=bsrc, anchors=anchors, pvec=pvec,
-        gsize=gsize, out_width=4, win=cfg.sweep_win,
+        gsize=gsize, out_width=4, win=cfg.resolve_win(False),
         grid_geom_idx=PV_OX, interpret=interpret)
     return out[:, :3]
 
@@ -544,6 +546,6 @@ def generic_sweep(cfg: SimConfig, pair_fn, queries, src, anchors, pvec,
                                **(pair_b_kw or {}))
     return neighbor_sweep(
         pair, queries=queries, src=src, anchors=anchors, pvec=pvec,
-        gsize=gsize, out_width=out_width, win=cfg.sweep_win,
+        gsize=gsize, out_width=out_width, win=cfg.resolve_win(n_rows < 9),
         block=cfg.sweep_block, kfold=cfg.sweep_kfold, pair_fn_b=pb, n_rows=n_rows,
         grid_geom_idx=PV_OX, interpret=interpret)

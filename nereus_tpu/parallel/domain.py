@@ -499,9 +499,14 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
             from ..ops.pallas_neighbors import (DEF_BLOCK, fuse_plans,
                                                 pack_source,
                                                 pack_source_fused,
-                                                plan_windows, round_up)
+                                                plan_windows, round_up,
+                                        rows3_supported)
             from ..solvers.pallas_common import interpret_mode, padded_len
             interp = interpret_mode()
+            rows3 = (cfg.sweep_fused_rows
+                     and rows3_supported(grid.size))
+            rloc = 3 if rows3 else 9
+            swin = cfg.resolve_win(rows3)
             clb = round_up(cl, cfg.sweep_block)
             qpad = clb - cl
 
@@ -519,12 +524,13 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
             act_q = padq(own_active, False)
             qcoords = gridlib.cell_coords_cols(grid, *pq)
             src_len = cl + 2 * kh
-            pk16 = _fused_pack16(src_len, boundary, cfg.sweep_win)
+            pk16 = _fused_pack16(src_len, boundary, swin)
             anchors, miss = plan_windows(src_hash, qcoords, grid.size,
                                          cfg.sweep_block,
-                                         padded_len(src_len, cfg.sweep_win),
+                                         padded_len(src_len, swin),
                                          active_mask=act_q,
-                                         win=cfg.sweep_win, pack16=pk16)
+                                         win=swin, pack16=pk16,
+                rows_local=rloc)
             pvec = PSs.build_pvec(params, cfg, grid)
             hash_f32 = src_hash.astype(pos.dtype)
             pm = params.particle_mass
@@ -535,16 +541,18 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
             if has_b:
                 b_anchors, b_miss = plan_windows(
                     boundary.sorted_hash, qcoords, grid.size,
-                    cfg.sweep_block, padded_len(src_len, cfg.sweep_win)
-                    + padded_len(boundary.num_boundaries, cfg.sweep_win),
+                    cfg.sweep_block, padded_len(src_len, swin)
+                    + padded_len(boundary.num_boundaries, swin),
                     active_mask=act_q,
-                    pos_offset=padded_len(src_len, cfg.sweep_win),
-                    win=cfg.sweep_win, pack16=pk16)
-                anchors = fuse_plans(anchors, b_anchors, pack16=pk16)
+                    pos_offset=padded_len(src_len, swin),
+                    win=swin, pack16=pk16,
+                rows_local=rloc)
+                anchors = fuse_plans(anchors, b_anchors, pack16=pk16,
+                rows_local=rloc)
                 miss = miss + b_miss
                 b_hash_f32 = boundary.sorted_hash.astype(pos.dtype)
                 bzero = jnp.zeros_like(boundary.psi)
-                n_rows = 18
+                n_rows = 2 * rloc
 
                 def pack(vel_cols, slot6):
                     return pack_source_fused(
@@ -552,14 +560,14 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
                         [*vel_cols, slot6],
                         boundary.pos, b_hash_f32,
                         [bzero, bzero, bzero, boundary.psi], rows=8,
-                        win=cfg.sweep_win)
+                        win=swin)
 
             else:
-                n_rows = 9
+                n_rows = rloc
 
                 def pack(vel_cols, slot6):
                     return pack_source(src_pos, hash_f32, vel_cols, slot6,
-                                       win=cfg.sweep_win)
+                                       win=swin)
 
             def queries(*cols, width):
                 cols = [*pq, *cols]
@@ -723,7 +731,8 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
     from ..ops import pallas_sph as PSs
     from ..ops.pallas_neighbors import (DEF_BLOCK, fuse_plans, pack_source,
                                         pack_source_fused, pack_source_wide,
-                                        plan_windows, round_up)
+                                        plan_windows, round_up,
+                                        rows3_supported)
     from ..solvers.pallas_common import interpret_mode, padded_len
 
     ax = scfg.axis_name
@@ -736,11 +745,14 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
     cl = scfg.local_capacity
     kh = scfg.halo_capacity
     interp = interpret_mode()
+    rows3 = cfg.sweep_fused_rows and rows3_supported(grid.size)
+    rloc = 3 if rows3 else 9
+    swin = cfg.resolve_win(rows3)
     clb = round_up(cl, cfg.sweep_block)
     qpad = clb - cl
     src_len = cl + 2 * kh
     has_b = boundary is not None and boundary.num_boundaries > 0
-    n_rows = 18 if has_b else 9
+    n_rows = 2 * rloc if has_b else rloc
 
     def padq(a, fillv):
         if qpad == 0:
@@ -772,12 +784,13 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
             z = jnp.zeros((clb,), pos.dtype)
             return jnp.stack(list(cols) + [z] * (width - len(cols)),
                              axis=0).T
-        pk16 = _fused_pack16(src_len, boundary, cfg.sweep_win)
+        pk16 = _fused_pack16(src_len, boundary, swin)
         anchors_f, miss = plan_windows(sctx.src_hash, qcoords, grid.size,
                                        cfg.sweep_block,
-                                       padded_len(src_len, cfg.sweep_win),
+                                       padded_len(src_len, swin),
                                        active_mask=act_q,
-                                       win=cfg.sweep_win, pack16=pk16)
+                                       win=swin, pack16=pk16,
+                rows_local=rloc)
         anchors = anchors_f
         pvec = PSs.build_pvec(params, cfg, grid)
         psi_fluid = jnp.full((src_len,), 1.0, pos.dtype) * pm
@@ -786,12 +799,14 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
         if has_b:
             b_anchors, b_miss = plan_windows(
                 boundary.sorted_hash, qcoords, grid.size, cfg.sweep_block,
-                padded_len(src_len, cfg.sweep_win)
-                + padded_len(boundary.num_boundaries, cfg.sweep_win),
+                padded_len(src_len, swin)
+                + padded_len(boundary.num_boundaries, swin),
                 active_mask=act_q,
-                pos_offset=padded_len(src_len, cfg.sweep_win),
-                win=cfg.sweep_win, pack16=pk16)
-            anchors = fuse_plans(anchors_f, b_anchors, pack16=pk16)
+                pos_offset=padded_len(src_len, swin),
+                win=swin, pack16=pk16,
+                rows_local=rloc)
+            anchors = fuse_plans(anchors_f, b_anchors, pack16=pk16,
+                rows_local=rloc)
             miss = miss + b_miss
             b_hash_f32 = boundary.sorted_hash.astype(pos.dtype)
             bzero = jnp.zeros_like(boundary.psi)
@@ -800,11 +815,11 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
                 return pack_source_fused(
                     src_pos, hash_f32, cols_f, boundary.pos, b_hash_f32,
                     [bzero, bzero, bzero, boundary.psi], rows=rows,
-                    win=cfg.sweep_win)
+                    win=swin)
         else:
             def pack(cols_f, rows=8):
                 return pack_source_wide(src_pos, hash_f32, cols_f,
-                                        rows=rows, win=cfg.sweep_win)
+                                        rows=rows, win=swin)
 
         def pack8(vel3=None, slot6=None):
             v = vel3 if vel3 is not None else jnp.zeros((src_len, 3),
@@ -876,7 +891,7 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
             sum_dij = PSs.generic_sweep(
                 cfg, PSs.sum_dij_pair, q4, pack8(slot6=src_pd2), anchors_f,
                 pvec, grid.size, out_width=4,
-                n_rows=9, interpret=interp)[:cl, :3]
+                n_rows=rloc, interpret=interp)[:cl, :3]
 
             src_sd3, src_p = hop({"sd": sum_dij, "p": p})
             src16 = pack(
@@ -980,7 +995,8 @@ def make_sharded_pcisph_step(mesh: Mesh, params: SimParams,
     from ..ops import pallas_sph as PSs
     from ..ops.pallas_neighbors import (DEF_BLOCK, fuse_plans, pack_source,
                                         pack_source_fused, pack_source_wide,
-                                        plan_windows, round_up)
+                                        plan_windows, round_up,
+                                        rows3_supported)
     from ..solvers.pallas_common import interpret_mode, padded_len
     from ..solvers.pcisph import (pcisph_delta, pcisph_delta_from_denom,
                                   pcisph_grad_denom)
@@ -1001,11 +1017,14 @@ def make_sharded_pcisph_step(mesh: Mesh, params: SimParams,
     cl = scfg.local_capacity
     kh = scfg.halo_capacity
     interp = interpret_mode()
+    rows3 = cfg.sweep_fused_rows and rows3_supported(grid.size)
+    rloc = 3 if rows3 else 9
+    swin = cfg.resolve_win(rows3)
     clb = round_up(cl, cfg.sweep_block)
     qpad = clb - cl
     src_len = cl + 2 * kh
     has_b = boundary is not None and boundary.num_boundaries > 0
-    n_rows = 18 if has_b else 9
+    n_rows = 2 * rloc if has_b else rloc
     delta_c = jnp.asarray(delta, cfg.dtype)
 
     def padq(a, fillv):
@@ -1041,24 +1060,27 @@ def make_sharded_pcisph_step(mesh: Mesh, params: SimParams,
             z = jnp.zeros((clb,), pos.dtype)
             return jnp.stack(list(cols) + [z] * (width - len(cols)),
                              axis=0).T
-        pk16 = _fused_pack16(src_len, boundary, cfg.sweep_win)
+        pk16 = _fused_pack16(src_len, boundary, swin)
         anchors, miss = plan_windows(sctx.src_hash, qcoords, grid.size,
                                      cfg.sweep_block,
-                                     padded_len(src_len, cfg.sweep_win),
-                                     active_mask=act_q, win=cfg.sweep_win,
-                                     pack16=pk16)
+                                     padded_len(src_len, swin),
+                                     active_mask=act_q, win=swin,
+                                     pack16=pk16,
+                rows_local=rloc)
         pvec = PSs.build_pvec(params, cfg, grid)
         psi_fluid = jnp.full((src_len,), 1.0, pos.dtype) * pm
 
         if has_b:
             b_anchors, b_miss = plan_windows(
                 boundary.sorted_hash, qcoords, grid.size, cfg.sweep_block,
-                padded_len(src_len, cfg.sweep_win)
-                + padded_len(boundary.num_boundaries, cfg.sweep_win),
+                padded_len(src_len, swin)
+                + padded_len(boundary.num_boundaries, swin),
                 active_mask=act_q,
-                pos_offset=padded_len(src_len, cfg.sweep_win),
-                win=cfg.sweep_win, pack16=pk16)
-            anchors = fuse_plans(anchors, b_anchors, pack16=pk16)
+                pos_offset=padded_len(src_len, swin),
+                win=swin, pack16=pk16,
+                rows_local=rloc)
+            anchors = fuse_plans(anchors, b_anchors, pack16=pk16,
+                rows_local=rloc)
             miss = miss + b_miss
             b_hash_f32 = boundary.sorted_hash.astype(pos.dtype)
             bzero = jnp.zeros_like(boundary.psi)
@@ -1073,7 +1095,7 @@ def make_sharded_pcisph_step(mesh: Mesh, params: SimParams,
                     [v[:, 0], v[:, 1], v[:, 2], s6],
                     boundary.pos, b_hash_f32,
                     [bzero, bzero, bzero, boundary.psi], rows=8,
-                    win=cfg.sweep_win)
+                    win=swin)
         else:
             def pack8(vel3=None, slot6=None, posf=None):
                 v = vel3 if vel3 is not None else jnp.zeros(
@@ -1081,7 +1103,7 @@ def make_sharded_pcisph_step(mesh: Mesh, params: SimParams,
                 s6 = slot6 if slot6 is not None else jnp.zeros(
                     (src_len,), pos.dtype)
                 return pack_source(posf if posf is not None else src_pos,
-                                   hash_f32, v, s6, win=cfg.sweep_win)
+                                   hash_f32, v, s6, win=swin)
 
         def hop(fields):
             return _halo_hop(fields, sctx, scfg, n_own)

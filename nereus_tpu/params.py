@@ -63,12 +63,17 @@ class SimConfig:
     # segments elsewhere.
     engine: str = "auto"
     # Particles per Pallas sweep block (multiple of 8) and window width
-    # (multiple of 128 lanes). Scan-tuned on the real chip at 1M: 176/256
-    # (bigger blocks amortize the span's ±1-cell fringe and alignment
-    # waste, but past ~256 the force pair's live temporaries spill) —
-    # retune after kernel changes.
+    # (multiple of 128 lanes; 0 = auto per row mode). Scan-tuned on the
+    # real chip at 1M (bigger blocks amortize the span's ±1-cell fringe
+    # and alignment waste, but past ~256 the force pair's live
+    # temporaries spill) — retune after kernel changes.
     sweep_block: int = 176
-    sweep_win: int = 256
+    sweep_win: int = 0
+    # Fused 3-row windows: one contiguous window per dz covering all 3
+    # y-rows (~0.55× slots, ~0.27× window DMAs at 1M vs the 9-row plan).
+    # Auto-falls back to 9-row on grids too small for the non-overlap
+    # guarantee (ops/pallas_neighbors.rows3_supported).
+    sweep_fused_rows: bool = True
     # Query sub-blocks folded into one Mosaic grid step (the per-grid-step
     # fixed cost is shared by the group; lets small high-occupancy blocks
     # win — see ops/pallas_neighbors._sweep_kernel and tools/occupancy.py).
@@ -97,7 +102,15 @@ class SimConfig:
                      self.iisph_min_iters, self.iisph_max_iters,
                      self.pcisph_min_iters, self.pcisph_max_iters,
                      self.engine, self.sweep_block, self.sweep_win,
-                     self.sweep_kfold))
+                     self.sweep_kfold, self.sweep_fused_rows))
+
+    def resolve_win(self, rows3: bool) -> int:
+        """Effective window width: an explicit ``sweep_win`` wins; auto is
+        512 for fused 3-row windows (mean span ≈ 450 at block 176/1M — one
+        pass covers most windows) and 256 for the 9-row plan."""
+        if self.sweep_win:
+            return self.sweep_win
+        return 512 if rows3 else 256
 
     def use_pallas(self) -> bool:
         import jax

@@ -89,12 +89,12 @@ def iisph_step_pallas(state: FluidState, params: SimParams,
     def body(carry):
         p, _, it = carry
         pd2 = p * inv_d2
-        # Σd_ij·p_j runs over the FLUID region only (9-row plan over the
-        # same fused matrix — windows never reach the boundary region)
+        # Σd_ij·p_j runs over the FLUID region only (fluid-rows plan over
+        # the same fused matrix — windows never reach the boundary region)
         src_sd = ctx.pack(slot6=pd2)
         sum_dij = PS.generic_sweep(
             cfg, PS.sum_dij_pair, q4, src_sd, ctx.anchors_f, pvec, gsize,
-            out_width=4, n_rows=9, interpret=interp)[:, :3]
+            out_width=4, n_rows=ctx.rows_local, interpret=interp)[:, :3]
 
         src16 = ctx.pack_wide(
             [diix, diiy, diiz, p,

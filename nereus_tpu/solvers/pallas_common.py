@@ -20,7 +20,7 @@ from ..ops import pallas_sph as PS
 from ..ops.pallas_neighbors import (ALIGN, DEF_BLOCK, N_ROWS, WIN,
                                     fuse_plans, pack_source,
                                     pack_source_fused, pack_source_wide,
-                                    plan_windows, round_up)
+                                    plan_windows, round_up, rows3_supported)
 from ..params import SimConfig, SimParams
 from ..state import BoundaryData, FluidState
 
@@ -65,17 +65,24 @@ class PallasCtx:
     c: int                  # capacity (fluid source length)
     cb: int                 # block-padded query length
     gsize: tuple
-    n_rows: int             # 9 (fluid only) or 18 (fused boundary)
+    n_rows: int             # rows_local (fluid only) or 2x (fused
+                            # boundary); rows_local = 3 (fused 3-row
+                            # windows) or 9
     win: int                # window width (cfg.sweep_win)
     interp: bool
     b_pos: Optional[tuple] = None          # boundary columns (static)
     b_hash_f32: Optional[jax.Array] = None
     b_psi: Optional[jax.Array] = None
-    anchors_f: Optional[jax.Array] = None  # fluid-only 9-row plan
+    anchors_f: Optional[jax.Array] = None  # fluid-only plan
 
     @property
     def dtype(self):
         return self.px.dtype
+
+    @property
+    def rows_local(self):
+        """Window rows per group: 3 (fused 3-row windows) or 9."""
+        return 3 if self.n_rows in (3, 6) else 9
 
     def queries(self, *cols, width: int | None = None):
         """Build the (cb, fq) query operand from columns; positions first.
@@ -198,7 +205,9 @@ def build_pallas_ctx(state: FluidState, params: SimParams,
         pres_prev = padc(pres_prev, 0.0)
     active = jnp.arange(cb, dtype=jnp.int32) < state.num_active
     coords = gridlib.cell_coords_cols(grid, px, py, pz)
-    win = cfg.sweep_win
+    rows_local = (3 if cfg.sweep_fused_rows and rows3_supported(grid.size)
+                  else N_ROWS)
+    win = cfg.resolve_win(rows_local == 3)
     # ONE anchor format for the whole (possibly fused) address space —
     # fused fluid+boundary plans must agree (anchors_pack16)
     from ..ops.pallas_neighbors import anchors_pack16
@@ -209,18 +218,20 @@ def build_pallas_ctx(state: FluidState, params: SimParams,
     anchors, miss = plan_windows(sorted_hash, coords, grid.size,
                                  cfg.sweep_block, padded_len(c, win),
                                  active_mask=active, win=win,
-                                 pack16=pack16)
+                                 pack16=pack16, rows_local=rows_local)
     kwargs = {"anchors_f": anchors}
-    n_rows = N_ROWS
+    n_rows = rows_local
     if boundary is not None and boundary.num_boundaries > 0:
         mb = boundary.num_boundaries
         b_anchors, b_miss = plan_windows(
             boundary.sorted_hash, coords, grid.size, cfg.sweep_block,
             padded_len(c, win) + padded_len(mb, win), active_mask=active,
-            pos_offset=padded_len(c, win), win=win, pack16=pack16)
-        anchors = fuse_plans(anchors, b_anchors, pack16=pack16)
+            pos_offset=padded_len(c, win), win=win, pack16=pack16,
+            rows_local=rows_local)
+        anchors = fuse_plans(anchors, b_anchors, pack16=pack16,
+                             rows_local=rows_local)
         miss = miss + b_miss
-        n_rows = 2 * N_ROWS
+        n_rows = 2 * rows_local
         kwargs.update(b_pos=tuple(boundary.pos[:, k] for k in range(3)),
                       b_hash_f32=boundary.sorted_hash.astype(px.dtype),
                       b_psi=boundary.psi)

@@ -177,3 +177,83 @@ def test_wide_anchor_format_matches(monkeypatch):
                                rtol=0, atol=0)
     np.testing.assert_allclose(np.asarray(s_chk.vel), np.asarray(s_ref.vel),
                                rtol=0, atol=0)
+
+
+def test_fused_rows_pair_sets_identical():
+    """The fused 3-row windows admit extra between-cell slots that the
+    pair functions' r² < h² cutoff must zero — the *contributing* pair
+    set has to be exactly the 9-row one. Counting pairs (integer-valued
+    sums are order-independent in f32) makes the comparison exact for
+    both the fluid and the boundary window groups."""
+    from nereus_tpu.ops import pallas_sph as PS
+    from nereus_tpu.solvers.pallas_common import build_pallas_ctx
+
+    def count_pair(q_ref, src_ref, valid, pv, *, kernel_set):
+        _, _, _, r2 = PS._pair_geometry(q_ref, src_ref, pv)
+        ok = (valid & (r2 < pv[PS.PV_H2])).astype(q_ref.dtype)
+        return jnp.sum(ok, axis=1, keepdims=True)
+
+    counts = {}
+    for fused in (True, False):
+        cfg = nt.SimConfig(seg_window=48, sweep_fused_rows=fused)
+        params = nt.make_params(dt=5e-4)
+        state, grid, boundary = scene.dam_break(
+            params, cfg, cube_size=(0.25, 0.25, 0.25),
+            cube_center=(-0.3, 0.05, 0.5),
+            box_min=(-0.8, -0.3, 0.0), box_max=(0.2, 0.7, 1.0),
+            with_boundary=True, boundary_radius=0.04)
+
+        @jax.jit
+        def run(s):
+            ctx = build_pallas_ctx(s, params, grid, cfg, boundary)
+            q4 = ctx.queries(width=4)
+            psi = jnp.full((ctx.c,), 1.0, ctx.dtype)
+            src = ctx.pack(slot6=psi)
+            out = PS.generic_sweep(
+                cfg, count_pair, q4, src, ctx.anchors, ctx.pvec,
+                ctx.gsize, out_width=1, n_rows=ctx.n_rows,
+                pair_fn_b=count_pair, interpret=ctx.interp)
+            return out[:, 0], ctx.miss
+
+        c, miss = run(state)
+        assert int(miss) == 0
+        counts[fused] = np.asarray(c)
+    np.testing.assert_array_equal(counts[True], counts[False])
+
+
+def test_fused_rows_step_matches_legacy():
+    """Full WCSPH step: fused 3-row windows vs the 9-row plan, with the
+    fluid cube seeded IN CONTACT with the floor so boundary pairs are
+    active from step one (the fused-mode regression that slipped the
+    airborne scenes: ``fluid_force_sweep`` keyed its boundary pair
+    function on ``n_rows > 9``, which the fused-with-boundary value 6
+    fails — the fluid Tait EOS then ran over boundary ψ slots). Pair
+    sets are identical; only the accumulation order differs, so
+    positions/velocities must agree to float tolerance across steps."""
+    cfg9 = nt.SimConfig(seg_window=48, sweep_fused_rows=False)
+    params = nt.make_params(dt=5e-4)
+    h = float(params.interaction_radius)
+    state0, grid, boundary = scene.dam_break(
+        params, cfg9, cube_size=(0.25, 0.25, 0.25),
+        # bottom face ~0.02 above the y=-0.3 floor: contact from step one
+        cube_center=(-0.3, -0.3 + 0.125 + 0.02, 0.5),
+        box_min=(-0.8, -0.3, 0.0), box_max=(0.2, 0.7, 1.0),
+        with_boundary=True, boundary_radius=0.04)
+    # the regression needs real boundary pairs: bottom row within h
+    assert float(jnp.min(state0.pos[:int(state0.num_active), 1])) \
+        < -0.3 + h
+    cfg3 = nt.SimConfig(seg_window=48, sweep_fused_rows=True)
+    step9 = jax.jit(
+        lambda s: wcsph_step_pallas(s, params, grid, cfg9, boundary))
+    step3 = jax.jit(
+        lambda s: wcsph_step_pallas(s, params, grid, cfg3, boundary))
+    s9 = s3 = state0
+    for _ in range(5):
+        s9, d9 = step9(s9)
+        s3, d3 = step3(s3)
+    assert int(d9.seg_overflow) == 0
+    assert int(d3.seg_overflow) == 0
+    np.testing.assert_allclose(np.asarray(s3.pos), np.asarray(s9.pos),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s3.vel), np.asarray(s9.vel),
+                               rtol=0, atol=1e-3)

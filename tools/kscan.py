@@ -40,6 +40,8 @@ def main():
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--combos", default="176:256:1")
     ap.add_argument("--pieces", default="ctx,density,force")
+    ap.add_argument("--fused", type=int, default=0,
+                    help="1 = fused 3-row windows (win 0 in a combo = auto)")
     args = ap.parse_args()
 
     import nereus_tpu as nt
@@ -58,7 +60,8 @@ def main():
     for combo in args.combos.split(","):
         block, win, kfold = (int(x) for x in combo.split(":"))
         cfg = nt.SimConfig(sweep_block=block, sweep_win=win,
-                           sweep_kfold=kfold)
+                           sweep_kfold=kfold,
+                           sweep_fused_rows=bool(args.fused))
         state, grid, _ = scene.dam_break(params, cfg, n_target=args.n,
                                          with_boundary=False)
         n = int(state.num_active)
