@@ -38,24 +38,27 @@ def _chain_and_time(step_fn, state, n_steps):
     @jax.jit
     def chain(s):
         def body(i, carry):
-            st, ovf, derr, iters = carry
+            st, ovf, derr, dcmp, iters = carry
             st2, d = step_fn(st)
             return (st2, ovf + d.seg_overflow,
                     derr + d.mean_density_error,
+                    dcmp + d.mean_compression,
                     iters + d.solver_iters)
         return jax.lax.fori_loop(
             0, n_steps, body,
-            (s, jnp.int32(0), jnp.float32(0), jnp.int32(0)))
+            (s, jnp.int32(0), jnp.float32(0), jnp.float32(0),
+             jnp.int32(0)))
 
-    st, ovf, derr, iters = chain(state)    # compile + warm run
+    st, ovf, derr, dcmp, iters = chain(state)    # compile + warm run
     float(np.asarray(derr))
     t0 = time.perf_counter()
-    st, ovf, derr, iters = chain(state)
+    st, ovf, derr, dcmp, iters = chain(state)
     derr_total = float(np.asarray(derr))   # forces completion
     dt = time.perf_counter() - t0
     return dict(steps_per_sec=n_steps / dt,
                 seg_overflow=float(np.asarray(ovf)),
                 mean_density_error=derr_total / n_steps,
+                mean_compression=float(np.asarray(dcmp)) / n_steps,
                 solver_iters=float(np.asarray(iters)) / n_steps)
 
 
@@ -102,7 +105,12 @@ def run_case(name, n_steps=10):
         # configured minimum or the row is not pricing a real solve
         "iisph_256k_settled": ("iisph", 256_000, "settled"),
         "pcisph_256k_settled": ("pcisph", 256_000, "settled"),
+        # settled WCSPH: makes the compression-side density error
+        # assessable against the reference's ~1% criterion (free-fall
+        # rows read ~0.17 |.| error from pure surface rarefaction)
+        "wcsph_256k_settled": ("wcsph", 256_000, "settled"),
         "sharded_wcsph_1M": ("sharded_wcsph", 2 ** 20, False),
+        "sharded_iisph_256k": ("sharded_iisph", 256_000, False),
     }[name]
 
     cfg_kw = {}
@@ -117,7 +125,7 @@ def run_case(name, n_steps=10):
         # (seg_overflow > 0); 3x512 covers them
         cfg_kw["sweep_win"] = 512
     cfg = nt.SimConfig(**cfg_kw)  # scan-tuned defaults (block 176, win 256)
-    if solver == "iisph":
+    if solver in ("iisph", "sharded_iisph"):
         params = nt.iisph_params()
     elif solver == "pcisph":
         params = calibrate_mass(nt.pcisph_params(), cfg)
@@ -146,17 +154,23 @@ def run_case(name, n_steps=10):
         tol = {"settled": 0.001}.get(with_boundary, 0.01)
         step = lambda s: nt.pcisph_step(  # noqa: E731
             s, params, grid, cfg, boundary, delta=delta, tol_frac=tol)
-    else:  # sharded_wcsph (1 slab on the single reachable chip)
+    else:  # sharded_* — N z-slabs over ALL reachable chips (1 today; on a
+        # pod the same command produces the N-chip row unmodified)
         from jax.sharding import Mesh
         from nereus_tpu.parallel import (ShardConfig,
+                                         make_sharded_iisph_step,
                                          make_sharded_wcsph_step,
                                          shard_state)
         import jax
-        mesh = Mesh(np.array(jax.devices()[:1]), ("shards",))
-        scfg = ShardConfig(n_shards=1, local_capacity=n + 256)
+        devs = jax.devices()
+        mesh = Mesh(np.array(devs), ("shards",))
+        # dam-break fluid concentrates in a fraction of the z-slabs, so
+        # size every slab for the whole set (cheap at these n)
+        scfg = ShardConfig(n_shards=len(devs), local_capacity=n + 256)
         state = shard_state(state, grid, scfg, mesh)
-        step = make_sharded_wcsph_step(mesh, params, grid, cfg, scfg,
-                                       boundary)
+        make = (make_sharded_iisph_step if solver == "sharded_iisph"
+                else make_sharded_wcsph_step)
+        step = make(mesh, params, grid, cfg, scfg, boundary)
         # sharded step is already jitted and returns ShardedDiagnostics
         # (same fields used below)
 
@@ -171,6 +185,7 @@ def run_case(name, n_steps=10):
         "ms_per_step": 1e3 / r["steps_per_sec"],
         "seg_overflow": r["seg_overflow"],
         "mean_density_error": r["mean_density_error"],
+        "mean_compression": r["mean_compression"],
         "solver_iters_per_step": r["solver_iters"],
     }
 
@@ -186,7 +201,8 @@ def main():
 
     all_cases = ["wcsph_150k", "wcsph_1M", "wcsph_boundary_274k",
                  "iisph_256k", "pcisph_256k", "iisph_256k_settled",
-                 "pcisph_256k_settled", "sharded_wcsph_1M", "wcsph_2M",
+                 "pcisph_256k_settled", "wcsph_256k_settled",
+                 "sharded_wcsph_1M", "sharded_iisph_256k", "wcsph_2M",
                  "wcsph_4M", "wcsph_8M", "wcsph_10M", "iisph_1M"]
     if args.cases:
         cases = args.cases.split(",")
@@ -205,7 +221,8 @@ def main():
                 "vs_baseline": r["vs_baseline"],
             }))
             print(f"# n={r['n']} seg_overflow={r['seg_overflow']} "
-                  f"mean_density_err={r['mean_density_error']:.4f}",
+                  f"mean_density_err={r['mean_density_error']:.4f} "
+                  f"mean_compression={r['mean_compression']:.4f}",
                   file=sys.stderr)
         except Exception as e:  # noqa: BLE001 — always emit the JSON line
             print(json.dumps({

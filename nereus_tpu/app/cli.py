@@ -192,9 +192,18 @@ def cmd_run(args):
     if args.resume:
         state, header = load_checkpoint(args.resume)
         prev = header.get("extra") or {}
+        def differs(a, b):
+            # float keys (dt, particle_mass) are recomputed at resume
+            # time; compare with a tight relative tolerance so benign
+            # cross-version arithmetic drift doesn't refuse bit-equal-
+            # intent checkpoints
+            if isinstance(a, float) or isinstance(b, float):
+                return not np.isclose(a, b, rtol=1e-7, atol=0.0)
+            return a != b
+
         mismatch = {k: {"checkpoint": prev[k], "run": desc[k]}
                     for k in _RESUME_KEYS
-                    if k in prev and prev[k] != desc[k]}
+                    if k in prev and differs(prev[k], desc[k])}
         if mismatch:
             if args.allow_resume_mismatch:
                 log.warning("resume config mismatch (continuing as asked): "
@@ -388,6 +397,7 @@ def cmd_run(args):
         "wall_s": round(dt_wall, 3),
         "particle_steps_per_sec": round(args.steps * n / dt_wall, 1),
         "mean_density_error": float(np.asarray(diag.mean_density_error)),
+        "mean_compression": float(np.asarray(diag.mean_compression)),
         "max_density": float(np.asarray(diag.max_density)),
         **ovf_max,
     }

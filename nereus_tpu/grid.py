@@ -99,14 +99,23 @@ def refit_grid(state, cell_size, boundary=None, margin: float = 0.1,
     ``_initializeGrid`` reallocation. Call it between runs or when
     particles approach the current grid's edges.
     """
-    n = int(np.asarray(state.num_active).sum())
-    pos = np.asarray(state.pos)[:n]
-    lo = pos.min(axis=0)
-    hi = pos.max(axis=0)
+    # AABB on DEVICE (masked min/max over active rows) — only 6 floats
+    # cross to host, not the full state (~120 MB at 10M particles).
+    @jax.jit
+    def _aabb(pos, num_active):
+        act = (jnp.arange(pos.shape[0]) < num_active)[:, None]
+        big = jnp.asarray(jnp.finfo(pos.dtype).max, pos.dtype)
+        lo = jnp.min(jnp.where(act, pos, big), axis=0)
+        hi = jnp.max(jnp.where(act, pos, -big), axis=0)
+        return lo, hi
+
+    lo, hi = (np.asarray(a) for a in
+              _aabb(state.pos, jnp.asarray(state.num_active).sum()))
     if boundary is not None and boundary.num_boundaries > 0:
-        bpos = np.asarray(boundary.pos)
-        lo = np.minimum(lo, bpos.min(axis=0))
-        hi = np.maximum(hi, bpos.max(axis=0))
+        blo, bhi = (np.asarray(a) for a in
+                    _aabb(boundary.pos, boundary.pos.shape[0]))
+        lo = np.minimum(lo, blo)
+        hi = np.maximum(hi, bhi)
     return fit_grid(lo, hi, cell_size, margin=margin, dtype=dtype)
 
 
@@ -195,7 +204,9 @@ def sort_by_hash(hashes, *arrays, return_perm=False):
             res.append(out[i])
             i += 1
         else:
-            res.append(jnp.stack(out[i:i + k], axis=1))
+            # stack(axis=0).T: axis=1 concatenates lane-padded (N,1)
+            # pieces (~7x slower at 1M — CLAUDE.md SoA note)
+            res.append(jnp.stack(out[i:i + k], axis=0).T)
             i += k
     return out[0], out[1] if return_perm else None, tuple(res)
 

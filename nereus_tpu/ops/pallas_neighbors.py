@@ -149,6 +149,30 @@ def rows3_supported(gsize) -> bool:
     return gx * gy >= 2 * gx + 3
 
 
+def wide_hash_needed(gsize) -> bool:
+    """True when cell hashes (and the fused-row span bounds, which reach
+    ``hash + 2·gx + 3``) exceed the 2²⁴ exact-integer range of float32 —
+    the kernel then compares hashes as int32 (:func:`hash_payload`)."""
+    gx, gy, gz = gsize
+    return gx * gy * gz + 2 * gx + 3 > 2 ** 24
+
+
+def hash_payload(sorted_hash, dtype, gsize):
+    """Cell-hash row for the packed source matrix.
+
+    Below 2²⁴ cells the int32 hash converts exactly to float32 (f64 is
+    exact to 2⁵³ — never wide). Past it, the int32 BITS ride the float32
+    row via bitcast (DMA and layout ops are bit-preserving; the kernel
+    bitcasts back and compares in int32 — ``_sweep_kernel`` wide mode).
+    No arithmetic may ever touch the bitcast payload as float: many hash
+    bit patterns are denormal/NaN floats.
+    """
+    if dtype == jnp.float32 and wide_hash_needed(gsize):
+        return jax.lax.bitcast_convert_type(
+            sorted_hash.astype(jnp.int32), jnp.float32)
+    return sorted_hash.astype(dtype)
+
+
 # ---------------------------------------------------------------------------
 # Window planning
 # ---------------------------------------------------------------------------
@@ -495,7 +519,7 @@ def _sweep_kernel(anchors_ref, pvec_ref, q_ref, *refs,
                   pair_fn, pair_fn_b, n_rows: int, block: int,
                   gsize, grid_geom_idx: int, src_rows: int,
                   win: int, pack16: bool = True, kfold: int = 1,
-                  rows_local: int = N_ROWS):
+                  rows_local: int = N_ROWS, wide: bool = False):
     """Grid = (nb // kfold, n_rows // 9); ALL kfold·9·N_PASS windows of a
     block-group arrive as separate operands (``refs[:-1]``) fetched by
     per-(sub-block, row, pass) BlockSpecs, and python loops sweep them
@@ -541,34 +565,45 @@ def _sweep_kernel(anchors_ref, pvec_ref, q_ref, *refs,
         cy = cellc(qy, oy, gy)
         cz = cellc(qz, oz, gz)
 
+        # hash-bound arithmetic: float32 is exact below 2²⁴ cells; WIDE
+        # mode (hash_payload) computes the same bounds in int32 and
+        # bitcasts the source hash row back to int32 — same op count on
+        # the VPU, exact to 2³¹ cells
+        if wide:
+            bx, by, bz = (c.astype(jnp.int32) for c in (cx, cy, cz))
+            one, num = jnp.int32(1), (lambda v: jnp.int32(v))
+        else:
+            bx, by, bz = cx, cy, cz
+            one, num = 1.0, (lambda v: float(v))
+
         for r_local in range(rows_local):
             if rows_local == N_ROWS:
                 # static (dy, dz) per unrolled row
-                dy = float(r_local % 3 - 1)
-                dz = float(r_local // 3 - 1)
-                yy = cy + dy
-                zz = cz + dz
+                dy = num(r_local % 3 - 1)
+                dz = num(r_local // 3 - 1)
+                yy = by + dy
+                zz = bz + dz
                 base = (zz * gy + yy) * gx
-                lo = base + jnp.maximum(cx - 1.0, 0.0)
-                hi = base + jnp.minimum(cx + 1.0, float(gx - 1))
+                lo = base + jnp.maximum(bx - one, num(0))
+                hi = base + jnp.minimum(bx + one, num(gx - 1))
                 # fold row validity into the rank-1 bounds (lo > hi matches
                 # no hash) instead of AND-ing a (B, WIN) row_ok per slot
-                row_ok = ((yy >= 0.0) & (yy < float(gy))
-                          & (zz >= 0.0) & (zz < float(gz)))
+                row_ok = ((yy >= num(0)) & (yy < num(gy))
+                          & (zz >= num(0)) & (zz < num(gz)))
             else:
                 # fused 3-row span per dz (row3_hash_bounds): between-cell
                 # sources inside the span are admitted here and zeroed by
                 # the pair functions' r² < h² cutoff — exact, see the plan
                 # docstring. Same rank-1 bounds shape ⇒ same 3-op per-slot
                 # mask as the 9-row mode.
-                dz = float(r_local - 1)
-                zz = cz + dz
-                base = (zz * gy + cy) * gx
-                lo = base + (jnp.maximum(cx - 1.0, 0.0) - float(gx))
-                hi = base + (jnp.minimum(cx + 1.0, float(gx - 1)) + float(gx))
-                row_ok = (zz >= 0.0) & (zz < float(gz))
-            lo = jnp.where(row_ok, lo, 1.0)
-            hi = jnp.where(row_ok, hi, 0.0)
+                dz = num(r_local - 1)
+                zz = bz + dz
+                base = (zz * gy + by) * gx
+                lo = base + (jnp.maximum(bx - one, num(0)) - num(gx))
+                hi = base + (jnp.minimum(bx + one, num(gx - 1)) + num(gx))
+                row_ok = (zz >= num(0)) & (zz < num(gz))
+            lo = jnp.where(row_ok, lo, num(1))
+            hi = jnp.where(row_ok, hi, num(0))
             r = ro * rows_local + r_local
 
             for p in range(N_PASS):
@@ -586,6 +621,11 @@ def _sweep_kernel(anchors_ref, pvec_ref, q_ref, *refs,
                             lo=lo, hi=hi, q_sub=q_sub, sub=sub):
                     a_this = (a_enc - 1) * ALIGN
                     src_hash = src_ref[src_rows - 1:src_rows, :]  # (1, WIN)
+                    if wide:
+                        # bitcast payload back to int32 (hash_payload) —
+                        # NEVER use the float view arithmetically
+                        src_hash = jax.lax.bitcast_convert_type(
+                            src_hash, jnp.int32)
                     valid = (src_hash >= lo) & (src_hash <= hi)
                     if p > 0:
                         # end of the previous pass's window — this pass
@@ -703,11 +743,14 @@ def neighbor_sweep(pair_fn, *, queries, src, anchors, pvec, gsize,
         out = jnp.concatenate(outs)
         return out[:n] if pad_blocks else out
 
+    # wide mode must match the caller's hash_payload decision — both key
+    # on (dtype, gsize) alone
+    wide = queries.dtype == jnp.float32 and wide_hash_needed(gsize)
     kernel = functools.partial(
         _sweep_kernel, pair_fn=pair_fn, pair_fn_b=pair_fn_b, n_rows=n_rows,
         block=block, gsize=gsize,
         grid_geom_idx=grid_geom_idx, src_rows=src_rows, win=win,
-        pack16=pack16, kfold=kfold, rows_local=rows_local)
+        pack16=pack16, kfold=kfold, rows_local=rows_local, wide=wide)
 
     def win_spec(i, r_local, p):
         # one BlockSpec per (sub-block, row-in-group, pass); a sentinel

@@ -496,7 +496,7 @@ def density_sweep(cfg: SimConfig, queries_pos, src, anchors, pvec, gsize,
         pair, queries=queries_pos, src=src, anchors=anchors, pvec=pvec,
         gsize=gsize, out_width=1, n_rows=n_rows,
         win=cfg.resolve_win(n_rows < 9),
-        block=cfg.sweep_block, kfold=cfg.sweep_kfold, grid_geom_idx=PV_OX, interpret=interpret)
+        block=cfg.resolve_block(n_rows < 9), kfold=cfg.sweep_kfold, grid_geom_idx=PV_OX, interpret=interpret)
     return out[:, 0]
 
 
@@ -517,7 +517,7 @@ def fluid_force_sweep(cfg: SimConfig, queries, src, anchors, pvec, gsize,
         pair, queries=queries, src=src, anchors=anchors, pvec=pvec,
         gsize=gsize, out_width=4, n_rows=n_rows,
         win=cfg.resolve_win(n_rows < 9),
-        block=cfg.sweep_block, kfold=cfg.sweep_kfold, pair_fn_b=pair_b, grid_geom_idx=PV_OX,
+        block=cfg.resolve_block(n_rows < 9), kfold=cfg.sweep_kfold, pair_fn_b=pair_b, grid_geom_idx=PV_OX,
         interpret=interpret)
     return out[:, :3]
 
@@ -547,5 +547,5 @@ def generic_sweep(cfg: SimConfig, pair_fn, queries, src, anchors, pvec,
     return neighbor_sweep(
         pair, queries=queries, src=src, anchors=anchors, pvec=pvec,
         gsize=gsize, out_width=out_width, win=cfg.resolve_win(n_rows < 9),
-        block=cfg.sweep_block, kfold=cfg.sweep_kfold, pair_fn_b=pb, n_rows=n_rows,
+        block=cfg.resolve_block(n_rows < 9), kfold=cfg.sweep_kfold, pair_fn_b=pb, n_rows=n_rows,
         grid_geom_idx=PV_OX, interpret=interpret)

@@ -76,6 +76,7 @@ class ShardedDiagnostics:
 
     max_density: jax.Array
     mean_density_error: jax.Array
+    mean_compression: jax.Array    # mean max(ρ−ρ₀,0)/ρ₀ (see StepDiagnostics)
     seg_overflow: jax.Array        # neighbor-window truncation (max)
     halo_overflow: jax.Array       # edge-row count beyond halo_capacity (max)
     migration_overflow: jax.Array  # leavers beyond migration_capacity (max)
@@ -497,17 +498,18 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
             # ---- Pallas window-sweep physics over the spliced source ----
             from ..ops import pallas_sph as PSs
             from ..ops.pallas_neighbors import (DEF_BLOCK, fuse_plans,
-                                                pack_source,
+                                                hash_payload, pack_source,
                                                 pack_source_fused,
                                                 plan_windows, round_up,
-                                        rows3_supported)
+                                                rows3_supported)
             from ..solvers.pallas_common import interpret_mode, padded_len
             interp = interpret_mode()
             rows3 = (cfg.sweep_fused_rows
                      and rows3_supported(grid.size))
             rloc = 3 if rows3 else 9
             swin = cfg.resolve_win(rows3)
-            clb = round_up(cl, cfg.sweep_block)
+            sblock = cfg.resolve_block(rows3)
+            clb = round_up(cl, sblock)
             qpad = clb - cl
 
             def padq(a, fillv):
@@ -526,13 +528,13 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
             src_len = cl + 2 * kh
             pk16 = _fused_pack16(src_len, boundary, swin)
             anchors, miss = plan_windows(src_hash, qcoords, grid.size,
-                                         cfg.sweep_block,
+                                         sblock,
                                          padded_len(src_len, swin),
                                          active_mask=act_q,
                                          win=swin, pack16=pk16,
                 rows_local=rloc)
             pvec = PSs.build_pvec(params, cfg, grid)
-            hash_f32 = src_hash.astype(pos.dtype)
+            hash_f32 = hash_payload(src_hash, pos.dtype, grid.size)
             pm = params.particle_mass
             psi_fluid = jnp.full((src_len,), 1.0, pos.dtype) * pm
             zsrc = jnp.zeros((src_len,), pos.dtype)
@@ -541,7 +543,7 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
             if has_b:
                 b_anchors, b_miss = plan_windows(
                     boundary.sorted_hash, qcoords, grid.size,
-                    cfg.sweep_block, padded_len(src_len, swin)
+                    sblock, padded_len(src_len, swin)
                     + padded_len(boundary.num_boundaries, swin),
                     active_mask=act_q,
                     pos_offset=padded_len(src_len, swin),
@@ -550,7 +552,8 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
                 anchors = fuse_plans(anchors, b_anchors, pack16=pk16,
                 rows_local=rloc)
                 miss = miss + b_miss
-                b_hash_f32 = boundary.sorted_hash.astype(pos.dtype)
+                b_hash_f32 = hash_payload(boundary.sorted_hash, pos.dtype,
+                                      grid.size)
                 bzero = jnp.zeros_like(boundary.psi)
                 n_rows = 2 * rloc
 
@@ -660,6 +663,10 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
             mean_density_error=jax.lax.psum(jnp.sum(jnp.where(
                 own_active, jnp.abs(dens - params.rest_density), 0.0)), ax)
             / (nact_f * params.rest_density),
+            mean_compression=jax.lax.psum(jnp.sum(jnp.where(
+                own_active,
+                jnp.maximum(dens - params.rest_density, 0.0), 0.0)), ax)
+            / (nact_f * params.rest_density),
             seg_overflow=jax.lax.pmax(seg_overflow, ax),
             halo_overflow=jax.lax.pmax(halo_overflow, ax),
             migration_overflow=jax.lax.pmax(mig_overflow, ax),
@@ -707,7 +714,8 @@ def _check_pallas_only(cfg: SimConfig, grid: gridlib.Grid, what: str):
 def _diag_struct():
     z = 0
     return ShardedDiagnostics(
-        max_density=z, mean_density_error=z, seg_overflow=z,
+        max_density=z, mean_density_error=z, mean_compression=z,
+        seg_overflow=z,
         halo_overflow=z, migration_overflow=z, capacity_overflow=z,
         migration_violation=z, num_active=z, solver_iters=z)
 
@@ -729,10 +737,10 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
     every shard, so all shards iterate in lockstep.
     """
     from ..ops import pallas_sph as PSs
-    from ..ops.pallas_neighbors import (DEF_BLOCK, fuse_plans, pack_source,
-                                        pack_source_fused, pack_source_wide,
-                                        plan_windows, round_up,
-                                        rows3_supported)
+    from ..ops.pallas_neighbors import (DEF_BLOCK, fuse_plans, hash_payload,
+                                        pack_source, pack_source_fused,
+                                        pack_source_wide, plan_windows,
+                                        round_up, rows3_supported)
     from ..solvers.pallas_common import interpret_mode, padded_len
 
     ax = scfg.axis_name
@@ -748,7 +756,8 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
     rows3 = cfg.sweep_fused_rows and rows3_supported(grid.size)
     rloc = 3 if rows3 else 9
     swin = cfg.resolve_win(rows3)
-    clb = round_up(cl, cfg.sweep_block)
+    sblock = cfg.resolve_block(rows3)
+    clb = round_up(cl, sblock)
     qpad = clb - cl
     src_len = cl + 2 * kh
     has_b = boundary is not None and boundary.num_boundaries > 0
@@ -766,7 +775,7 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
         pos, vel, pres = sctx.pos, sctx.vel, sctx.pres
         n_own, own_active = sctx.n_own, sctx.own_active
         src_pos, src_vel = sctx.src_pos, sctx.src_vel
-        hash_f32 = sctx.src_hash.astype(pos.dtype)
+        hash_f32 = hash_payload(sctx.src_hash, pos.dtype, grid.size)
         if adaptive_dt_lambda is not None:
             params = _adapt_dt(params, vel, own_active, ax,
                                adaptive_dt_lambda)
@@ -786,7 +795,7 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
                              axis=0).T
         pk16 = _fused_pack16(src_len, boundary, swin)
         anchors_f, miss = plan_windows(sctx.src_hash, qcoords, grid.size,
-                                       cfg.sweep_block,
+                                       sblock,
                                        padded_len(src_len, swin),
                                        active_mask=act_q,
                                        win=swin, pack16=pk16,
@@ -798,7 +807,7 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
 
         if has_b:
             b_anchors, b_miss = plan_windows(
-                boundary.sorted_hash, qcoords, grid.size, cfg.sweep_block,
+                boundary.sorted_hash, qcoords, grid.size, sblock,
                 padded_len(src_len, swin)
                 + padded_len(boundary.num_boundaries, swin),
                 active_mask=act_q,
@@ -808,7 +817,8 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
             anchors = fuse_plans(anchors_f, b_anchors, pack16=pk16,
                 rows_local=rloc)
             miss = miss + b_miss
-            b_hash_f32 = boundary.sorted_hash.astype(pos.dtype)
+            b_hash_f32 = hash_payload(boundary.sorted_hash, pos.dtype,
+                                      grid.size)
             bzero = jnp.zeros_like(boundary.psi)
 
             def pack(cols_f, rows=8):
@@ -948,6 +958,7 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
             max_density=jax.lax.pmax(
                 jnp.max(jnp.where(own_active, dens, 0.0)), ax),
             mean_density_error=rho_err / params.rest_density,
+            mean_compression=rho_err / params.rest_density,
             seg_overflow=jax.lax.pmax(miss, ax),
             halo_overflow=jax.lax.pmax(sctx.halo_overflow, ax),
             migration_overflow=jax.lax.pmax(sctx.mig_overflow, ax),
@@ -993,10 +1004,10 @@ def make_sharded_pcisph_step(mesh: Mesh, params: SimParams,
     the traced CFL dt (its lattice term is dt-independent).
     """
     from ..ops import pallas_sph as PSs
-    from ..ops.pallas_neighbors import (DEF_BLOCK, fuse_plans, pack_source,
-                                        pack_source_fused, pack_source_wide,
-                                        plan_windows, round_up,
-                                        rows3_supported)
+    from ..ops.pallas_neighbors import (DEF_BLOCK, fuse_plans, hash_payload,
+                                        pack_source, pack_source_fused,
+                                        pack_source_wide, plan_windows,
+                                        round_up, rows3_supported)
     from ..solvers.pallas_common import interpret_mode, padded_len
     from ..solvers.pcisph import (pcisph_delta, pcisph_delta_from_denom,
                                   pcisph_grad_denom)
@@ -1020,7 +1031,8 @@ def make_sharded_pcisph_step(mesh: Mesh, params: SimParams,
     rows3 = cfg.sweep_fused_rows and rows3_supported(grid.size)
     rloc = 3 if rows3 else 9
     swin = cfg.resolve_win(rows3)
-    clb = round_up(cl, cfg.sweep_block)
+    sblock = cfg.resolve_block(rows3)
+    clb = round_up(cl, sblock)
     qpad = clb - cl
     src_len = cl + 2 * kh
     has_b = boundary is not None and boundary.num_boundaries > 0
@@ -1040,7 +1052,7 @@ def make_sharded_pcisph_step(mesh: Mesh, params: SimParams,
         pos, vel = sctx.pos, sctx.vel
         n_own, own_active = sctx.n_own, sctx.own_active
         src_pos, src_vel = sctx.src_pos, sctx.src_vel
-        hash_f32 = sctx.src_hash.astype(pos.dtype)
+        hash_f32 = hash_payload(sctx.src_hash, pos.dtype, grid.size)
         if adaptive_dt_lambda is not None:
             params = _adapt_dt(params, vel, own_active, ax,
                                adaptive_dt_lambda)
@@ -1062,7 +1074,7 @@ def make_sharded_pcisph_step(mesh: Mesh, params: SimParams,
                              axis=0).T
         pk16 = _fused_pack16(src_len, boundary, swin)
         anchors, miss = plan_windows(sctx.src_hash, qcoords, grid.size,
-                                     cfg.sweep_block,
+                                     sblock,
                                      padded_len(src_len, swin),
                                      active_mask=act_q, win=swin,
                                      pack16=pk16,
@@ -1072,7 +1084,7 @@ def make_sharded_pcisph_step(mesh: Mesh, params: SimParams,
 
         if has_b:
             b_anchors, b_miss = plan_windows(
-                boundary.sorted_hash, qcoords, grid.size, cfg.sweep_block,
+                boundary.sorted_hash, qcoords, grid.size, sblock,
                 padded_len(src_len, swin)
                 + padded_len(boundary.num_boundaries, swin),
                 active_mask=act_q,
@@ -1082,7 +1094,8 @@ def make_sharded_pcisph_step(mesh: Mesh, params: SimParams,
             anchors = fuse_plans(anchors, b_anchors, pack16=pk16,
                 rows_local=rloc)
             miss = miss + b_miss
-            b_hash_f32 = boundary.sorted_hash.astype(pos.dtype)
+            b_hash_f32 = hash_payload(boundary.sorted_hash, pos.dtype,
+                                      grid.size)
             bzero = jnp.zeros_like(boundary.psi)
 
             def pack8(vel3=None, slot6=None, posf=None):
@@ -1179,6 +1192,7 @@ def make_sharded_pcisph_step(mesh: Mesh, params: SimParams,
             max_density=jax.lax.pmax(
                 jnp.max(jnp.where(own_active, dens, 0.0)), ax),
             mean_density_error=err / params.rest_density,
+            mean_compression=err / params.rest_density,
             seg_overflow=jax.lax.pmax(miss, ax),
             halo_overflow=jax.lax.pmax(sctx.halo_overflow, ax),
             migration_overflow=jax.lax.pmax(sctx.mig_overflow, ax),

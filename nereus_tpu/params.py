@@ -67,7 +67,7 @@ class SimConfig:
     # real chip at 1M (bigger blocks amortize the span's ±1-cell fringe
     # and alignment waste, but past ~256 the force pair's live
     # temporaries spill) — retune after kernel changes.
-    sweep_block: int = 176
+    sweep_block: int = 0
     sweep_win: int = 0
     # Fused 3-row windows: one contiguous window per dz covering all 3
     # y-rows (~0.55× slots, ~0.27× window DMAs at 1M vs the 9-row plan).
@@ -111,6 +111,15 @@ class SimConfig:
         if self.sweep_win:
             return self.sweep_win
         return 512 if rows3 else 256
+
+    def resolve_block(self, rows3: bool) -> int:
+        """Effective sweep block: an explicit ``sweep_block`` wins; auto
+        is the real-chip 1M scan optimum per row mode (152 fused — the
+        wider fused windows shift the force pair's live-temporary spill
+        point down from the 9-row mode's 176)."""
+        if self.sweep_block:
+            return self.sweep_block
+        return 152 if rows3 else 176
 
     def use_pallas(self) -> bool:
         import jax

@@ -339,7 +339,10 @@ def iisph_step(state: FluidState, params: SimParams, grid: gridlib.Grid,
                            num_active=state.num_active)
     diag = StepDiagnostics(
         max_density=jnp.max(jnp.where(active, dens, 0.0)),
+        # the solver residual is already clamped-positive (compression
+        # side) — both fields report it
         mean_density_error=rho_err / params.rest_density,
+        mean_compression=rho_err / params.rest_density,
         seg_overflow=ctx.overflow,
         solver_iters=iters,
     )

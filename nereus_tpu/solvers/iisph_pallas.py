@@ -148,7 +148,9 @@ def iisph_step_pallas(state: FluidState, params: SimParams,
         num_active=state.num_active)
     diag = StepDiagnostics(
         max_density=jnp.max(jnp.where(active, dens, 0.0)),
+        # solver residual is already clamped-positive (compression side)
         mean_density_error=rho_err / params.rest_density,
+        mean_compression=rho_err / params.rest_density,
         seg_overflow=ctx.miss,
         solver_iters=iters,
     )

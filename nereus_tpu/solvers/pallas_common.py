@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from .. import grid as gridlib
 from ..ops import pallas_sph as PS
 from ..ops.pallas_neighbors import (ALIGN, DEF_BLOCK, N_ROWS, WIN,
-                                    fuse_plans, pack_source,
+                                    fuse_plans, hash_payload, pack_source,
                                     pack_source_fused, pack_source_wide,
                                     plan_windows, round_up, rows3_supported)
 from ..params import SimConfig, SimParams
@@ -160,17 +160,18 @@ def check_pallas_dtype(cfg: SimConfig, grid: gridlib.Grid):
     """Pallas-engine dtype constraints.
 
     Cell hashes ride the source matrix as floats: exact below 2²⁴ cells in
-    float32, 2⁵³ in float64. float64 itself only exists in interpret mode
-    (CPU) — Mosaic has no f64 vector type on real TPUs — which matches the
-    reference's own guidance that DOUBLE_PRECISION is a debug/validation
-    build with "poor performances" (README.md:46-59, common.h:23-43).
+    float32 and 2⁵³ in float64; past 2²⁴ the float32 engine automatically
+    switches to bitcast-int32 hashes (``pallas_neighbors.hash_payload`` /
+    the kernel's wide mode), exact to 2³¹ cells. float64 itself only
+    exists in interpret mode (CPU) — Mosaic has no f64 vector type on real
+    TPUs — which matches the reference's own guidance that
+    DOUBLE_PRECISION is a debug/validation build with "poor performances"
+    (README.md:46-59, common.h:23-43).
     """
-    hash_cap = 2 ** 53 if cfg.dtype == jnp.float64 else 2 ** 24
-    if grid.num_cells >= hash_cap:
+    if grid.num_cells >= 2 ** 31:
         raise ValueError(
-            f"grid has {grid.num_cells} cells; the Pallas engine ships cell "
-            f"hashes as {cfg.dtype} (exact < 2^{53 if hash_cap > 2**24 else 24}"
-            "). Use a coarser grid or SimConfig(engine='segments').")
+            f"grid has {grid.num_cells} cells; cell hashes are int32 "
+            "(exact < 2^31). Use a coarser grid or shard the domain.")
     if cfg.dtype == jnp.float64 and not interpret_mode():
         raise ValueError(
             "float64 Pallas runs only in interpret mode (CPU): TPUs have "
@@ -184,7 +185,10 @@ def build_pallas_ctx(state: FluidState, params: SimParams,
     check_pallas_dtype(cfg, grid)
     interp = interpret_mode()
     c = state.capacity
-    cb = round_up(c, cfg.sweep_block)
+    rows_local = (3 if cfg.sweep_fused_rows and rows3_supported(grid.size)
+                  else N_ROWS)
+    block = cfg.resolve_block(rows_local == 3)
+    cb = round_up(c, block)
     mask = state.active_mask()
     # ONE lane-padded read of the (N, 3) carry arrays, splitting them into
     # columns; everything downstream (sort, plan, packing) stays columns.
@@ -205,8 +209,6 @@ def build_pallas_ctx(state: FluidState, params: SimParams,
         pres_prev = padc(pres_prev, 0.0)
     active = jnp.arange(cb, dtype=jnp.int32) < state.num_active
     coords = gridlib.cell_coords_cols(grid, px, py, pz)
-    rows_local = (3 if cfg.sweep_fused_rows and rows3_supported(grid.size)
-                  else N_ROWS)
     win = cfg.resolve_win(rows_local == 3)
     # ONE anchor format for the whole (possibly fused) address space —
     # fused fluid+boundary plans must agree (anchors_pack16)
@@ -216,7 +218,7 @@ def build_pallas_ctx(state: FluidState, params: SimParams,
         total_len += padded_len(boundary.num_boundaries, win)
     pack16 = anchors_pack16(total_len, win)
     anchors, miss = plan_windows(sorted_hash, coords, grid.size,
-                                 cfg.sweep_block, padded_len(c, win),
+                                 block, padded_len(c, win),
                                  active_mask=active, win=win,
                                  pack16=pack16, rows_local=rows_local)
     kwargs = {"anchors_f": anchors}
@@ -224,7 +226,7 @@ def build_pallas_ctx(state: FluidState, params: SimParams,
     if boundary is not None and boundary.num_boundaries > 0:
         mb = boundary.num_boundaries
         b_anchors, b_miss = plan_windows(
-            boundary.sorted_hash, coords, grid.size, cfg.sweep_block,
+            boundary.sorted_hash, coords, grid.size, block,
             padded_len(c, win) + padded_len(mb, win), active_mask=active,
             pos_offset=padded_len(c, win), win=win, pack16=pack16,
             rows_local=rows_local)
@@ -233,12 +235,14 @@ def build_pallas_ctx(state: FluidState, params: SimParams,
         miss = miss + b_miss
         n_rows = 2 * rows_local
         kwargs.update(b_pos=tuple(boundary.pos[:, k] for k in range(3)),
-                      b_hash_f32=boundary.sorted_hash.astype(px.dtype),
+                      b_hash_f32=hash_payload(boundary.sorted_hash, px.dtype,
+                                             grid.size),
                       b_psi=boundary.psi)
     return PallasCtx(
         px=px, py=py, pz=pz, vx=vx, vy=vy, vz=vz, pres_prev=pres_prev,
         active=active,
-        sorted_hash=sorted_hash, hash_f32=sorted_hash.astype(px.dtype),
+        sorted_hash=sorted_hash,
+        hash_f32=hash_payload(sorted_hash, px.dtype, grid.size),
         anchors=anchors, pvec=PS.build_pvec(params, cfg, grid), miss=miss,
         c=c, cb=cb, gsize=grid.size, n_rows=n_rows, win=win,
         interp=interp, **kwargs)

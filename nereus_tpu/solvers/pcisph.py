@@ -247,7 +247,9 @@ def pcisph_step(state: FluidState, params: SimParams, grid: gridlib.Grid,
     nact = jnp.maximum(state.num_active.astype(cfg.dtype), 1.0)
     diag = StepDiagnostics(
         max_density=jnp.max(jnp.where(active, dens, 0.0)),
+        # max positive predicted-density error — already compression-side
         mean_density_error=err / params.rest_density,
+        mean_compression=err / params.rest_density,
         seg_overflow=ctx.overflow,
         solver_iters=iters,
     )

@@ -118,7 +118,9 @@ def pcisph_step_pallas(state: FluidState, params: SimParams,
         num_active=state.num_active)
     diag = StepDiagnostics(
         max_density=jnp.max(jnp.where(active, dens, 0.0)),
+        # max positive predicted-density error — already compression-side
         mean_density_error=err / params.rest_density,
+        mean_compression=err / params.rest_density,
         seg_overflow=ctx.miss,
         solver_iters=iters,
     )

@@ -19,7 +19,7 @@ from ..ops import pallas_sph as PS
 from ..params import SimConfig, SimParams
 from ..state import BoundaryData, FluidState
 from .pallas_common import build_pallas_ctx
-from .wcsph import StepDiagnostics, tait_pressure
+from .wcsph import StepDiagnostics, density_errors, tait_pressure
 
 
 def wcsph_step_pallas(state: FluidState, params: SimParams,
@@ -78,11 +78,11 @@ def wcsph_step_pallas(state: FluidState, params: SimParams,
         pressure=jnp.where(active, pres, 0.0)[:c],
         num_active=state.num_active)
     nact = jnp.maximum(state.num_active.astype(cfg.dtype), 1.0)
+    mae, mc = density_errors(dens, active, nact, params.rest_density)
     diag = StepDiagnostics(
         max_density=jnp.max(jnp.where(active, dens, 0.0)),
-        mean_density_error=jnp.sum(
-            jnp.where(active, jnp.abs(dens - params.rest_density), 0.0)
-        ) / (nact * params.rest_density),
+        mean_density_error=mae,
+        mean_compression=mc,
         seg_overflow=ctx.miss,
         solver_iters=jnp.asarray(0, jnp.int32),
     )

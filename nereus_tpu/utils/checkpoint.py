@@ -19,7 +19,10 @@ import numpy as np
 
 from ..state import FluidState
 
-_FORMAT_VERSION = 1
+# v2 = carries the physics-identifying config header in ``extra``
+# (app.cli._run_desc); v1 files load fine but cannot be verified against
+# the resuming run's config.
+_FORMAT_VERSION = 2
 
 
 def save_checkpoint(path: str, state: FluidState, *, step: int = 0,

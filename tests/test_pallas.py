@@ -217,7 +217,9 @@ def test_fused_rows_pair_sets_identical():
 
         c, miss = run(state)
         assert int(miss) == 0
-        counts[fused] = np.asarray(c)
+        # compare active rows only: the two modes resolve different auto
+        # sweep blocks, so the padded tail lengths differ
+        counts[fused] = np.asarray(c)[:int(state.num_active)]
     np.testing.assert_array_equal(counts[True], counts[False])
 
 
@@ -257,3 +259,31 @@ def test_fused_rows_step_matches_legacy():
                                rtol=0, atol=1e-5)
     np.testing.assert_allclose(np.asarray(s3.vel), np.asarray(s9.vel),
                                rtol=0, atol=1e-3)
+
+
+def test_wide_hash_mode_matches(monkeypatch):
+    """Past 2²⁴ cells the engine ships cell hashes as bitcast int32 and
+    the kernel compares them in integer arithmetic (hash_payload /
+    _sweep_kernel wide mode). Forcing wide mode on a small scene must be
+    BIT-identical to the exact-f32 path: the mask truth values are the
+    same, so every accumulation is the same in the same order."""
+    from nereus_tpu.ops import pallas_neighbors as PN
+
+    cfg, params, state0, grid, boundary = _scene(True)
+
+    def run():
+        step = jax.jit(
+            lambda s: wcsph_step_pallas(s, params, grid, cfg, boundary))
+        s = state0
+        for _ in range(3):
+            s, d = step(s)
+        return s, d
+
+    s_ref, d_ref = run()
+    monkeypatch.setattr(PN, "wide_hash_needed", lambda gsize: True)
+    s_wide, d_wide = run()
+    assert int(d_wide.seg_overflow) == 0
+    np.testing.assert_allclose(np.asarray(s_wide.pos),
+                               np.asarray(s_ref.pos), rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(s_wide.vel),
+                               np.asarray(s_ref.vel), rtol=0, atol=0)

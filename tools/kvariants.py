@@ -137,7 +137,7 @@ def build(name, cfg, params, grid):
                 if pair_fn is PS.density_pair else pair_fn,
                 queries=q, src=ctx.pack(slot6=psi), anchors=ctx.anchors,
                 pvec=ctx.pvec, gsize=ctx.gsize, out_width=1,
-                block=cfg.sweep_block, win=ctx.win,
+                block=cfg.resolve_block(ctx.rows_local == 3), win=ctx.win,
                 grid_geom_idx=PS.PV_OX, n_rows=ctx.n_rows,
                 interpret=ctx.interp)
             return out[:, 0]
@@ -160,7 +160,7 @@ def build(name, cfg, params, grid):
             out = neighbor_sweep(
                 pf, queries=q, src=ctx.pack(vel=vel, slot6=dens),
                 anchors=ctx.anchors, pvec=ctx.pvec, gsize=ctx.gsize,
-                out_width=4, block=cfg.sweep_block, win=ctx.win,
+                out_width=4, block=cfg.resolve_block(ctx.rows_local == 3), win=ctx.win,
                 grid_geom_idx=PS.PV_OX, n_rows=ctx.n_rows,
                 interpret=ctx.interp)
             return out[:, 0]

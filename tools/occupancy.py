@@ -88,13 +88,17 @@ def measure(n, block=None, win=None, scene_name="dam_break"):
 
     hv, true, anchors, miss = run(state)
     hv, true = float(np.asarray(hv)), float(np.asarray(true))
-    cb = -(-state.capacity // cfg.sweep_block) * cfg.sweep_block
-    nb = cb // cfg.sweep_block
-    pack16 = anchors_pack16(padded_len(state.capacity, cfg.sweep_win),
-                            cfg.sweep_win)
-    wcount = decode_windows(anchors, nb, 9, pack16)
-    slots = int(wcount.sum()) * cfg.sweep_block * cfg.sweep_win
-    print(f"n={n_act} block={cfg.sweep_block} win={cfg.sweep_win} "
+    from nereus_tpu.ops.pallas_neighbors import rows3_supported
+    rows3 = cfg.sweep_fused_rows and rows3_supported(grid.size)
+    blk = cfg.resolve_block(rows3)
+    swin = cfg.resolve_win(rows3)
+    rloc = 3 if rows3 else 9
+    cb = -(-state.capacity // blk) * blk
+    nb = cb // blk
+    pack16 = anchors_pack16(padded_len(state.capacity, swin), swin)
+    wcount = decode_windows(anchors, nb, rloc, pack16)
+    slots = int(wcount.sum()) * blk * swin
+    print(f"n={n_act} block={blk} win={swin} "
           f"miss={int(np.asarray(miss))}")
     print(f"windows/block-row: mean={wcount.mean():.2f} "
           f"(of {3}); blocks={nb}")

@@ -65,7 +65,7 @@ def main():
         params, cfg, n_target=args.n, with_boundary=False)
     n = int(state.num_active)
     S = args.steps
-    print(f"n={n} block={cfg.sweep_block} steps={S} "
+    print(f"n={n} block={cfg.sweep_block or 'auto'} steps={S} "
           f"device={jax.devices()[0].platform}")
 
     pieces = args.pieces.split(",")
