@@ -109,22 +109,17 @@ def run_case(name, n_steps=10):
         # assessable against the reference's ~1% criterion (free-fall
         # rows read ~0.17 |.| error from pure surface rarefaction)
         "wcsph_256k_settled": ("wcsph", 256_000, "settled"),
+        # the 1M implicit row must price a real solve (the free-fall
+        # iisph_1M exits at min iterations)
+        "iisph_1M_settled": ("iisph", 2 ** 20, "settled"),
         "sharded_wcsph_1M": ("sharded_wcsph", 2 ** 20, False),
         "sharded_iisph_256k": ("sharded_iisph", 256_000, False),
     }[name]
 
-    cfg_kw = {}
-    if name in ("wcsph_4M", "wcsph_8M", "wcsph_10M"):
-        # at 4M+ a block near a z-plane crossing can need 2 windows per
-        # cluster (multi-y-row spans); 3x256 coverage measured 7312
-        # misses at 4M, 3x384 covers cleanly
-        cfg_kw["sweep_win"] = 384
-    if name.endswith("_settled"):
-        # rest-density packing + dense boundary faces give low-occupancy
-        # query blocks row spans beyond the 3x256 window coverage
-        # (seg_overflow > 0); 3x512 covers them
-        cfg_kw["sweep_win"] = 512
-    cfg = nt.SimConfig(**cfg_kw)  # scan-tuned defaults (block 176, win 256)
+    # auto defaults (fused 3-row windows: block 152, win 512) cover every
+    # row; the pre-fused 9-row overrides (384 at 4M+, 512 settled) only
+    # apply if fused mode is off for the scene's grid
+    cfg = nt.SimConfig()
     if solver in ("iisph", "sharded_iisph"):
         params = nt.iisph_params()
     elif solver == "pcisph":
@@ -203,7 +198,8 @@ def main():
                  "iisph_256k", "pcisph_256k", "iisph_256k_settled",
                  "pcisph_256k_settled", "wcsph_256k_settled",
                  "sharded_wcsph_1M", "sharded_iisph_256k", "wcsph_2M",
-                 "wcsph_4M", "wcsph_8M", "wcsph_10M", "iisph_1M"]
+                 "wcsph_4M", "wcsph_8M", "wcsph_10M", "iisph_1M",
+                 "iisph_1M_settled"]
     if args.cases:
         cases = args.cases.split(",")
     elif args.all:

@@ -42,6 +42,10 @@ def main():
     ap.add_argument("--pieces", default="ctx,density,force")
     ap.add_argument("--fused", type=int, default=0,
                     help="1 = fused 3-row windows (win 0 in a combo = auto)")
+    ap.add_argument("--scene", default="dam_break",
+                    choices=("dam_break", "settled"),
+                    help="settled = resting_block at rest density "
+                    "(the implicit solvers' regime)")
     args = ap.parse_args()
 
     import nereus_tpu as nt
@@ -51,7 +55,12 @@ def main():
     from nereus_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
+    from nereus_tpu.params import calibrate_mass
     params = nt.make_params()
+    settle_sp = None
+    if args.scene == "settled":
+        settle_sp = 0.8 * float(params.interaction_radius)
+        params = calibrate_mass(params, nt.SimConfig(), spacing=settle_sp)
     S = args.steps
     pieces = args.pieces.split(",")
     rows = []
@@ -62,8 +71,15 @@ def main():
         cfg = nt.SimConfig(sweep_block=block, sweep_win=win,
                            sweep_kfold=kfold,
                            sweep_fused_rows=bool(args.fused))
-        state, grid, _ = scene.dam_break(params, cfg, n_target=args.n,
-                                         with_boundary=False)
+        if args.scene == "settled":
+            state, grid, bnd = scene.resting_block(
+                params, cfg, n_target=args.n, spacing=settle_sp,
+                impact_velocity=-1.0)
+        else:
+            state, grid, bnd = scene.dam_break(params, cfg,
+                                               n_target=args.n,
+                                               with_boundary=False)
+            bnd = None
         n = int(state.num_active)
         res = {}
 
@@ -75,7 +91,7 @@ def main():
                     st = st.__class__(pos=st.pos + acc * 1e-20, vel=st.vel,
                                       pressure=st.pressure,
                                       num_active=st.num_active)
-                    ctx = build_pallas_ctx(st, params, grid, cfg, None)
+                    ctx = build_pallas_ctx(st, params, grid, cfg, bnd)
                     a = (jnp.sum(ctx.anchors[::997].astype(jnp.float32))
                          + ctx.miss).astype(jnp.float32)
                     return (st, acc + a * 1e-30)
@@ -85,7 +101,7 @@ def main():
         def sweep_chain(which):
             @jax.jit
             def chain(s):
-                ctx = build_pallas_ctx(s, params, grid, cfg, None)
+                ctx = build_pallas_ctx(s, params, grid, cfg, bnd)
                 cb, c = ctx.cb, ctx.c
                 pm = params.particle_mass
                 psi = jnp.full((c,), 1.0, ctx.dtype) * pm
@@ -123,7 +139,7 @@ def main():
         # miss check: the plan must cover at this (block, win)
         @jax.jit
         def miss_of(s):
-            return build_pallas_ctx(s, params, grid, cfg, None).miss
+            return build_pallas_ctx(s, params, grid, cfg, bnd).miss
         miss = int(np.asarray(miss_of(state)))
 
         if "density" in pieces:
