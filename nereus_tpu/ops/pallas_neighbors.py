@@ -157,6 +157,14 @@ def wide_hash_needed(gsize) -> bool:
     return gx * gy * gz + 2 * gx + 3 > 2 ** 24
 
 
+WIDE_BITCAST = True   # debug knob (tools/wideprobe.py): False ships the
+                      # hash row as a plain float payload (exact < 2²⁴
+                      # only) while keeping the kernel's int32 bounds
+                      # math — isolates bitcast-payload transport from
+                      # integer-compare lowering when bisecting wide-mode
+                      # failures on real hardware.
+
+
 def hash_payload(sorted_hash, dtype, gsize):
     """Cell-hash row for the packed source matrix.
 
@@ -168,6 +176,8 @@ def hash_payload(sorted_hash, dtype, gsize):
     bit patterns are denormal/NaN floats.
     """
     if dtype == jnp.float32 and wide_hash_needed(gsize):
+        if not WIDE_BITCAST:
+            return sorted_hash.astype(dtype)
         return jax.lax.bitcast_convert_type(
             sorted_hash.astype(jnp.int32), jnp.float32)
     return sorted_hash.astype(dtype)
@@ -624,8 +634,12 @@ def _sweep_kernel(anchors_ref, pvec_ref, q_ref, *refs,
                     if wide:
                         # bitcast payload back to int32 (hash_payload) —
                         # NEVER use the float view arithmetically
-                        src_hash = jax.lax.bitcast_convert_type(
-                            src_hash, jnp.int32)
+                        if WIDE_BITCAST:
+                            src_hash = jax.lax.bitcast_convert_type(
+                                src_hash, jnp.int32)
+                        else:
+                            # debug: plain-float payload, value-convert
+                            src_hash = src_hash.astype(jnp.int32)
                     valid = (src_hash >= lo) & (src_hash <= hi)
                     if p > 0:
                         # end of the previous pass's window — this pass
