@@ -157,12 +157,18 @@ def wide_hash_needed(gsize) -> bool:
     return gx * gy * gz + 2 * gx + 3 > 2 ** 24
 
 
-WIDE_BITCAST = True   # debug knob (tools/wideprobe.py): False ships the
-                      # hash row as a plain float payload (exact < 2²⁴
-                      # only) while keeping the kernel's int32 bounds
-                      # math — isolates bitcast-payload transport from
-                      # integer-compare lowering when bisecting wide-mode
-                      # failures on real hardware.
+WIDE_MODE = "slice"   # debug knob (tools/wideprobe.py) for bisecting
+                      # wide-mode failures on real hardware:
+                      #   "slice"   — production: slice the (1, WIN) hash
+                      #               row, then bitcast it to int32
+                      #   "full"    — bitcast the whole (rows, WIN) block
+                      #               to int32, then slice the hash row
+                      #               (dodges a (1, WIN) slice+bitcast
+                      #               lowering if that is the defect)
+                      #   "convert" — ship a plain float payload (exact
+                      #               < 2²⁴ only) and value-convert it
+                      #               in-kernel; isolates bitcast-payload
+                      #               transport from int32 compare/bounds
 
 
 def hash_payload(sorted_hash, dtype, gsize):
@@ -176,7 +182,7 @@ def hash_payload(sorted_hash, dtype, gsize):
     bit patterns are denormal/NaN floats.
     """
     if dtype == jnp.float32 and wide_hash_needed(gsize):
-        if not WIDE_BITCAST:
+        if WIDE_MODE == "convert":
             return sorted_hash.astype(dtype)
         return jax.lax.bitcast_convert_type(
             sorted_hash.astype(jnp.int32), jnp.float32)
@@ -630,16 +636,20 @@ def _sweep_kernel(anchors_ref, pvec_ref, q_ref, *refs,
                 def _window(p=p, r=r, src_ref=src_ref, a_enc=a_enc,
                             lo=lo, hi=hi, q_sub=q_sub, sub=sub):
                     a_this = (a_enc - 1) * ALIGN
-                    src_hash = src_ref[src_rows - 1:src_rows, :]  # (1, WIN)
-                    if wide:
+                    if wide and WIDE_MODE == "full":
+                        src_hash = jax.lax.bitcast_convert_type(
+                            src_ref[...], jnp.int32)[
+                                src_rows - 1:src_rows, :]
+                    else:
+                        src_hash = src_ref[src_rows - 1:src_rows, :]
+                    if wide and WIDE_MODE == "slice":
                         # bitcast payload back to int32 (hash_payload) —
                         # NEVER use the float view arithmetically
-                        if WIDE_BITCAST:
-                            src_hash = jax.lax.bitcast_convert_type(
-                                src_hash, jnp.int32)
-                        else:
-                            # debug: plain-float payload, value-convert
-                            src_hash = src_hash.astype(jnp.int32)
+                        src_hash = jax.lax.bitcast_convert_type(
+                            src_hash, jnp.int32)
+                    elif wide and WIDE_MODE == "convert":
+                        # debug: plain-float payload, value-convert
+                        src_hash = src_hash.astype(jnp.int32)
                     valid = (src_hash >= lo) & (src_hash <= hi)
                     if p > 0:
                         # end of the previous pass's window — this pass

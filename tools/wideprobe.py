@@ -144,10 +144,11 @@ def make_runner(state, params, grid, cfg, n_rows_expect):
 def run_mode(mode, state, params, grid, cfg, rows_local, per_row):
     """Returns dict row_key -> (hv, true, miss) numpy arrays."""
     from nereus_tpu.ops import pallas_neighbors as PN
-    orig_need, orig_bitcast = PN.wide_hash_needed, PN.WIDE_BITCAST
-    if mode in ("wide", "convert"):
+    orig_need, orig_mode = PN.wide_hash_needed, PN.WIDE_MODE
+    if mode in ("wide", "full", "convert"):
         PN.wide_hash_needed = lambda gsize: True
-        PN.WIDE_BITCAST = mode == "wide"
+        PN.WIDE_MODE = {"wide": "slice", "full": "full",
+                        "convert": "convert"}[mode]
     try:
         runner = make_runner(state, params, grid, cfg, rows_local)
         keys = ["all"] + (list(range(rows_local)) if per_row else [])
@@ -164,7 +165,7 @@ def run_mode(mode, state, params, grid, cfg, rows_local, per_row):
                             np.asarray(sh))
     finally:
         PN.wide_hash_needed = orig_need
-        PN.WIDE_BITCAST = orig_bitcast
+        PN.WIDE_MODE = orig_mode
     return res
 
 
