@@ -116,10 +116,16 @@ def run_case(name, n_steps=10):
         "sharded_iisph_256k": ("sharded_iisph", 256_000, False),
     }[name]
 
+    cfg_kw = {}
+    if name in ("wcsph_8M", "wcsph_10M"):
+        # fused dz-spans scale with the grid's x-extent; at 193^3+ grids
+        # the default 3x512 coverage misses (47k/225k plan misses
+        # measured at 8M/10M) — 3x640 covers both cleanly
+        cfg_kw["sweep_win"] = 640
     # auto defaults (fused 3-row windows: block 152, win 512) cover every
-    # row; the pre-fused 9-row overrides (384 at 4M+, 512 settled) only
-    # apply if fused mode is off for the scene's grid
-    cfg = nt.SimConfig()
+    # other row, measured: 0 plan misses at 150k/1M/2M/4M dam-break,
+    # boundary_274k, and the settled scenes at 256k/1M
+    cfg = nt.SimConfig(**cfg_kw)
     if solver in ("iisph", "sharded_iisph"):
         params = nt.iisph_params()
     elif solver == "pcisph":

@@ -107,7 +107,10 @@ class SimConfig:
     def resolve_win(self, rows3: bool) -> int:
         """Effective window width: an explicit ``sweep_win`` wins; auto is
         512 for fused 3-row windows (mean span ≈ 450 at block 176/1M — one
-        pass covers most windows) and 256 for the 9-row plan."""
+        pass covers most windows) and 256 for the 9-row plan. Fused spans
+        scale with the grid's x-extent: past ~190³ grids the 3×512
+        coverage can miss (surfaced as ``seg_overflow`` > 0, measured at
+        8M/10M dam-break) — set 640 there (bench.py does)."""
         if self.sweep_win:
             return self.sweep_win
         return 512 if rows3 else 256
