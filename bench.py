@@ -97,6 +97,9 @@ def run_case(name, n_steps=10):
         "wcsph_4M": ("wcsph", 2 ** 22, False),
         "wcsph_8M": ("wcsph", 2 ** 23, False),
         "wcsph_10M": ("wcsph", 10_000_000, False),
+        # past ~2^24 grid cells (dam-break geometry crosses it near 20M
+        # particles) the engine runs wide bitcast-int32 hashes
+        "wcsph_20M": ("wcsph", 20_000_000, False),
         "iisph_1M": ("iisph", 2 ** 20, False),
         "wcsph_boundary_274k": ("wcsph", 256_000, True),
         "iisph_256k": ("iisph", 256_000, False),
@@ -117,7 +120,7 @@ def run_case(name, n_steps=10):
     }[name]
 
     cfg_kw = {}
-    if name in ("wcsph_8M", "wcsph_10M"):
+    if name in ("wcsph_8M", "wcsph_10M", "wcsph_20M"):
         # fused dz-spans scale with the grid's x-extent; at 193^3+ grids
         # the default 3x512 coverage misses (47k/225k plan misses
         # measured at 8M/10M) — 3x640 covers both cleanly

@@ -157,6 +157,24 @@ def wide_hash_needed(gsize) -> bool:
     return gx * gy * gz + 2 * gx + 3 > 2 ** 24
 
 
+WIDE_BIAS = 1 << 23   # added to every wide payload (and, in-kernel, to
+                      # the int32 bounds — compares are shift-invariant):
+                      # with the sentinel clamp below, every bit pattern
+                      # in the bitcast hash row lands in
+                      # [0x00800000, 0x20800000] — strictly normal,
+                      # positive, finite floats. Unbiased payloads put
+                      # hashes < 2²³ in denormal space and the inactive
+                      # INT32_MAX sentinel at a NaN (0x7FFFFFFF): any
+                      # DMA/relayout stage that flushes denormals or
+                      # canonicalizes NaNs silently corrupts the mask.
+                      # Settable to 0 (tools/wideprobe.py "raw" mode) to
+                      # measure the unbiased path on real hardware.
+_WIDE_CLAMP = 1 << 29  # inactive-sentinel clamp before biasing; must
+                       # exceed every possible row bound, enforced by
+                       # check_pallas_dtype (and already the plan's
+                       # sort-merge _KEY_CAP)
+
+
 WIDE_MODE = "slice"   # debug knob (tools/wideprobe.py) for bisecting
                       # wide-mode failures on real hardware:
                       #   "slice"   — production: slice the (1, WIN) hash
@@ -184,8 +202,15 @@ def hash_payload(sorted_hash, dtype, gsize):
     if dtype == jnp.float32 and wide_hash_needed(gsize):
         if WIDE_MODE == "convert":
             return sorted_hash.astype(dtype)
-        return jax.lax.bitcast_convert_type(
-            sorted_hash.astype(jnp.int32), jnp.float32)
+        h = sorted_hash.astype(jnp.int32)
+        if WIDE_BIAS:
+            # clamp the INT32_MAX inactive sentinel below the bias
+            # headroom, then shift every payload into normal-float bit
+            # space (see WIDE_BIAS) — the kernel biases its bounds to
+            # match
+            h = jnp.minimum(h, jnp.int32(_WIDE_CLAMP)) + jnp.int32(
+                WIDE_BIAS)
+        return jax.lax.bitcast_convert_type(h, jnp.float32)
     return sorted_hash.astype(dtype)
 
 
@@ -620,6 +645,12 @@ def _sweep_kernel(anchors_ref, pvec_ref, q_ref, *refs,
                 row_ok = (zz >= num(0)) & (zz < num(gz))
             lo = jnp.where(row_ok, lo, num(1))
             hi = jnp.where(row_ok, hi, num(0))
+            if wide and WIDE_MODE != "convert" and WIDE_BIAS:
+                # payload rides biased into normal-float bit space
+                # (hash_payload); shift the bounds identically — the
+                # compare is shift-invariant, empty rows stay empty
+                lo = lo + num(WIDE_BIAS)
+                hi = hi + num(WIDE_BIAS)
             r = ro * rows_local + r_local
 
             for p in range(N_PASS):

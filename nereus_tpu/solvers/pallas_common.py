@@ -162,16 +162,22 @@ def check_pallas_dtype(cfg: SimConfig, grid: gridlib.Grid):
     Cell hashes ride the source matrix as floats: exact below 2²⁴ cells in
     float32 and 2⁵³ in float64; past 2²⁴ the float32 engine automatically
     switches to bitcast-int32 hashes (``pallas_neighbors.hash_payload`` /
-    the kernel's wide mode), exact to 2³¹ cells. float64 itself only
+    the kernel's wide mode), exact to the plan's 2²⁹-cell cap. float64
+    itself only
     exists in interpret mode (CPU) — Mosaic has no f64 vector type on real
     TPUs — which matches the reference's own guidance that
     DOUBLE_PRECISION is a debug/validation build with "poor performances"
     (README.md:46-59, common.h:23-43).
     """
-    if grid.num_cells >= 2 ** 31:
+    if grid.num_cells + 2 * grid.size[0] + 3 >= 2 ** 29:
+        # 2^29 is already the window plan's sort-merge key cap
+        # (pallas_neighbors._KEY_CAP) and the wide-mode sentinel clamp
+        # headroom (_WIDE_CLAMP) — enforce it visibly rather than
+        # corrupting plans past it
         raise ValueError(
-            f"grid has {grid.num_cells} cells; cell hashes are int32 "
-            "(exact < 2^31). Use a coarser grid or shard the domain.")
+            f"grid has {grid.num_cells} cells; the Pallas window plan "
+            "addresses at most 2^29 cells (~5.4e8). Use a coarser grid "
+            "or shard the domain.")
     if cfg.dtype == jnp.float64 and not interpret_mode():
         raise ValueError(
             "float64 Pallas runs only in interpret mode (CPU): TPUs have "

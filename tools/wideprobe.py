@@ -145,10 +145,13 @@ def run_mode(mode, state, params, grid, cfg, rows_local, per_row):
     """Returns dict row_key -> (hv, true, miss) numpy arrays."""
     from nereus_tpu.ops import pallas_neighbors as PN
     orig_need, orig_mode = PN.wide_hash_needed, PN.WIDE_MODE
-    if mode in ("wide", "full", "convert"):
+    orig_bias = PN.WIDE_BIAS
+    if mode in ("wide", "full", "convert", "raw"):
         PN.wide_hash_needed = lambda gsize: True
         PN.WIDE_MODE = {"wide": "slice", "full": "full",
-                        "convert": "convert"}[mode]
+                        "convert": "convert", "raw": "slice"}[mode]
+        if mode == "raw":   # unbiased payload: denormal/NaN bit patterns
+            PN.WIDE_BIAS = 0
     try:
         runner = make_runner(state, params, grid, cfg, rows_local)
         keys = ["all"] + (list(range(rows_local)) if per_row else [])
@@ -166,6 +169,7 @@ def run_mode(mode, state, params, grid, cfg, rows_local, per_row):
     finally:
         PN.wide_hash_needed = orig_need
         PN.WIDE_MODE = orig_mode
+        PN.WIDE_BIAS = orig_bias
     return res
 
 
