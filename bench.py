@@ -115,6 +115,8 @@ def run_case(name, n_steps=10):
         # the 1M implicit row must price a real solve (the free-fall
         # iisph_1M exits at min iterations)
         "iisph_1M_settled": ("iisph", 2 ** 20, "settled"),
+        # beyond-reference solver (Bender & Koschier DFSPH)
+        "dfsph_256k_settled": ("dfsph", 256_000, "settled"),
         "sharded_wcsph_1M": ("sharded_wcsph", 2 ** 20, False),
         "sharded_iisph_256k": ("sharded_iisph", 256_000, False),
     }[name]
@@ -131,6 +133,8 @@ def run_case(name, n_steps=10):
     cfg = nt.SimConfig(**cfg_kw)
     if solver in ("iisph", "sharded_iisph"):
         params = nt.iisph_params()
+    elif solver == "dfsph":
+        params = nt.dfsph_params()
     elif solver == "pcisph":
         params = calibrate_mass(nt.pcisph_params(), cfg)
     else:
@@ -149,6 +153,8 @@ def run_case(name, n_steps=10):
         step = lambda s: nt.wcsph_step(s, params, grid, cfg, boundary)  # noqa: E731
     elif solver == "iisph":
         step = lambda s: nt.iisph_step(s, params, grid, cfg, boundary)  # noqa: E731
+    elif solver == "dfsph":
+        step = lambda s: nt.dfsph_step(s, params, grid, cfg, boundary)  # noqa: E731
     elif solver == "pcisph":
         delta = nt.pcisph_delta(params, cfg)
         # settled row: tighten the corrective tolerance from the default
@@ -208,7 +214,7 @@ def main():
                  "pcisph_256k_settled", "wcsph_256k_settled",
                  "sharded_wcsph_1M", "sharded_iisph_256k", "wcsph_2M",
                  "wcsph_4M", "wcsph_8M", "wcsph_10M", "iisph_1M",
-                 "iisph_1M_settled"]
+                 "iisph_1M_settled", "dfsph_256k_settled"]
     if args.cases:
         cases = args.cases.split(",")
     elif args.all:

@@ -8,11 +8,12 @@ TPU: static shapes, one fully-jitted step with zero host sync, sorted
 """
 
 from .params import (KernelSet, SimConfig, SimParams, SurfaceTensionModel,
-                     iisph_params, make_params, pcisph_params)
+                     dfsph_params, iisph_params, make_params, pcisph_params)
 from .grid import Grid, fit_grid, make_grid, refit_grid
 from .state import BoundaryData, FluidState, add_particles, make_fluid_state
 from .solvers.wcsph import wcsph_step, tait_pressure, cfl_dt
 from .solvers.iisph import iisph_step
+from .solvers.dfsph import dfsph_step
 from .solvers.pcisph import (pcisph_step, pcisph_delta,
                              pcisph_delta_from_denom, pcisph_grad_denom)
 
@@ -20,10 +21,10 @@ __version__ = "0.1.0"
 
 __all__ = [
     "KernelSet", "SimConfig", "SimParams", "SurfaceTensionModel",
-    "iisph_params", "make_params", "pcisph_params",
+    "dfsph_params", "iisph_params", "make_params", "pcisph_params",
     "Grid", "fit_grid", "make_grid", "refit_grid",
     "BoundaryData", "FluidState", "add_particles", "make_fluid_state",
     "wcsph_step", "tait_pressure", "cfl_dt",
-    "iisph_step", "pcisph_step", "pcisph_delta",
+    "iisph_step", "dfsph_step", "pcisph_step", "pcisph_delta",
     "pcisph_delta_from_denom", "pcisph_grad_denom",
 ]

@@ -27,7 +27,8 @@ def _build_parser():
     sub = p.add_subparsers(dest="cmd", required=True)
 
     run = sub.add_parser("run", help="run a simulation")
-    run.add_argument("--solver", choices=["wcsph", "iisph", "pcisph"],
+    run.add_argument("--solver",
+                     choices=["wcsph", "iisph", "dfsph", "pcisph"],
                      default="wcsph")
     run.add_argument("--scene", choices=["dam-break", "cube-drop", "demo"],
                      default="dam-break",
@@ -128,6 +129,8 @@ def _make_setup(args):
         params = nt.make_params(**overrides)
     elif args.solver == "iisph":
         params = nt.iisph_params(**overrides)
+    elif args.solver == "dfsph":
+        params = nt.dfsph_params(**overrides)
     else:
         params = nt.pcisph_params(**overrides)
     if args.calibrate_mass or args.solver == "pcisph":
@@ -266,6 +269,10 @@ def cmd_run(args):
                 step = make_sharded_iisph_step(
                     mesh, params, grid, cfg, scfg, boundary,
                     adaptive_dt_lambda=lam)
+            elif args.solver == "dfsph":
+                raise SystemExit(
+                    "--shards with dfsph is not implemented yet; use "
+                    "wcsph/iisph/pcisph for sharded runs")
             else:
                 step = make_sharded_pcisph_step(
                     mesh, params, grid, cfg, scfg, boundary,
@@ -297,7 +304,8 @@ def cmd_run(args):
             step = jax.jit(_step)
         else:
             solver = {"wcsph": nt.wcsph_step,
-                      "iisph": nt.iisph_step}[args.solver]
+                      "iisph": nt.iisph_step,
+                      "dfsph": nt.dfsph_step}[args.solver]
             step = jax.jit(lambda s: solver(
                 s, maybe_adapt(s, params), grid, cfg, boundary))
         return step, host_state, lambda s: s

@@ -455,6 +455,50 @@ def jacobi_boundary_pair(q_ref, src_ref, valid, pv, *, kernel_set):
     return jnp.sum(src_ref[6:7, :] * dot * okf, axis=1, keepdims=True)
 
 
+def alpha_pair(q_ref, src_ref, valid, pv, *, kernel_set,
+               include_sq: bool):
+    """DFSPH factor accumulators (solvers/dfsph.py, beyond-reference):
+
+    out (B, 4): Σψ∇W (vector) and Σ|ψ∇W|² (scalar; fluid rows only —
+    static boundaries contribute to the gradient sum alone, so the
+    boundary flavor passes include_sq=False).
+    q fields: x y z. src ψ slot6 (m for fluid).
+    """
+    dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv)
+    rl, invrl = _maybe_rl(kernel_set, r2)
+    ok = valid & (r2 < pv[PV_H2])
+    okf = ok.astype(q_ref.dtype)
+    s = _w_grad_scale_default(kernel_set, r2, rl, pv, invrl)
+    c = src_ref[6:7, :] * s * okf
+    if include_sq:
+        sq = jnp.sum(c * c * r2, axis=1, keepdims=True)
+    else:
+        sq = jnp.zeros_like(dx[:, :1])
+    return jnp.concatenate(
+        [jnp.sum(c * dx, axis=1, keepdims=True),
+         jnp.sum(c * dy, axis=1, keepdims=True),
+         jnp.sum(c * dz, axis=1, keepdims=True), sq], axis=1)
+
+
+def drho_pair(q_ref, src_ref, valid, pv, *, kernel_set):
+    """DFSPH velocity-divergence term: Σ ψ_j (v_q − v_j)·∇W.
+
+    The boundary rows use the SAME formula — their source velocity slots
+    are packed zero (static boundaries), reducing to Σ ψ_b v_q·∇W.
+    q fields: x y z vx vy vz. Out (B, 1).
+    """
+    dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv)
+    rl, invrl = _maybe_rl(kernel_set, r2)
+    ok = valid & (r2 < pv[PV_H2])
+    okf = ok.astype(q_ref.dtype)
+    s = _w_grad_scale_default(kernel_set, r2, rl, pv, invrl)
+    dvx = q_ref[:, 3:4] - src_ref[3:4, :]
+    dvy = q_ref[:, 4:5] - src_ref[4:5, :]
+    dvz = q_ref[:, 5:6] - src_ref[5:6, :]
+    c = src_ref[6:7, :] * s * (dvx * dx + dvy * dy + dvz * dz) * okf
+    return jnp.sum(c, axis=1, keepdims=True)
+
+
 def grad_pressure_force_pair(q_ref, src_ref, valid, pv, *, kernel_set,
                              boundary: bool, boundary_sign: float = 1.0):
     """Implicit-solver pressure force with the default gradient

@@ -92,6 +92,12 @@ class SimConfig:
     # loop but left it a stub: ``sph/sph_cuda.cu:944-952``).
     pcisph_min_iters: int = 3
     pcisph_max_iters: int = 100
+    # DFSPH (beyond-reference solver, Bender & Koschier 2015/2017):
+    # constant-density and divergence-free loop caps.
+    dfsph_min_iters: int = 2
+    dfsph_max_iters: int = 100
+    dfsph_min_iters_v: int = 1
+    dfsph_max_iters_v: int = 100
 
     def __post_init__(self):
         object.__setattr__(self, "dtype", jnp.dtype(self.dtype))
@@ -101,6 +107,8 @@ class SimConfig:
                      str(self.dtype), self.seg_window, self.boundary_seg_window,
                      self.iisph_min_iters, self.iisph_max_iters,
                      self.pcisph_min_iters, self.pcisph_max_iters,
+                     self.dfsph_min_iters, self.dfsph_max_iters,
+                     self.dfsph_min_iters_v, self.dfsph_max_iters_v,
                      self.engine, self.sweep_block, self.sweep_win,
                      self.sweep_kfold, self.sweep_fused_rows))
 
@@ -259,6 +267,21 @@ def calibrate_mass(params: SimParams, cfg: "SimConfig",
 
 def iisph_params(**overrides) -> SimParams:
     """IISPH default parameter set (``sph/iisph/iisph.cpp:37-80``)."""
+    defaults = dict(
+        viscosity=0.01,
+        surface_tension=0.01,
+        interaction_radius=0.0537,
+        beta=1050.0,
+        mass_factor=0.5,
+    )
+    defaults.update(overrides)
+    return make_params(**defaults)
+
+
+def dfsph_params(**overrides) -> SimParams:
+    """DFSPH default parameter set (beyond-reference solver; physical
+    parameters follow the IISPH defaults, ``sph/iisph/iisph.cpp:37-80``,
+    since DFSPH replaces only the pressure solve)."""
     defaults = dict(
         viscosity=0.01,
         surface_tension=0.01,

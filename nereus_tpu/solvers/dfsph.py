@@ -1,0 +1,250 @@
+"""DFSPH: Divergence-Free SPH (Bender & Koschier 2015/2017).
+
+A beyond-reference solver family: the upstream repo stops at IISPH (its
+PCISPH is an empty stub, ``sph/pcisph/sph_cuda.cu:944-952``), while the
+modern production standard for incompressible SPH is DFSPH — two cheap
+stiffness solves per step sharing one precomputed factor α_i, enforcing
+BOTH the constant-density condition (ρ = ρ₀) and the divergence-free
+condition (Dρ/Dt = 0). It reuses this framework's entire neighbor
+pipeline: the same sorted-hash context, the same pair-reduction shapes as
+the IISPH Jacobi loop (one velocity-divergence sweep + one symmetric
+stiffness-gradient sweep per iteration), and on TPU the same Pallas
+window-sweep engine (``solvers/dfsph_pallas.py``).
+
+Formulation (paper notation; ψ_b = Akinci boundary pseudo-mass):
+
+  α_i  = ρ_i / max(|Σ_j m∇W_ij + Σ_b ψ_b∇W_ib|² + Σ_j m²|∇W_ij|², ε)
+  divergence solve (start of step, velocity field v):
+      Dρ_i/Dt = Σ_j m (v_i−v_j)·∇W_ij + Σ_b ψ_b v_i·∇W_ib   (clamped ≥ 0:
+      only compression is corrected — the free-surface analogue of the
+      IISPH p ≥ 0 clamp)
+      κᵛ_i = (Dρ_i/Dt)·α_i / dt
+      v_i ← v_i − dt Σ_j m (κᵛ_i/ρ_i + κᵛ_j/ρ_j)∇W_ij
+                 − dt Σ_b ψ_b (κᵛ_i/ρ_i)∇W_ib
+  density solve (on v* = v + dt·f_adv/m):
+      ρ*_i = ρ_i + dt·(Dρ_i/Dt)(v*)
+      κ_i  = max(ρ*_i − ρ₀, 0)·α_i / dt²
+      v* update of the same shape; iterate until the mean clamped
+      density error ≤ tol (kg/m³), then x += dt·v*.
+
+Convergence accounting matches the IISPH rows: the mean is over active
+particles, compression-side only. ``solver_iters`` reports the TOTAL
+iterations of both loops (each iteration costs the same two sweeps).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import grid as gridlib
+from .. import kernels as K
+from ..ops.neighbors import masked
+from ..params import SimConfig, SimParams
+from ..state import BoundaryData, FluidState
+from . import common
+from .wcsph import StepDiagnostics
+
+_EPS_DENOM = 1e-6
+
+
+def _grad(cfg, rij, params):
+    return K.w_default_grad(cfg.kernel_set, rij, params)
+
+
+def compute_alpha(ctx, params, cfg, boundary, dens):
+    """DFSPH factor α_i (paper eq. 9, with Akinci boundary terms in the
+    gradient sum). Returns (alpha, grad_sum) — grad_sum reused by tests."""
+    pos = ctx.state.pos
+    n = pos.shape[0]
+    ir = params.interaction_radius
+    pm = params.particle_mass
+
+    def pair(i, j, valid):
+        rij = i["pos"][:, None, :] - j["pos"]
+        ok = valid & (jnp.sum(rij * rij, axis=-1) < ir * ir)
+        g = _grad(cfg, rij, params)
+        mg = pm * g
+        return {"gs": masked(ok, mg),
+                "sq": masked(ok, jnp.sum(mg * mg, axis=-1))}
+
+    acc = common.fluid_reduce(
+        ctx, pair,
+        {"gs": jnp.zeros((n, 3), cfg.dtype), "sq": jnp.zeros((n,), cfg.dtype)},
+        {"pos": pos}, {"pos": pos}, cfg)
+
+    def bpair(i, j, valid):
+        rij = i["pos"][:, None, :] - j["pos"]
+        ok = valid & (jnp.sum(rij * rij, axis=-1) < ir * ir)
+        g = _grad(cfg, rij, params)
+        # static boundaries contribute to the gradient sum only
+        return {"gs": masked(ok, j["psi"][..., None] * g),
+                "sq": masked(ok, jnp.zeros_like(g[..., 0]))}
+
+    acc = common.boundary_reduce(ctx, boundary, bpair, acc, {"pos": pos}, cfg)
+    denom = jnp.sum(acc["gs"] * acc["gs"], axis=-1) + acc["sq"]
+    alpha = dens / jnp.maximum(denom, _EPS_DENOM)
+    return alpha, acc["gs"]
+
+
+def compute_drho(ctx, params, cfg, boundary, vel):
+    """Velocity-field density derivative Dρ_i/Dt (unclamped):
+    Σ_j m (v_i−v_j)·∇W + Σ_b ψ_b v_i·∇W (static boundaries)."""
+    pos = ctx.state.pos
+    n = pos.shape[0]
+    ir = params.interaction_radius
+    pm = params.particle_mass
+
+    def pair(i, j, valid):
+        rij = i["pos"][:, None, :] - j["pos"]
+        ok = valid & (jnp.sum(rij * rij, axis=-1) < ir * ir)
+        g = _grad(cfg, rij, params)
+        dv = i["vel"][:, None, :] - j["vel"]
+        return {"d": masked(ok, pm * jnp.sum(dv * g, axis=-1))}
+
+    acc = common.fluid_reduce(
+        ctx, pair, {"d": jnp.zeros((n,), cfg.dtype)},
+        {"pos": pos, "vel": vel}, {"pos": pos, "vel": vel}, cfg)
+
+    def bpair(i, j, valid):
+        rij = i["pos"][:, None, :] - j["pos"]
+        ok = valid & (jnp.sum(rij * rij, axis=-1) < ir * ir)
+        g = _grad(cfg, rij, params)
+        dot = jnp.sum(i["vel"][:, None, :] * g, axis=-1)
+        return {"d": masked(ok, j["psi"] * dot)}
+
+    acc = common.boundary_reduce(ctx, boundary, bpair, acc,
+                                 {"pos": pos, "vel": vel}, cfg)
+    return acc["d"]
+
+
+def apply_kappa(ctx, params, cfg, boundary, dens, kappa, vel):
+    """v ← v − dt Σ_j m (κ_i/ρ_i + κ_j/ρ_j)∇W − dt Σ_b ψ (κ_i/ρ_i)∇W."""
+    pos = ctx.state.pos
+    n = pos.shape[0]
+    ir = params.interaction_radius
+    pm = params.particle_mass
+    dt = params.dt
+    kd = kappa / jnp.maximum(dens, 1e-12)
+
+    def pair(i, j, valid):
+        rij = i["pos"][:, None, :] - j["pos"]
+        ok = valid & (jnp.sum(rij * rij, axis=-1) < ir * ir)
+        g = _grad(cfg, rij, params)
+        coef = pm * (i["kd"][:, None] + j["kd"])
+        return {"dv": masked(ok, coef[..., None] * g)}
+
+    acc = common.fluid_reduce(
+        ctx, pair, {"dv": jnp.zeros((n, 3), cfg.dtype)},
+        {"pos": pos, "kd": kd}, {"pos": pos, "kd": kd}, cfg)
+
+    def bpair(i, j, valid):
+        rij = i["pos"][:, None, :] - j["pos"]
+        ok = valid & (jnp.sum(rij * rij, axis=-1) < ir * ir)
+        g = _grad(cfg, rij, params)
+        coef = j["psi"] * i["kd"][:, None]
+        return {"dv": masked(ok, coef[..., None] * g)}
+
+    acc = common.boundary_reduce(ctx, boundary, bpair, acc,
+                                 {"pos": pos, "kd": kd}, cfg)
+    return tuple(vel[:, k] - dt * acc["dv"][:, k] for k in range(3))
+
+
+def _mean_active(x, active, nact):
+    return jnp.sum(jnp.where(active, x, 0.0)) / nact
+
+
+def dfsph_step(state: FluidState, params: SimParams, grid: gridlib.Grid,
+               cfg: SimConfig, boundary: Optional[BoundaryData] = None,
+               tol: float = 1.0, tol_v: float = 1.0):
+    """One DFSPH step. ``tol``: mean predicted-density error bound in
+    kg/m³ for the constant-density solve (same convention as IISPH's
+    reference tolerance, 1 ≙ 0.1% of ρ₀). ``tol_v``: bound on
+    dt·mean(max(Dρ/Dt, 0)) — the per-step density drift the remaining
+    divergence would cause — in the same kg/m³ units.
+
+    Returns ``(new_state, StepDiagnostics)``; ``solver_iters`` is the
+    total of divergence + density iterations, ``pressure`` carries the
+    final density-solver stiffness κ (diagnostic; not warm-started yet).
+    """
+    if cfg.use_pallas():
+        from .dfsph_pallas import dfsph_step_pallas
+        return dfsph_step_pallas(state, params, grid, cfg, boundary,
+                                 tol=tol, tol_v=tol_v)
+    ctx = common.build_ctx(state, grid, cfg, boundary)
+    pos, vel = ctx.state.pos, ctx.state.vel
+    active = ctx.active
+    nact = jnp.maximum(state.num_active.astype(cfg.dtype), 1.0)
+    dt = params.dt
+    pm = params.particle_mass
+
+    dens = common.compute_density(ctx, params, cfg, boundary)
+    alpha, _ = compute_alpha(ctx, params, cfg, boundary, dens)
+
+    # --- divergence-free solve on the incoming velocity field ---------------
+    def vcond(carry):
+        v, err, it = carry
+        return (((err > tol_v) | (it < cfg.dfsph_min_iters_v))
+                & (it < cfg.dfsph_max_iters_v))
+
+    def vbody(carry):
+        v, _, it = carry
+        vt = jnp.stack(v, axis=1)
+        drho = jnp.maximum(compute_drho(ctx, params, cfg, boundary, vt), 0.0)
+        kappa_v = drho * alpha / dt
+        v = apply_kappa(ctx, params, cfg, boundary, dens, kappa_v, vt)
+        err = dt * _mean_active(drho, active, nact)
+        return (v, err, it + 1)
+
+    v0 = tuple(vel[:, k] for k in range(3))
+    init_v = (v0, jnp.asarray(2.0, cfg.dtype) * tol_v,
+              jnp.asarray(0, jnp.int32))
+    v_df, err_v, iters_v = jax.lax.while_loop(vcond, vbody, init_v)
+    vel_df = jnp.stack(v_df, axis=1)
+
+    # --- non-pressure forces (on the divergence-corrected velocities) --------
+    import dataclasses as _dc
+    ctx_adv = _dc.replace(ctx, state=FluidState(
+        pos=pos, vel=vel_df, pressure=ctx.state.pressure,
+        num_active=ctx.state.num_active))
+    f_adv = common.compute_nonpressure_forces(ctx_adv, params, cfg, boundary,
+                                              dens)
+    v_star = tuple(vel_df[:, k] + (dt / pm) * f_adv[:, k] for k in range(3))
+
+    # --- constant-density solve on v* ---------------------------------------
+    def cond(carry):
+        v, kap, err, it = carry
+        return (((err > tol) | (it < cfg.dfsph_min_iters))
+                & (it < cfg.dfsph_max_iters))
+
+    def body(carry):
+        v, _, _, it = carry
+        vt = jnp.stack(v, axis=1)
+        rho_star = dens + dt * compute_drho(ctx, params, cfg, boundary, vt)
+        comp = jnp.maximum(rho_star - params.rest_density, 0.0)
+        kappa = comp * alpha / (dt * dt)
+        v = apply_kappa(ctx, params, cfg, boundary, dens, kappa, vt)
+        err = _mean_active(comp, active, nact)
+        return (v, kappa, err, it + 1)
+
+    init = (v_star, jnp.zeros_like(dens),
+            jnp.asarray(2.0, cfg.dtype) * tol, jnp.asarray(0, jnp.int32))
+    v_new, kappa, rho_err, iters = jax.lax.while_loop(cond, body, init)
+    vel_new = jnp.stack(v_new, axis=1)
+
+    new_pos = pos + dt * vel_new
+    vel_new = jnp.where(active[:, None], vel_new, ctx.state.vel)
+    new_pos = jnp.where(active[:, None], new_pos, pos)
+    new_state = FluidState(pos=new_pos, vel=vel_new,
+                           pressure=jnp.where(active, kappa, 0.0),
+                           num_active=state.num_active)
+    diag = StepDiagnostics(
+        max_density=jnp.max(jnp.where(active, dens, 0.0)),
+        mean_density_error=rho_err / params.rest_density,
+        mean_compression=rho_err / params.rest_density,
+        seg_overflow=ctx.overflow,
+        solver_iters=iters + iters_v,
+    )
+    return new_state, diag

@@ -1,0 +1,176 @@
+"""DFSPH tests (beyond-reference solver, Bender & Koschier 2015/2017):
+the factor α and velocity divergence vs an O(N²) float64 oracle, both
+stiffness loops' convergence behaviour, oracle↔Pallas lockstep, and the
+canonical dam-settle physics story."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nereus_tpu import grid as G
+from nereus_tpu.params import SimConfig, calibrate_mass, dfsph_params
+from nereus_tpu.solvers import common, dfsph
+from nereus_tpu.state import make_fluid_state
+
+CFG = SimConfig(engine="segments")
+
+
+def _setup(n=400, seed=0):
+    params = dfsph_params()
+    h = float(params.interaction_radius)
+    rng = np.random.RandomState(seed)
+    side = h * (n / 2.0) ** (1 / 3)
+    pos = rng.uniform(0.0, side, (n, 3))
+    vel = rng.uniform(-0.5, 0.5, (n, 3))
+    grid = G.fit_grid(pos.min(0), pos.max(0), h)
+    state = make_fluid_state(pos, vel)
+    return params, grid, state
+
+
+def _np_grad_poly6(rij, h, kpg):
+    r2 = np.sum(rij**2, axis=-1)
+    d = np.maximum(h**2 - r2, 0.0)
+    s = np.where(r2 <= h**2, kpg * d**2, 0.0)
+    return s[..., None] * rij
+
+
+def test_alpha_and_drho_match_oracle():
+    params, grid, state = _setup()
+    h = float(params.interaction_radius)
+    pm = float(params.particle_mass)
+    kpg = float(params.kpoly_grad)
+
+    ctx = common.build_ctx(state, grid, CFG, None)
+    dens = common.compute_density(ctx, params, CFG, None)
+    alpha, grad_sum = dfsph.compute_alpha(ctx, params, CFG, None, dens)
+    drho = dfsph.compute_drho(ctx, params, CFG, None, ctx.state.vel)
+
+    pos = np.asarray(ctx.state.pos, dtype=np.float64)
+    vel = np.asarray(ctx.state.vel, dtype=np.float64)
+    d64 = np.asarray(dens, dtype=np.float64)
+
+    rij = pos[:, None, :] - pos[None, :, :]
+    r2 = np.sum(rij**2, axis=-1)
+    mask = r2 < h**2
+    np.fill_diagonal(mask, False)
+    g = np.where(mask[..., None], _np_grad_poly6(rij, h, kpg), 0.0)
+
+    want_gs = pm * np.sum(g, axis=1)
+    want_sq = np.sum(np.sum((pm * g) ** 2, axis=-1), axis=1)
+    want_alpha = d64 / np.maximum(
+        np.sum(want_gs**2, axis=-1) + want_sq, dfsph._EPS_DENOM)
+    dv = vel[:, None, :] - vel[None, :, :]
+    want_drho = pm * np.sum(np.sum(dv * g, axis=-1), axis=1)
+
+    np.testing.assert_allclose(np.asarray(grad_sum), want_gs,
+                               rtol=2e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(alpha), want_alpha,
+                               rtol=5e-3, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(drho), want_drho,
+                               rtol=5e-3, atol=2e-2)
+
+
+def test_apply_kappa_conserves_momentum():
+    """The fluid κ-gradient correction is pairwise-antisymmetric: total
+    fluid momentum is unchanged by one application (no boundary set)."""
+    params, grid, state = _setup(n=300, seed=3)
+    ctx = common.build_ctx(state, grid, CFG, None)
+    dens = common.compute_density(ctx, params, CFG, None)
+    kappa = jnp.abs(ctx.state.pos[:, 0]) + 0.5   # arbitrary smooth field
+    v0 = ctx.state.vel
+    v1 = dfsph.apply_kappa(ctx, params, CFG, None, dens, kappa, v0)
+    p0 = np.sum(np.asarray(v0, dtype=np.float64), axis=0)
+    p1 = np.sum(np.stack([np.asarray(c, dtype=np.float64) for c in v1],
+                         axis=1), axis=0)
+    np.testing.assert_allclose(p1, p0, rtol=0, atol=5e-3 * max(
+        1.0, float(np.abs(p0).max())))
+
+
+def _settle_scene(nside=9, compress=0.01):
+    from nereus_tpu.boundary import box_boundary
+    from nereus_tpu.scene import particle_cube
+
+    cfg = SimConfig(engine="segments")
+    params = calibrate_mass(dfsph_params(), cfg)
+    h = float(params.interaction_radius)
+    sp = 2 * float(params.particle_radius)
+    side = nside * sp
+    pos = particle_cube((0.25, 0.3, 0.25), (side, side, side), sp)
+    lo, hi = np.zeros(3), np.array((0.5, 0.8, 0.5))
+    grid = G.fit_grid(lo - h, hi + h, h)
+    boundary = box_boundary(grid, lo, hi, float(params.particle_radius),
+                            params)
+    state = make_fluid_state(pos)
+    return cfg, params, grid, boundary, state
+
+
+def test_dfsph_step_freefall_then_settles():
+    """Canonical dam-settle: exact free fall at min iterations, impact
+    raises the density-solver count, no floor penetration, bounded error."""
+    cfg, params, grid, boundary, state = _settle_scene()
+    dt = float(params.dt)
+    step = jax.jit(lambda s: dfsph.dfsph_step(s, params, grid, cfg,
+                                              boundary))
+    y0 = float(np.asarray(state.pos[:, 1].min()))
+    iters_seen, maxerr = [], 0.0
+    for i in range(260):
+        state, diag = step(state)
+        iters_seen.append(int(np.asarray(diag.solver_iters)))
+        maxerr = max(maxerr, float(np.asarray(diag.mean_density_error)))
+        if i == 59:
+            ymin = float(np.asarray(state.pos[:, 1]).min())
+            drop = y0 - ymin
+            want = 0.5 * 9.81 * (60 * dt) ** 2
+            assert abs(drop - want) < 0.25 * want, (drop, want)
+            # airborne: both loops exit at their configured minimum
+            assert iters_seen[-1] == (cfg.dfsph_min_iters
+                                      + cfg.dfsph_min_iters_v)
+    p = np.asarray(state.pos)
+    act = int(np.asarray(state.num_active))
+    assert not np.isnan(p[:act]).any()
+    assert p[:act, 1].min() > 0.0, "floor penetration"
+    assert max(iters_seen) > (cfg.dfsph_min_iters + cfg.dfsph_min_iters_v), \
+        "impact never exercised a real solve"
+    assert maxerr < 0.01, maxerr   # ≤1% mean compression throughout
+    assert int(np.asarray(diag.seg_overflow)) == 0
+
+
+def test_divergence_solver_reduces_divergence():
+    """One divergence iteration strictly reduces the mean positive
+    velocity divergence of a compressing random field."""
+    params, grid, state = _setup(n=500, seed=7)
+    # give particles an inward radial velocity → positive Dρ/Dt
+    center = np.asarray(state.pos).mean(axis=0)
+    vel = -(np.asarray(state.pos) - center)
+    state = make_fluid_state(np.asarray(state.pos), vel)
+    ctx = common.build_ctx(state, grid, CFG, None)
+    dens = common.compute_density(ctx, params, CFG, None)
+    alpha, _ = dfsph.compute_alpha(ctx, params, CFG, None, dens)
+    v = ctx.state.vel
+    d0 = np.maximum(np.asarray(
+        dfsph.compute_drho(ctx, params, CFG, None, v)), 0.0)
+    kappa = jnp.asarray(d0) * alpha / params.dt
+    v1 = dfsph.apply_kappa(ctx, params, CFG, None, dens, kappa, v)
+    d1 = np.maximum(np.asarray(dfsph.compute_drho(
+        ctx, params, CFG, None, jnp.stack(v1, axis=1))), 0.0)
+    assert d1.mean() < 0.6 * d0.mean(), (d1.mean(), d0.mean())
+
+
+def test_dfsph_pallas_matches_oracle():
+    """One full step: Pallas (interpret) vs the segments oracle."""
+    cfg_o, params, grid, boundary, state = _settle_scene(nside=7)
+    cfg_p = dataclasses.replace(cfg_o, engine="pallas")
+    s_o, d_o = dfsph.dfsph_step(state, params, grid, cfg_o, boundary)
+    s_p, d_p = dfsph.dfsph_step(state, params, grid, cfg_p, boundary)
+    assert int(np.asarray(d_p.seg_overflow)) == 0
+    assert (int(np.asarray(d_o.solver_iters))
+            == int(np.asarray(d_p.solver_iters)))
+    # the engines sort identically; compare per-particle states
+    np.testing.assert_allclose(np.sort(np.asarray(s_o.pos), axis=0),
+                               np.sort(np.asarray(s_p.pos), axis=0),
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.sort(np.asarray(s_o.vel), axis=0),
+                               np.sort(np.asarray(s_p.vel), axis=0),
+                               rtol=2e-3, atol=2e-4)
