@@ -242,6 +242,7 @@ def cmd_run(args):
         if args.shards > 1:
             from jax.sharding import Mesh
             from nereus_tpu.parallel import (ShardConfig,
+                                             make_sharded_dfsph_step,
                                              make_sharded_iisph_step,
                                              make_sharded_pcisph_step,
                                              make_sharded_wcsph_step,
@@ -270,9 +271,9 @@ def cmd_run(args):
                     mesh, params, grid, cfg, scfg, boundary,
                     adaptive_dt_lambda=lam)
             elif args.solver == "dfsph":
-                raise SystemExit(
-                    "--shards with dfsph is not implemented yet; use "
-                    "wcsph/iisph/pcisph for sharded runs")
+                step = make_sharded_dfsph_step(
+                    mesh, params, grid, cfg, scfg, boundary,
+                    adaptive_dt_lambda=lam)
             else:
                 step = make_sharded_pcisph_step(
                     mesh, params, grid, cfg, scfg, boundary,

@@ -1220,3 +1220,259 @@ def make_sharded_pcisph_step(mesh: Mesh, params: SimParams,
                           num_active=n_loc), diag
 
     return step
+
+
+def make_sharded_dfsph_step(mesh: Mesh, params: SimParams,
+                            grid: gridlib.Grid, cfg: SimConfig,
+                            scfg: ShardConfig,
+                            boundary: Optional[BoundaryData] = None,
+                            tol: float = 1.0, tol_v: float = 1.0,
+                            adaptive_dt_lambda: Optional[float] = None):
+    """Build the jitted multi-chip DFSPH step (Pallas window sweeps;
+    interpret mode off-TPU).
+
+    Same slab scheme as the other sharded solvers. Both stiffness
+    ``lax.while_loop``s hop two ghost fields per iteration (the current
+    velocity field for the divergence sweep, then the fresh κ/ρ stiffness
+    column for the symmetric correction sweep); convergence checks are
+    global ``psum`` means, so all shards iterate in lockstep — matching
+    the single-chip :func:`nereus_tpu.solvers.dfsph.dfsph_step` exactly.
+    """
+    from ..ops import pallas_sph as PSs
+    from ..ops.pallas_neighbors import (fuse_plans, hash_payload,
+                                        pack_source, pack_source_fused,
+                                        plan_windows, round_up,
+                                        rows3_supported)
+    from ..solvers.pallas_common import interpret_mode, padded_len
+
+    ax = scfg.axis_name
+    d = scfg.n_shards
+    if mesh.shape[ax] != d:
+        raise ValueError(
+            f"mesh axis {ax!r} has {mesh.shape[ax]} devices but "
+            f"ShardConfig.n_shards={d}")
+    _check_pallas_only(cfg, grid, "sharded DFSPH")
+    cl = scfg.local_capacity
+    kh = scfg.halo_capacity
+    interp = interpret_mode()
+    rows3 = cfg.sweep_fused_rows and rows3_supported(grid.size)
+    rloc = 3 if rows3 else 9
+    swin = cfg.resolve_win(rows3)
+    sblock = cfg.resolve_block(rows3)
+    clb = round_up(cl, sblock)
+    qpad = clb - cl
+    src_len = cl + 2 * kh
+    has_b = boundary is not None and boundary.num_boundaries > 0
+    n_rows = 2 * rloc if has_b else rloc
+    _EPS_DENOM = 1e-6
+
+    def padq(a, fillv):
+        if qpad == 0:
+            return a
+        fill = jnp.full((qpad,) + a.shape[1:], fillv, a.dtype)
+        return jnp.concatenate([a, fill])
+
+    def local_step(pos0, vel0, pres0, n_loc, params=params):
+        sctx = _migrate_and_halo(pos0, vel0, pres0, n_loc,
+                                 grid=grid, scfg=scfg)
+        pos, vel = sctx.pos, sctx.vel
+        n_own, own_active = sctx.n_own, sctx.own_active
+        src_pos, src_vel = sctx.src_pos, sctx.src_vel
+        hash_f32 = hash_payload(sctx.src_hash, pos.dtype, grid.size)
+        if adaptive_dt_lambda is not None:
+            params = _adapt_dt(params, vel, own_active, ax,
+                               adaptive_dt_lambda)
+        dt = params.dt
+        pm = params.particle_mass
+
+        # SoA columns for the query side (lane-padding, see CLAUDE.md)
+        pq = tuple(padq(pos[:, k], PARK) for k in range(3))
+        act_q = padq(own_active, False)
+        qcoords = gridlib.cell_coords_cols(grid, *pq)
+
+        def queries(*cols, width):
+            cols = [*pq, *cols]
+            z = jnp.zeros((clb,), pos.dtype)
+            return jnp.stack(list(cols) + [z] * (width - len(cols)),
+                             axis=0).T
+        pk16 = _fused_pack16(src_len, boundary, swin)
+        anchors, miss = plan_windows(sctx.src_hash, qcoords, grid.size,
+                                     sblock,
+                                     padded_len(src_len, swin),
+                                     active_mask=act_q, win=swin,
+                                     pack16=pk16, rows_local=rloc)
+        pvec = PSs.build_pvec(params, cfg, grid)
+        psi_fluid = jnp.full((src_len,), 1.0, pos.dtype) * pm
+
+        if has_b:
+            b_anchors, b_miss = plan_windows(
+                boundary.sorted_hash, qcoords, grid.size, sblock,
+                padded_len(src_len, swin)
+                + padded_len(boundary.num_boundaries, swin),
+                active_mask=act_q,
+                pos_offset=padded_len(src_len, swin),
+                win=swin, pack16=pk16, rows_local=rloc)
+            anchors = fuse_plans(anchors, b_anchors, pack16=pk16,
+                                 rows_local=rloc)
+            miss = miss + b_miss
+            b_hash_f32 = hash_payload(boundary.sorted_hash, pos.dtype,
+                                      grid.size)
+            bzero = jnp.zeros_like(boundary.psi)
+
+            def pack8(vel3=None, slot6=None):
+                v = vel3 if vel3 is not None else jnp.zeros(
+                    (src_len, 3), pos.dtype)
+                s6 = slot6 if slot6 is not None else jnp.zeros(
+                    (src_len,), pos.dtype)
+                return pack_source_fused(
+                    src_pos, hash_f32, [v[:, 0], v[:, 1], v[:, 2], s6],
+                    boundary.pos, b_hash_f32,
+                    [bzero, bzero, bzero, boundary.psi], rows=8,
+                    win=swin)
+        else:
+            def pack8(vel3=None, slot6=None):
+                v = vel3 if vel3 is not None else jnp.zeros(
+                    (src_len, 3), pos.dtype)
+                s6 = slot6 if slot6 is not None else jnp.zeros(
+                    (src_len,), pos.dtype)
+                return pack_source(src_pos, hash_f32, v, s6, win=swin)
+
+        def hop(fields):
+            return _halo_hop(fields, sctx, scfg, n_own)
+
+        nact_f = jnp.maximum(jax.lax.psum(n_own.astype(cfg.dtype), ax), 1.0)
+
+        def mean_active(x):
+            return jax.lax.psum(
+                jnp.sum(jnp.where(own_active, x, 0.0)), ax) / nact_f
+
+        # --- density + DFSPH factor α ---------------------------------------
+        q4 = queries(width=4)
+        src_psi = pack8(slot6=psi_fluid)
+        # self term ψ·W(0) included by the sweep (no self-exclusion)
+        dens = PSs.density_sweep(cfg, q4, src_psi, anchors, pvec,
+                                 grid.size, n_rows=n_rows,
+                                 interpret=interp)[:cl]
+        dens_safe = jnp.maximum(dens, 1e-12)
+        al = PSs.generic_sweep(cfg, PSs.alpha_pair, q4, src_psi, anchors,
+                               pvec, grid.size, out_width=4, n_rows=n_rows,
+                               interpret=interp, include_sq=True,
+                               pair_fn_b=(PSs.alpha_pair if has_b else None),
+                               pair_b_kw=dict(include_sq=False))[:cl]
+        denom = al[:, 0] ** 2 + al[:, 1] ** 2 + al[:, 2] ** 2 + al[:, 3]
+        alpha = dens / jnp.maximum(denom, _EPS_DENOM)
+
+        def drho_of(v):
+            """Velocity-divergence sweep; hops the current ghost
+            velocities (boundary source vel slots are packed zero)."""
+            (src_v,) = hop({"v": jnp.stack(v, axis=1)})
+            q8 = queries(*(padq(vk, 0.0) for vk in v), width=8)
+            src = pack8(vel3=src_v, slot6=psi_fluid)
+            return PSs.generic_sweep(
+                cfg, PSs.drho_pair, q8, src, anchors, pvec, grid.size,
+                out_width=1, n_rows=n_rows, interpret=interp,
+                pair_fn_b=(PSs.drho_pair if has_b else None))[:cl, 0]
+
+        def apply_kappa(kappa, v):
+            """v ← v − dt·Σ ψ(κ_i/ρ_i + κ_j/ρ_j)∇W; hops the fresh κ/ρ."""
+            kd = kappa / dens_safe
+            (src_kd,) = hop({"kd": kd})
+            q_kd = queries(padq(kd, 0.0), width=4)
+            f = PSs.generic_sweep(
+                cfg, PSs.grad_pressure_force_pair, q_kd,
+                pack8(slot6=src_kd), anchors, pvec, grid.size,
+                out_width=4, n_rows=n_rows, interpret=interp,
+                boundary=False,
+                pair_fn_b=(PSs.grad_pressure_force_pair if has_b else None),
+                pair_b_kw=dict(boundary=True, boundary_sign=-1.0))
+            return tuple(v[k] + (dt / pm) * f[:cl, k] for k in range(3))
+
+        # --- divergence-free solve on the incoming velocity field ------------
+        def vcond(carry):
+            v, err, it = carry
+            return (((err > tol_v) | (it < cfg.dfsph_min_iters_v))
+                    & (it < cfg.dfsph_max_iters_v))
+
+        def vbody(carry):
+            v, _, it = carry
+            drho = jnp.maximum(drho_of(v), 0.0)
+            v = apply_kappa(drho * alpha / dt, v)
+            return (v, dt * mean_active(drho), it + 1)
+
+        v0 = tuple(vel[:, k] for k in range(3))
+        init_v = (v0, jnp.asarray(2.0, cfg.dtype) * tol_v,
+                  jnp.asarray(0, jnp.int32))
+        vel_df, err_v, iters_v = jax.lax.while_loop(vcond, vbody, init_v)
+
+        # --- non-pressure forces ----------------------------------------------
+        vel_df_t = jnp.stack(vel_df, axis=1)
+        src_vdf, src_dens = hop({"v": vel_df_t, "d": dens})
+        q8 = queries(*(padq(vk, 0.0) for vk in vel_df),
+                     padq(dens, 0.0), width=8)
+        f_adv = PSs.fluid_force_sweep(cfg, q8, pack8(src_vdf, src_dens),
+                                      anchors, pvec, grid.size,
+                                      include_pressure=False,
+                                      n_rows=n_rows, interpret=interp)
+        f_adv = f_adv[:cl] + pm * params.gravity
+        v_star = tuple(vel_df[k] + (dt / pm) * f_adv[:, k]
+                       for k in range(3))
+
+        # --- constant-density solve on v* -------------------------------------
+        def cond(carry):
+            v, kap, err, it = carry
+            return (((err > tol) | (it < cfg.dfsph_min_iters))
+                    & (it < cfg.dfsph_max_iters))
+
+        def body(carry):
+            v, _, _, it = carry
+            rho_star = dens + dt * drho_of(v)
+            comp = jnp.maximum(rho_star - params.rest_density, 0.0)
+            kappa = comp * alpha / (dt * dt)
+            v = apply_kappa(kappa, v)
+            return (v, kappa, mean_active(comp), it + 1)
+
+        init = (v_star, jnp.zeros_like(dens),
+                jnp.asarray(2.0, cfg.dtype) * tol,
+                jnp.asarray(0, jnp.int32))
+        v_new, kappa, rho_err, iters = jax.lax.while_loop(cond, body, init)
+        vel_new = jnp.stack(v_new, axis=1)
+
+        new_pos = pos + dt * vel_new
+        new_vel = jnp.where(own_active[:, None], vel_new,
+                            jnp.zeros_like(vel))
+        new_pos = jnp.where(own_active[:, None], new_pos,
+                            jnp.full_like(pos, PARK))
+        new_pres = jnp.where(own_active, kappa, 0.0)
+
+        diag = ShardedDiagnostics(
+            max_density=jax.lax.pmax(
+                jnp.max(jnp.where(own_active, dens, 0.0)), ax),
+            mean_density_error=rho_err / params.rest_density,
+            mean_compression=rho_err / params.rest_density,
+            seg_overflow=jax.lax.pmax(miss, ax),
+            halo_overflow=jax.lax.pmax(sctx.halo_overflow, ax),
+            migration_overflow=jax.lax.pmax(sctx.mig_overflow, ax),
+            capacity_overflow=jax.lax.pmax(sctx.cap_overflow, ax),
+            migration_violation=jax.lax.psum(sctx.mig_violation, ax),
+            num_active=jax.lax.psum(n_own, ax),
+            solver_iters=iters + iters_v,
+        )
+        return new_pos, new_vel, new_pres, n_own[None], diag
+
+    pspec = P(ax)
+    rep = P()
+    sharded = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(pspec, pspec, pspec, pspec),
+        out_specs=(pspec, pspec, pspec, pspec,
+                   jax.tree_util.tree_map(lambda _: rep, _diag_struct())),
+        check_vma=False)
+
+    @jax.jit
+    def step(state: FluidState):
+        pos, vel, pres, n_loc, diag = sharded(
+            state.pos, state.vel, state.pressure, state.num_active)
+        return FluidState(pos=pos, vel=vel, pressure=pres,
+                          num_active=n_loc), diag
+
+    return step
