@@ -134,6 +134,49 @@ def build_boundary(grid, positions, vbi, rest_density,
     return BoundaryData(pos=pos_s, psi=psi_s, sorted_hash=sorted_hash)
 
 
+def move_boundary(boundary: BoundaryData, grid, offset=None,
+                  velocity=None) -> BoundaryData:
+    """Prescribed rigid motion for a boundary set (beyond-reference;
+    the upstream framework only supports static boundaries).
+
+    Jit-friendly and fully on-device — call it INSIDE the jitted step with
+    traced ``offset``/``velocity`` (e.g. a wavemaker's ``A·sin(ωt)`` /
+    ``Aω·cos(ωt)``): positions shift, cell hashes are recomputed, and ONE
+    variadic sort re-orders every column (grid.sort_by_hash — applying an
+    argsort permutation would cost element gathers). The offset changing
+    per step does NOT recompile: shapes are static.
+
+    ``offset``  — (3,) rigid translation added to every particle position
+                  (None: positions unchanged, hashes/sort skipped).
+    ``velocity``— (3,) uniform rigid velocity, or (M, 3) per-particle
+                  (e.g. ω×(r−c) for a prescribed rotation about a fixed
+                  axis — positions must then be supplied via ``offset``
+                  per step or re-sampled). None drops to the static
+                  zero-velocity fast path.
+
+    The caller's grid must cover the swept region (``fit_grid`` with
+    margin); ψ is rigid-motion invariant (pure geometry).
+    """
+    pos = boundary.pos
+    vel = None
+    if velocity is not None:
+        vel = jnp.broadcast_to(
+            jnp.asarray(velocity, pos.dtype), pos.shape)
+    if offset is None:
+        return BoundaryData(pos=pos, psi=boundary.psi,
+                            sorted_hash=boundary.sorted_hash, vel=vel)
+    pos = pos + jnp.asarray(offset, pos.dtype)[None, :]
+    h = gridlib.hash_positions(grid, pos)
+    cols = [pos[:, k] for k in range(3)] + [boundary.psi]
+    if vel is not None:
+        cols += [vel[:, k] for k in range(3)]
+    sorted_hash, _, out = gridlib.sort_by_hash(h, *cols)
+    pos_s = jnp.stack(out[0:3], axis=0).T
+    vel_s = jnp.stack(out[4:7], axis=0).T if vel is not None else None
+    return BoundaryData(pos=pos_s, psi=out[3], sorted_hash=sorted_hash,
+                        vel=vel_s)
+
+
 def rehash_boundary(boundary: BoundaryData, grid) -> BoundaryData:
     """Re-sort an existing boundary set against a refit grid.
 

@@ -306,12 +306,16 @@ def fluid_force_pair(q_ref, src_ref, valid, pv, *, kernel_set, st_model,
 
 
 def boundary_force_pair(q_ref, src_ref, valid, pv, *, kernel_set,
-                        include_pressure=True):
+                        include_pressure=True, moving=False):
     """Fused boundary forces: Akinci adhesion + friction + boundary pressure
     (``computeCellForces`` boundary loop, ``sph_kernel_impl.cuh:552-602``;
     pressure term scaling per ``compute_pressure_force``).
 
     src ψ slot (6) = ρ₀·V_b. Output (B, 4): fx fy fz (pad).
+    ``moving`` (trace-time switch, beyond-reference): the boundary region
+    carries prescribed rigid-motion velocities in src rows 3-5 and the
+    friction term uses the relative velocity (v_i − v_b); off, the static
+    path compiles with zero extra VPU ops.
     """
     dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv)
     rl, invrl = _maybe_rl(kernel_set, r2)
@@ -330,7 +334,13 @@ def boundary_force_pair(q_ref, src_ref, valid, pv, *, kernel_set,
     nu = ((2.0 * pv[PV_PM] * pv[PV_PM] * pv[PV_VISC] * pv[PV_VISC]
            * pv[PV_H] * pv[PV_CS]) / (1.0 + 0.01 * pv[PV_H2])) \
         / (dens_i * dens_i)
-    vdotr = (q_ref[:, 3:4] * dx + q_ref[:, 4:5] * dy + q_ref[:, 5:6] * dz)
+    if moving:
+        vdotr = ((q_ref[:, 3:4] - src_ref[3:4, :]) * dx
+                 + (q_ref[:, 4:5] - src_ref[4:5, :]) * dy
+                 + (q_ref[:, 5:6] - src_ref[5:6, :]) * dz)
+    else:
+        vdotr = (q_ref[:, 3:4] * dx + q_ref[:, 4:5] * dy
+                 + q_ref[:, 5:6] * dz)
     cfric = nu * jnp.maximum(vdotr, 0.0) * psi * sd
 
     # boundary pressure: −m · (−m ψ pd2_i) · ∇W_dflt
@@ -546,9 +556,10 @@ def density_sweep(cfg: SimConfig, queries_pos, src, anchors, pvec, gsize,
 
 def fluid_force_sweep(cfg: SimConfig, queries, src, anchors, pvec, gsize,
                       *, include_pressure=True, n_rows=9,
-                      interpret=False):
+                      moving_boundary=False, interpret=False):
     """WCSPH forces; with ``n_rows=18`` the boundary terms (adhesion +
-    friction + boundary pressure) run fused as rows 9-17."""
+    friction + boundary pressure) run fused as rows 9-17.
+    ``moving_boundary``: see :func:`boundary_force_pair`."""
     pair = functools.partial(fluid_force_pair, kernel_set=cfg.kernel_set,
                              st_model=cfg.surface_tension_model,
                              include_pressure=include_pressure)
@@ -556,7 +567,8 @@ def fluid_force_sweep(cfg: SimConfig, queries, src, anchors, pvec, gsize,
     if n_rows in (6, 18):   # two window groups: rows_local fluid + boundary
         pair_b = functools.partial(boundary_force_pair,
                                    kernel_set=cfg.kernel_set,
-                                   include_pressure=include_pressure)
+                                   include_pressure=include_pressure,
+                                   moving=moving_boundary)
     out = neighbor_sweep(
         pair, queries=queries, src=src, anchors=anchors, pvec=pvec,
         gsize=gsize, out_width=4, n_rows=n_rows,

@@ -476,6 +476,7 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
     if cfg.use_pallas():
         from ..solvers.pallas_common import check_pallas_dtype
         check_pallas_dtype(cfg, grid)
+    _check_static_boundary(boundary, "sharded WCSPH")
     cl = scfg.local_capacity
     kh = scfg.halo_capacity
 
@@ -697,6 +698,18 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
     return step
 
 
+def _check_static_boundary(boundary, what: str):
+    """The sharded packs build their boundary velocity rows as zeros;
+    prescribed-motion boundaries (BoundaryData.vel) are a single-chip
+    feature so far — error clearly rather than silently dropping the
+    motion."""
+    if boundary is not None and boundary.vel is not None:
+        raise NotImplementedError(
+            f"{what} does not support moving boundaries yet "
+            "(BoundaryData.vel is set); use the single-chip step or "
+            "drop the velocity field")
+
+
 def _check_pallas_only(cfg: SimConfig, grid: gridlib.Grid, what: str):
     """The sharded IISPH/PCISPH bodies run Pallas window sweeps
     unconditionally (no jnp segment fallback exists for them), so the
@@ -750,6 +763,7 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
             f"mesh axis {ax!r} has {mesh.shape[ax]} devices but "
             f"ShardConfig.n_shards={d}")
     _check_pallas_only(cfg, grid, "sharded IISPH")
+    _check_static_boundary(boundary, "sharded IISPH")
     cl = scfg.local_capacity
     kh = scfg.halo_capacity
     interp = interpret_mode()
@@ -1025,6 +1039,7 @@ def make_sharded_pcisph_step(mesh: Mesh, params: SimParams,
             f"mesh axis {ax!r} has {mesh.shape[ax]} devices but "
             f"ShardConfig.n_shards={d}")
     _check_pallas_only(cfg, grid, "sharded PCISPH")
+    _check_static_boundary(boundary, "sharded PCISPH")
     cl = scfg.local_capacity
     kh = scfg.halo_capacity
     interp = interpret_mode()
@@ -1252,6 +1267,7 @@ def make_sharded_dfsph_step(mesh: Mesh, params: SimParams,
             f"mesh axis {ax!r} has {mesh.shape[ax]} devices but "
             f"ShardConfig.n_shards={d}")
     _check_pallas_only(cfg, grid, "sharded DFSPH")
+    _check_static_boundary(boundary, "sharded DFSPH")
     cl = scfg.local_capacity
     kh = scfg.halo_capacity
     interp = interpret_mode()

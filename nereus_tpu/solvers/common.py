@@ -108,6 +108,10 @@ def boundary_reduce(ctx: NeighborCtx, boundary: Optional[BoundaryData],
     if boundary is None or boundary.num_boundaries == 0 or ctx.bnd_start is None:
         return init
     src = {"pos": boundary.pos, "psi": boundary.psi}
+    if boundary.vel is not None:
+        # moving boundary (beyond-reference): prescribed rigid-motion
+        # velocities enter the velocity-dependent boundary pair terms
+        src["vel"] = boundary.vel
     return neighbor_reduce(pair_fn, init, ctx.bnd_start, ctx.bnd_end,
                            src, i_data, cfg.boundary_seg_window)
 
@@ -240,7 +244,11 @@ def compute_nonpressure_forces(ctx: NeighborCtx, params: SimParams,
         # evaluates to 1 + 0.01 h² — reproduced as written.
         nu = (params.viscosity * ir * params.sound_speed) / \
             jnp.maximum(i["dens"][:, None] ** 2, 1e-12)
-        nom = jnp.maximum(jnp.sum(i["vel"][:, None, :] * rij, axis=-1), 0.0)
+        # moving boundary: friction damps the RELATIVE approach velocity
+        # (v_i − v_b)·r; static boundaries keep the reference's v_i·r
+        dv = (i["vel"][:, None, :] - j["vel"] if "vel" in j
+              else i["vel"][:, None, :])
+        nom = jnp.maximum(jnp.sum(dv * rij, axis=-1), 0.0)
         denom = 1.0 + 0.01 * ir * ir
         pij = -nu * (nom / denom)
         ffric = -(pm * j["psi"] * pij)[..., None] * grad

@@ -91,7 +91,8 @@ def compute_alpha(ctx, params, cfg, boundary, dens):
 
 def compute_drho(ctx, params, cfg, boundary, vel):
     """Velocity-field density derivative Dρ_i/Dt (unclamped):
-    Σ_j m (v_i−v_j)·∇W + Σ_b ψ_b v_i·∇W (static boundaries)."""
+    Σ_j m (v_i−v_j)·∇W + Σ_b ψ_b (v_i−v_b)·∇W (v_b = 0 for static
+    boundaries; prescribed rigid-motion velocity when the boundary moves)."""
     pos = ctx.state.pos
     n = pos.shape[0]
     ir = params.interaction_radius
@@ -112,7 +113,9 @@ def compute_drho(ctx, params, cfg, boundary, vel):
         rij = i["pos"][:, None, :] - j["pos"]
         ok = valid & (jnp.sum(rij * rij, axis=-1) < ir * ir)
         g = _grad(cfg, rij, params)
-        dot = jnp.sum(i["vel"][:, None, :] * g, axis=-1)
+        dv = (i["vel"][:, None, :] - j["vel"] if "vel" in j
+              else i["vel"][:, None, :])
+        dot = jnp.sum(dv * g, axis=-1)
         return {"d": masked(ok, j["psi"] * dot)}
 
     acc = common.boundary_reduce(ctx, boundary, bpair, acc,

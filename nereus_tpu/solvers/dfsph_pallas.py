@@ -59,8 +59,9 @@ def dfsph_step_pallas(state: FluidState, params: SimParams,
     alpha = dens / jnp.maximum(denom, _EPS_DENOM)
 
     def drho_of(v):
-        """Fused velocity-divergence sweep (source vel slots are zero in
-        the boundary region — same pair formula covers both groups)."""
+        """Fused velocity-divergence sweep — the same pair formula covers
+        both window groups (boundary source vel slots carry the prescribed
+        rigid-motion velocities when present, zeros otherwise)."""
         q8 = ctx.queries(*v, width=8)
         src = ctx.pack(vel=v, slot6=psi_fluid)
         return PS.generic_sweep(cfg, PS.drho_pair, q8, src, ctx.anchors,
@@ -102,6 +103,7 @@ def dfsph_step_pallas(state: FluidState, params: SimParams,
     f_adv = PS.fluid_force_sweep(cfg, q8, ctx.pack(vel=vel_df, slot6=dens),
                                  ctx.anchors, pvec, gsize,
                                  include_pressure=False, n_rows=n_rows,
+                                 moving_boundary=ctx.moving_boundary,
                                  interpret=interp)
     g = params.gravity
     v_star = tuple(vel_df[k] + (dt / pm) * (f_adv[:, k] + pm * g[k])

@@ -85,11 +85,12 @@ def compute_dii(ctx, params, cfg, boundary, dens):
 
 
 def compute_rho_adv(ctx, params, cfg, boundary, dens, vel_adv):
-    """ρ_adv = ρ + dt·Σ_j m(v_adv,i − v_adv,j)·∇W + dt·Σ_b ψ·v_i·∇W.
+    """ρ_adv = ρ + dt·Σ_j m(v_adv,i − v_adv,j)·∇W + dt·Σ_b ψ·(v_i−v_b)·∇W.
 
     Reference: ``rho_adv_fluid`` (``:968-1002``) and ``rho_adv_boundary``
     (``:1007-1036``; note the boundary term uses the *pre-advection*
-    velocity v_i, ``:1023`` — reproduced).
+    velocity v_i, ``:1023`` — reproduced). v_b = 0 for static boundaries;
+    moving boundaries (beyond-reference) carry a prescribed velocity.
     """
     pos, vel = ctx.state.pos, ctx.state.vel
     n = pos.shape[0]
@@ -113,7 +114,9 @@ def compute_rho_adv(ctx, params, cfg, boundary, dens, vel_adv):
         rij = i["pos"][:, None, :] - j["pos"]
         ok = valid & (jnp.sum(rij * rij, axis=-1) < ir * ir)
         g = _grad(cfg, rij, params)
-        dot = jnp.sum(i["vel"][:, None, :] * g, axis=-1)
+        dv = (i["vel"][:, None, :] - j["vel"] if "vel" in j
+              else i["vel"][:, None, :])
+        dot = jnp.sum(dv * g, axis=-1)
         return {"r": masked(ok, dt * j["psi"] * dot)}
 
     acc = common.boundary_reduce(ctx, boundary, bpair, acc,

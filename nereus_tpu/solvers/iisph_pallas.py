@@ -53,6 +53,7 @@ def iisph_step_pallas(state: FluidState, params: SimParams,
     f_adv = PS.fluid_force_sweep(cfg, q8, ctx.pack(vel=vel, slot6=dens),
                                  ctx.anchors, pvec, gsize,
                                  include_pressure=False, n_rows=n_rows,
+                                 moving_boundary=ctx.moving_boundary,
                                  interpret=interp)
     g = params.gravity
     vel_adv = tuple(v + (dt / pm) * (f_adv[:, k] + pm * g[k])

@@ -70,9 +70,12 @@ class PallasCtx:
                             # windows) or 9
     win: int                # window width (cfg.sweep_win)
     interp: bool
-    b_pos: Optional[tuple] = None          # boundary columns (static)
+    b_pos: Optional[tuple] = None          # boundary columns
     b_hash_f32: Optional[jax.Array] = None
     b_psi: Optional[jax.Array] = None
+    b_vel: Optional[tuple] = None          # prescribed boundary velocity
+                                           # columns (moving boundaries);
+                                           # None = static fast path
     anchors_f: Optional[jax.Array] = None  # fluid-only plan
 
     @property
@@ -101,10 +104,20 @@ class PallasCtx:
         # ~1 ms for the transpose)
         return jnp.stack(cols, axis=0).T
 
+    @property
+    def moving_boundary(self) -> bool:
+        """Static trace-time switch: prescribed boundary velocities present."""
+        return self.b_vel is not None
+
     # -- fused source packing -------------------------------------------
     def _bcols(self, slot6_b):
+        # rows 3-5 of the boundary region carry the prescribed rigid-motion
+        # velocities when present (they enter drho/ρ_adv/friction pair math
+        # through the same src slots the fluid velocities use); zeros keep
+        # the static-boundary semantics bit-identical
         zeros = jnp.zeros_like(self.b_psi)
-        return [zeros, zeros, zeros,
+        v = self.b_vel if self.b_vel is not None else (zeros, zeros, zeros)
+        return [v[0], v[1], v[2],
                 self.b_psi if slot6_b is None else slot6_b]
 
     def pack(self, vel=None, slot6=None, slot6_b=None, pos_override=None):
@@ -244,6 +257,8 @@ def build_pallas_ctx(state: FluidState, params: SimParams,
                       b_hash_f32=hash_payload(boundary.sorted_hash, px.dtype,
                                              grid.size),
                       b_psi=boundary.psi)
+        if boundary.vel is not None:
+            kwargs["b_vel"] = tuple(boundary.vel[:, k] for k in range(3))
     return PallasCtx(
         px=px, py=py, pz=pz, vx=vx, vy=vy, vz=vz, pres_prev=pres_prev,
         active=active,

@@ -57,6 +57,7 @@ def pcisph_step_pallas(state: FluidState, params: SimParams,
     f_adv = PS.fluid_force_sweep(cfg, q8, ctx.pack(vel=vel, slot6=dens),
                                  ctx.anchors, pvec, gsize,
                                  include_pressure=False, n_rows=n_rows,
+                                 moving_boundary=ctx.moving_boundary,
                                  interpret=interp)
     f_adv = tuple(f_adv[:, k] + pm * g[k] for k in range(3))
 

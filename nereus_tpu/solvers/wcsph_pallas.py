@@ -57,7 +57,9 @@ def wcsph_step_pallas(state: FluidState, params: SimParams,
     q8 = ctx.queries(*vel, dens, pd2)
     src_f = ctx.update_rows(src_d, 6, [dens])
     force = PS.fluid_force_sweep(cfg, q8, src_f, ctx.anchors, pvec, gsize,
-                                 n_rows=n_rows, interpret=interp)
+                                 n_rows=n_rows,
+                                 moving_boundary=ctx.moving_boundary,
+                                 interpret=interp)
     fx, fy, fz = (force[:, k] for k in range(3))
 
     # -- symplectic Euler (``integrate_functor``) --------------------------

@@ -43,18 +43,27 @@ class FluidState:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class BoundaryData:
-    """Static (rigid) boundary particles, pre-sorted by cell hash once.
+    """Rigid boundary particles, sorted by cell hash.
 
     Analogue of the boundary arrays built by ``SPH::updateGpuBoundaries``
     (``sph/sph.cpp:391-432``): positions + Akinci ψ = ρ₀·V_bi per particle
     (ψ use sites: ``sph_kernel_impl.cuh:349,573``). ``sorted_hash`` replaces
     the boundary cellStart/cellEnd tables — fluid particles binary-search it
     per step for their 9 boundary row segments.
+
+    ``vel`` (optional, beyond-reference) carries prescribed rigid-motion
+    velocities for moving boundaries (wavemaker piston, moving gate — see
+    :func:`nereus_tpu.boundary.move_boundary`). ``None`` means a static
+    boundary (the reference's only mode); the solvers then compile the
+    zero-velocity fast path. With velocities present they enter every
+    velocity-dependent boundary term: WCSPH friction Π ∝ max((v_i−v_b)·r, 0),
+    the IISPH ρ_adv divergence, and the DFSPH Δρ divergence.
     """
 
     pos: jax.Array         # (M, 3) sorted by cell hash
     psi: jax.Array         # (M,)   rest_density * vbi, sorted
     sorted_hash: jax.Array # (M,)   int32, ascending
+    vel: jax.Array | None = None   # (M, 3) prescribed velocities, sorted
 
     @property
     def num_boundaries(self) -> int:
