@@ -95,6 +95,14 @@ def _build_parser():
                           "step (the reference's disabled #if 0 block, "
                           "sph.cpp:217); all solvers, single-chip and "
                           "sharded")
+    run.add_argument("--wavemaker", default=None, metavar="AXIS:AMP:HZ",
+                     help="oscillate the boundary box rigidly along AXIS "
+                          "(x/y/z): offset A*sin(2*pi*f*t), velocity "
+                          "A*2*pi*f*cos(2*pi*f*t) — prescribed-motion "
+                          "boundaries (beyond-reference; "
+                          "boundary.move_boundary runs on device inside "
+                          "the jitted step). Single-chip, fixed dt, "
+                          "static grid; e.g. x:0.05:2")
 
     sub.add_parser("info", help="print device/platform info")
     return p
@@ -148,7 +156,32 @@ def _make_setup(args):
     state, grid, boundary = scenelib.dam_break(
         params, cfg, n_target=args.n_target,
         with_boundary=not args.no_boundary, **scene_kw)
+    if args.wavemaker:
+        # widen the grid so it covers the piston's full sweep, then
+        # re-sort the boundary against the widened grid
+        from nereus_tpu.boundary import rehash_boundary
+        axis, amp, _ = _parse_wavemaker(args.wavemaker)
+        cell = float(np.asarray(grid.cell).reshape(-1)[0])
+        lo = np.asarray(grid.origin, np.float64)
+        hi = lo + np.asarray(grid.size, np.float64) * cell
+        pad = np.zeros(3)
+        pad[axis] = float(amp) + cell
+        grid = nt.fit_grid(lo - pad, hi + pad, cell)
+        if boundary is not None:
+            boundary = rehash_boundary(boundary, grid)
     return cfg, params, state, grid, boundary
+
+
+def _parse_wavemaker(spec: str):
+    """'AXIS:AMP:HZ' → (axis index, amplitude, angular frequency)."""
+    try:
+        axis_s, amp_s, hz_s = spec.split(":")
+        axis = {"x": 0, "y": 1, "z": 2}[axis_s.lower()]
+        return axis, float(amp_s), 2.0 * np.pi * float(hz_s)
+    except (ValueError, KeyError):
+        raise SystemExit(
+            f"--wavemaker expects AXIS:AMP:HZ (e.g. x:0.05:2), got "
+            f"{spec!r}")
 
 
 def _run_desc(args, params, grid):
@@ -169,12 +202,13 @@ def _run_desc(args, params, grid):
         # factor and silently alters the physics of a restored state)
         "particle_mass": float(np.asarray(params.particle_mass)),
         "grid_size": np.asarray(grid.size).tolist(),
+        "wavemaker": args.wavemaker,
     }
 
 
 # Header keys that must match between a checkpoint and the resuming run.
 _RESUME_KEYS = ("solver", "scene", "kernel_set", "surface_tension",
-                "boundary", "n_target", "dt", "particle_mass")
+                "boundary", "n_target", "dt", "particle_mass", "wavemaker")
 
 
 def cmd_run(args):
@@ -189,6 +223,17 @@ def cmd_run(args):
     enable_compilation_cache()
 
     log = get_logger()
+    if args.wavemaker:
+        _parse_wavemaker(args.wavemaker)  # validate early
+        for flag, name in ((args.shards > 1, "--shards"),
+                           (args.adaptive_dt, "--adaptive-dt"),
+                           (args.refit_every, "--refit-every"),
+                           (args.no_boundary, "--no-boundary")):
+            if flag:
+                log.error("--wavemaker is incompatible with %s "
+                          "(single-chip, fixed dt, static grid, needs a "
+                          "boundary)", name)
+                return 2
     cfg, params, state, grid, boundary = _make_setup(args)
     desc = _run_desc(args, params, grid)
     step0 = 0
@@ -293,13 +338,28 @@ def cmd_run(args):
                              p.dt)
             return dataclasses.replace(p, dt=dt)
 
+        wm = _parse_wavemaker(args.wavemaker) if args.wavemaker else None
+
+        def bd_at(t):
+            # prescribed rigid oscillation, built on device each step
+            # (the traced t never recompiles)
+            if wm is None:
+                return boundary
+            from nereus_tpu.boundary import move_boundary
+            axis, amp, om = wm
+            unit = jnp.zeros(3, cfg.dtype).at[axis].set(1.0)
+            return move_boundary(
+                boundary, grid, offset=unit * (amp * jnp.sin(om * t)),
+                velocity=unit * (amp * om * jnp.cos(om * t)))
+
         if args.solver == "pcisph":
             denom = nt.pcisph_grad_denom(params, cfg)
 
-            def _step(s):
+            def _step(s, t=None):
                 p2 = maybe_adapt(s, params)
                 return nt.pcisph_step(
-                    s, p2, grid, cfg, boundary,
+                    s, p2, grid, cfg,
+                    boundary if t is None else bd_at(t),
                     delta=nt.pcisph_delta_from_denom(p2, denom))
 
             step = jax.jit(_step)
@@ -307,8 +367,12 @@ def cmd_run(args):
             solver = {"wcsph": nt.wcsph_step,
                       "iisph": nt.iisph_step,
                       "dfsph": nt.dfsph_step}[args.solver]
-            step = jax.jit(lambda s: solver(
-                s, maybe_adapt(s, params), grid, cfg, boundary))
+
+            def _step(s, t=None):
+                return solver(s, maybe_adapt(s, params), grid, cfg,
+                              boundary if t is None else bd_at(t))
+
+            step = jax.jit(_step)
         return step, host_state, lambda s: s
 
     try:
@@ -372,7 +436,13 @@ def cmd_run(args):
                              len(drop_pts), n)
                 except ValueError as e:
                     log.warning("drop skipped: %s", e)
-            run_state, diag = step(run_state)
+            if args.wavemaker:
+                import jax.numpy as jnp
+                t_sim = i * float(np.asarray(params.dt))
+                run_state, diag = step(run_state, jnp.asarray(
+                    t_sim, cfg.dtype))
+            else:
+                run_state, diag = step(run_state)
             track_overflow(diag)
             meter.tick()
             if exporter is not None and i % args.export_every == 0:

@@ -202,3 +202,23 @@ def test_cli_segments_engine(capsys):
     assert rc == 0
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["seg_overflow"] == 0
+
+
+def test_cli_wavemaker(capsys):
+    """--wavemaker drives a prescribed boundary oscillation (grid widened
+    to cover the sweep; move_boundary runs inside the jitted step)."""
+    rc = cli_main(["run", "--solver", "wcsph", "--steps", "6",
+                   "--wavemaker", "x:0.03:2"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["seg_overflow"] == 0
+    assert np.isfinite(summary["mean_density_error"])
+
+
+def test_cli_wavemaker_incompatible_flags(capsys):
+    assert cli_main(["run", "--wavemaker", "x:0.03:2",
+                     "--shards", "2"]) == 2
+    assert cli_main(["run", "--wavemaker", "x:0.03:2",
+                     "--adaptive-dt", "0.4"]) == 2
+    with pytest.raises(SystemExit):
+        cli_main(["run", "--wavemaker", "bogus"])
