@@ -134,38 +134,70 @@ def build_boundary(grid, positions, vbi, rest_density,
     return BoundaryData(pos=pos_s, psi=psi_s, sorted_hash=sorted_hash)
 
 
+def rotation_matrix(axis, angle):
+    """Rodrigues rotation matrix (jnp; ``axis``/``angle`` may be traced)."""
+    a = jnp.asarray(axis, jnp.float32)
+    a = a / jnp.sqrt(jnp.sum(a * a))
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    z = jnp.zeros_like(a[0])
+    K = jnp.stack([jnp.stack([z, -a[2], a[1]]),
+                   jnp.stack([a[2], z, -a[0]]),
+                   jnp.stack([-a[1], a[0], z])])
+    return jnp.eye(3) + s * K + (1.0 - c) * (K @ K)
+
+
 def move_boundary(boundary: BoundaryData, grid, offset=None,
-                  velocity=None) -> BoundaryData:
+                  velocity=None, rotation=None, omega=None,
+                  center=None) -> BoundaryData:
     """Prescribed rigid motion for a boundary set (beyond-reference;
     the upstream framework only supports static boundaries).
 
     Jit-friendly and fully on-device — call it INSIDE the jitted step with
-    traced ``offset``/``velocity`` (e.g. a wavemaker's ``A·sin(ωt)`` /
-    ``Aω·cos(ωt)``): positions shift, cell hashes are recomputed, and ONE
-    variadic sort re-orders every column (grid.sort_by_hash — applying an
-    argsort permutation would cost element gathers). The offset changing
-    per step does NOT recompile: shapes are static.
+    traced motion parameters (e.g. a wavemaker's ``A·sin(ωt)`` offset /
+    ``Aω·cos(ωt)`` velocity, or a drum's ``θ(t)`` rotation): positions
+    transform, cell hashes are recomputed, and ONE variadic sort re-orders
+    every column (grid.sort_by_hash — applying an argsort permutation
+    would cost element gathers). Parameters changing per step do NOT
+    recompile: shapes are static.
 
-    ``offset``  — (3,) rigid translation added to every particle position
-                  (None: positions unchanged, hashes/sort skipped).
-    ``velocity``— (3,) uniform rigid velocity, or (M, 3) per-particle
-                  (e.g. ω×(r−c) for a prescribed rotation about a fixed
-                  axis — positions must then be supplied via ``offset``
-                  per step or re-sampled). None drops to the static
-                  zero-velocity fast path.
+    New position: ``p' = center + R·(p₀ − center) + offset``; velocities
+    packed into the solvers' boundary terms: ``v_b = velocity +
+    ω × (p' − center)``.
 
-    The caller's grid must cover the swept region (``fit_grid`` with
-    margin); ψ is rigid-motion invariant (pure geometry).
+    ``offset``  — (3,) rigid translation (None: no translation).
+    ``velocity``— (3,) uniform rigid velocity, or (M, 3) per-particle.
+    ``rotation``— (3, 3) rotation matrix (see :func:`rotation_matrix`)
+                  applied about ``center`` — rotating drum / stirrer.
+    ``omega``   — (3,) angular velocity; adds the per-particle ω×r term.
+    ``center``  — (3,) rotation center (default: origin).
+    ``None`` everywhere velocity-like drops to the static zero-velocity
+    fast path.
+
+    Pass the ORIGINAL (t = 0) boundary with absolute motion parameters
+    each step (θ(t), offset(t)) — compounding small increments would
+    accumulate error. The caller's grid must cover the swept region
+    (``fit_grid`` with margin); ψ is rigid-motion invariant (geometry).
     """
     pos = boundary.pos
+    if center is not None:
+        center = jnp.asarray(center, pos.dtype)
+    if rotation is not None:
+        c = 0.0 if center is None else center
+        pos = (pos - c) @ jnp.asarray(rotation, pos.dtype).T + c
     vel = None
     if velocity is not None:
         vel = jnp.broadcast_to(
             jnp.asarray(velocity, pos.dtype), pos.shape)
-    if offset is None:
+    if omega is not None:
+        c = 0.0 if center is None else center
+        w = jnp.asarray(omega, pos.dtype)
+        spin = jnp.cross(jnp.broadcast_to(w, pos.shape), pos - c)
+        vel = spin if vel is None else vel + spin
+    if offset is None and rotation is None:
         return BoundaryData(pos=pos, psi=boundary.psi,
                             sorted_hash=boundary.sorted_hash, vel=vel)
-    pos = pos + jnp.asarray(offset, pos.dtype)[None, :]
+    if offset is not None:
+        pos = pos + jnp.asarray(offset, pos.dtype)[None, :]
     h = gridlib.hash_positions(grid, pos)
     cols = [pos[:, k] for k in range(3)] + [boundary.psi]
     if vel is not None:

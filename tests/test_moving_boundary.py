@@ -155,3 +155,75 @@ def test_piston_pushes_fluid():
     # momentum transferred along +x by the advancing left wall (the wall
     # has swept 0.09 by now, well past the initial 0.054 gap)
     assert float(v[:, 0].mean()) > 0.05, float(v[:, 0].mean())
+
+
+def test_rotation_matrix_basics():
+    R = np.asarray(B.rotation_matrix((0.0, 0.0, 1.0), jnp.float32(np.pi / 2)))
+    np.testing.assert_allclose(R @ np.array([1.0, 0, 0]),
+                               np.array([0.0, 1.0, 0.0]), atol=1e-6)
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
+
+
+def test_move_boundary_rotation_matches_rebuild():
+    """Rotating about the box center == rebuilding from host-rotated
+    positions (ψ is rotation-invariant)."""
+    cfg = nt.SimConfig()
+    params = nt.make_params()
+    _, grid, bd = _dam(params, cfg)
+    center = np.asarray(bd.pos).mean(axis=0)
+    ang = 0.35
+    R = B.rotation_matrix((0.0, 1.0, 0.0), jnp.float32(ang))
+
+    moved = jax.jit(lambda b: B.move_boundary(
+        b, grid, rotation=R, center=center))(bd)
+    host_rot = (np.asarray(bd.pos) - center) @ np.asarray(R).T + center
+    rebuilt = B.build_boundary(
+        grid, host_rot, np.asarray(bd.psi) / float(params.rest_density),
+        float(params.rest_density))
+    np.testing.assert_array_equal(np.asarray(moved.sorted_hash),
+                                  np.asarray(rebuilt.sorted_hash))
+
+    def key(b):
+        p = np.asarray(b.pos)
+        return np.lexsort((p[:, 2], p[:, 1], p[:, 0]))
+
+    np.testing.assert_allclose(np.asarray(moved.pos)[key(moved)],
+                               np.asarray(rebuilt.pos)[key(rebuilt)],
+                               atol=1e-5)
+
+
+def test_omega_spin_velocities():
+    """omega packs v_b = ω × (p − c) per particle (checked post-sort by
+    matching on positions)."""
+    cfg = nt.SimConfig()
+    params = nt.make_params()
+    _, grid, bd = _dam(params, cfg)
+    c = np.array([0.1, 0.2, 0.5], np.float32)
+    w = np.array([0.0, 0.0, 3.0], np.float32)
+    moved = B.move_boundary(bd, grid, omega=w, center=c)
+    p = np.asarray(moved.pos)
+    v = np.asarray(moved.vel)
+    np.testing.assert_allclose(v, np.cross(np.broadcast_to(w, p.shape),
+                                           p - c), atol=1e-5)
+
+
+def test_rotating_boundary_engine_equivalence():
+    """Per-particle boundary velocities (spin) agree between engines."""
+    params = nt.dfsph_params()
+    cfg_o = nt.SimConfig(engine="segments")
+    cfg_p = nt.SimConfig(engine="pallas")
+    state, grid, bd0 = _dam(params, cfg_o)
+    center = np.asarray(bd0.pos).mean(axis=0)
+    R = B.rotation_matrix((0.0, 1.0, 0.0), jnp.float32(0.12))
+    bd = B.move_boundary(bd0, grid, rotation=R, center=center,
+                         omega=jnp.asarray([0.0, 2.0, 0.0]))
+
+    s_o, _ = jax.jit(lambda s: nt.dfsph_step(s, params, grid, cfg_o,
+                                             bd))(state)
+    s_p, d_p = jax.jit(lambda s: nt.dfsph_step(s, params, grid, cfg_p,
+                                               bd))(state)
+    assert int(d_p.seg_overflow) == 0
+    np.testing.assert_allclose(np.asarray(s_o.pos), np.asarray(s_p.pos),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s_o.vel), np.asarray(s_p.vel),
+                               atol=2e-3)
