@@ -30,6 +30,36 @@ import time
 BASELINE_PARTICLE_STEPS_PER_SEC = 1.0e7
 
 
+def _require_devices(timeout_s: float = 300.0):
+    """Fail fast (with the contract JSON line) when the TPU runtime never
+    comes up. ``jax.devices()`` over the tunneled runtime HANGS forever when
+    the relay is down (observed round 4) — a bench that hangs produces no
+    JSON at all, which is worse than an honest zero."""
+    import threading
+    done = threading.Event()
+    out = {}
+
+    def probe():
+        import jax
+        out["devices"] = jax.devices()
+        done.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    if not done.wait(timeout_s):
+        print(json.dumps({
+            "metric": "wcsph_particle_steps_per_sec_1M",
+            "value": 0.0,
+            "unit": "particle-steps/sec",
+            "vs_baseline": 0.0,
+        }))
+        print(f"# bench failed: device init did not complete within "
+              f"{timeout_s:.0f}s (TPU tunnel down?)", file=sys.stderr)
+        import os
+        os._exit(1)
+    return out["devices"]
+
+
 def _chain_and_time(step_fn, state, n_steps):
     import jax
     import jax.numpy as jnp
@@ -201,6 +231,7 @@ def run_case(name, n_steps=10):
 
 
 def main():
+    _require_devices()
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", action="store_true",
                     help="run every BASELINE.md case (one JSON line each)")
