@@ -10,7 +10,8 @@ TPU: static shapes, one fully-jitted step with zero host sync, sorted
 from .params import (KernelSet, SimConfig, SimParams, SurfaceTensionModel,
                      dfsph_params, iisph_params, make_params, pcisph_params)
 from .grid import Grid, fit_grid, make_grid, refit_grid
-from .state import BoundaryData, FluidState, add_particles, make_fluid_state
+from .state import (BoundaryData, FluidState, add_particles,
+                    make_fluid_state, remove_particles)
 from .boundary import move_boundary, rotation_matrix
 from .solvers.wcsph import wcsph_step, tait_pressure, cfl_dt
 from .solvers.iisph import iisph_step
@@ -25,7 +26,7 @@ __all__ = [
     "dfsph_params", "iisph_params", "make_params", "pcisph_params",
     "Grid", "fit_grid", "make_grid", "refit_grid",
     "BoundaryData", "FluidState", "add_particles", "make_fluid_state",
-    "move_boundary", "rotation_matrix",
+    "remove_particles", "move_boundary", "rotation_matrix",
     "wcsph_step", "tait_pressure", "cfl_dt",
     "iisph_step", "dfsph_step", "pcisph_step", "pcisph_delta",
     "pcisph_delta_from_denom", "pcisph_grad_denom",

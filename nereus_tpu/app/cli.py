@@ -95,6 +95,13 @@ def _build_parser():
                           "step (the reference's disabled #if 0 block, "
                           "sph.cpp:217); all solvers, single-chip and "
                           "sharded")
+    run.add_argument("--outflow", default=None,
+                     metavar="AXIS:below|above:VALUE",
+                     help="open-boundary outflow: every step, remove "
+                          "particles past the plane (e.g. y:below:0.02 "
+                          "drains everything that falls below y=0.02) — "
+                          "remove_particles keeps shapes static and the "
+                          "live count traced (no recompile); single-chip")
     run.add_argument("--wavemaker", default=None, metavar="AXIS:AMP:HZ",
                      help="oscillate the boundary box rigidly along AXIS "
                           "(x/y/z): offset A*sin(2*pi*f*t), velocity "
@@ -172,6 +179,20 @@ def _make_setup(args):
     return cfg, params, state, grid, boundary
 
 
+def _parse_outflow(spec: str):
+    """'AXIS:below|above:VALUE' → (axis index, keep_above bool, value)."""
+    try:
+        axis_s, dir_s, val_s = spec.split(":")
+        axis = {"x": 0, "y": 1, "z": 2}[axis_s.lower()]
+        if dir_s not in ("below", "above"):
+            raise ValueError(dir_s)
+        return axis, dir_s == "below", float(val_s)
+    except (ValueError, KeyError):
+        raise SystemExit(
+            f"--outflow expects AXIS:below|above:VALUE (e.g. "
+            f"y:below:0.02), got {spec!r}")
+
+
 def _parse_wavemaker(spec: str):
     """'AXIS:AMP:HZ' → (axis index, amplitude, angular frequency)."""
     try:
@@ -223,6 +244,19 @@ def cmd_run(args):
     enable_compilation_cache()
 
     log = get_logger()
+    drain = None
+    if args.outflow:
+        if args.shards > 1:
+            log.error("--outflow is single-chip only")
+            return 2
+        import jax.numpy as jnp
+        axis, drop_below, value = _parse_outflow(args.outflow)
+
+        @jax.jit
+        def drain(s):
+            col = s.pos[:, axis]
+            keep = (col >= value) if drop_below else (col <= value)
+            return nt.remove_particles(s, keep)
     if args.wavemaker:
         _parse_wavemaker(args.wavemaker)  # validate early
         for flag, name in ((args.shards > 1, "--shards"),
@@ -443,6 +477,8 @@ def cmd_run(args):
                     t_sim, cfg.dtype))
             else:
                 run_state, diag = step(run_state)
+            if drain is not None:
+                run_state = drain(run_state)
             track_overflow(diag)
             meter.tick()
             if exporter is not None and i % args.export_every == 0:
@@ -456,6 +492,9 @@ def cmd_run(args):
                                 to_host(run_state), step=i, extra=desc)
         jax.block_until_ready(run_state.pos)
     dt_wall = time.perf_counter() - t0
+    if drain is not None:
+        # the live count changed on device; refresh for the summary
+        n = int(np.asarray(to_host(run_state).num_active).sum())
     if exporter is not None:
         exporter.close()
 

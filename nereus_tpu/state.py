@@ -99,6 +99,39 @@ def add_particles(state: FluidState, positions, velocities=None
     )
 
 
+def remove_particles(state: FluidState, keep) -> FluidState:
+    """Deactivate particles where ``keep`` is False (open-boundary
+    outflow, drains — beyond-reference: the upstream app only ever ADDS
+    particles, ``sph/sph.cpp:341-368``).
+
+    Fully traced and jit-friendly (``num_active`` is already a traced
+    value, so a changing live count never recompiles): ONE stable variadic
+    sort moves the keepers to the front in their original relative order
+    (the same no-gather pattern as ``grid.sort_by_hash``), the dropped
+    slots are parked at the sentinel position, and the live count drops to
+    the number of keepers.
+
+    ``keep`` — (capacity,) bool; slots already inactive stay inactive.
+    """
+    import jax.numpy as _jnp
+    keep = _jnp.asarray(keep, bool) & state.active_mask()
+    key = (~keep).astype(_jnp.int32)   # keepers (0) sort before dropped (1)
+    ops = (key,
+           state.pos[:, 0], state.pos[:, 1], state.pos[:, 2],
+           state.vel[:, 0], state.vel[:, 1], state.vel[:, 2],
+           state.pressure)
+    out = jax.lax.sort(ops, num_keys=1, is_stable=True)
+    new_n = _jnp.sum(keep).astype(state.num_active.dtype)
+    live = _jnp.arange(state.capacity) < new_n
+    pos = _jnp.where(live[:, None], _jnp.stack(out[1:4], axis=0).T, 1e9)
+    vel = _jnp.where(live[:, None], _jnp.stack(out[4:7], axis=0).T, 0.0)
+    pres = _jnp.where(live, out[7], 0.0)
+    return FluidState(pos=pos.astype(state.pos.dtype),
+                      vel=vel.astype(state.vel.dtype),
+                      pressure=pres.astype(state.pressure.dtype),
+                      num_active=new_n)
+
+
 def make_fluid_state(positions, velocities=None, capacity=None,
                      dtype=jnp.float32) -> FluidState:
     """Build a FluidState from host arrays, padding to ``capacity``.

@@ -222,3 +222,47 @@ def test_cli_wavemaker_incompatible_flags(capsys):
                      "--adaptive-dt", "0.4"]) == 2
     with pytest.raises(SystemExit):
         cli_main(["run", "--wavemaker", "bogus"])
+
+
+def test_remove_particles_semantics():
+    """remove_particles: keepers stay in order at the front, dropped slots
+    park at the sentinel, live count drops — all traced (jit once)."""
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(3)
+    pos = rng.uniform(0, 1, (50, 3))
+    vel = rng.normal(size=(50, 3))
+    state = nt.make_fluid_state(pos, velocities=vel, capacity=64)
+
+    @jax.jit
+    def drop_low_x(s):
+        return nt.remove_particles(s, s.pos[:, 0] >= 0.5)
+
+    out = drop_low_x(state)
+    keep = pos[:, 0] >= 0.5
+    k = int(keep.sum())
+    assert int(out.num_active) == k
+    np.testing.assert_allclose(np.asarray(out.pos)[:k],
+                               pos[keep].astype(np.float32), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.vel)[:k],
+                               vel[keep].astype(np.float32), atol=1e-6)
+    assert (np.asarray(out.pos)[k:] == 1e9).all()
+    assert (np.asarray(out.vel)[k:] == 0).all()
+    # freed slots are reusable
+    again = nt.add_particles(out, np.full((64 - k, 3), 0.3))
+    assert int(again.num_active) == 64
+    # already-inactive slots stay inactive even when keep says True
+    out2 = drop_low_x(out)
+    assert int(out2.num_active) == k
+
+
+def test_cli_outflow_drains(capsys):
+    """A free-falling cube with no boundary + a drain plane loses
+    particles (the reference can only ever add)."""
+    rc = cli_main(["run", "--solver", "wcsph", "--steps", "60",
+                   "--no-boundary", "--outflow", "y:below:-0.05"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["seg_overflow"] == 0
+    n0 = 2197  # default dam-break cube at the default n-target
+    assert summary["particles"] < n0, summary["particles"]
