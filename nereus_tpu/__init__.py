@@ -11,7 +11,8 @@ from .params import (KernelSet, SimConfig, SimParams, SurfaceTensionModel,
                      dfsph_params, iisph_params, make_params, pcisph_params)
 from .grid import Grid, fit_grid, make_grid, refit_grid
 from .state import (BoundaryData, FluidState, add_particles,
-                    make_fluid_state, remove_particles)
+                    add_particles_traced, make_fluid_state,
+                    remove_particles)
 from .boundary import move_boundary, rotation_matrix
 from .solvers.wcsph import wcsph_step, tait_pressure, cfl_dt
 from .solvers.iisph import iisph_step
@@ -25,8 +26,9 @@ __all__ = [
     "KernelSet", "SimConfig", "SimParams", "SurfaceTensionModel",
     "dfsph_params", "iisph_params", "make_params", "pcisph_params",
     "Grid", "fit_grid", "make_grid", "refit_grid",
-    "BoundaryData", "FluidState", "add_particles", "make_fluid_state",
-    "remove_particles", "move_boundary", "rotation_matrix",
+    "BoundaryData", "FluidState", "add_particles", "add_particles_traced",
+    "make_fluid_state", "remove_particles", "move_boundary",
+    "rotation_matrix",
     "wcsph_step", "tait_pressure", "cfl_dt",
     "iisph_step", "dfsph_step", "pcisph_step", "pcisph_delta",
     "pcisph_delta_from_denom", "pcisph_grad_denom",

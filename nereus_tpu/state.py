@@ -99,6 +99,41 @@ def add_particles(state: FluidState, positions, velocities=None
     )
 
 
+def add_particles_traced(state: FluidState, positions, velocities=None):
+    """Jit-friendly emission: ``add_particles`` with a traced live count.
+
+    Inside a jitted step (or a ``lax.fori_loop``-chained run) the host
+    ``int(num_active)`` sync and the Python ``raise`` of
+    :func:`add_particles` are unavailable; this version writes the k new
+    particles at slots ``[n, n+k)`` with ``dynamic_update_slice`` and, when
+    they would not fit, emits NOTHING and reports it — returns
+    ``(new_state, overflow)`` where overflow is the number of particles
+    that could not be emitted (0 on success), an on-device diagnostic in
+    the same spirit as ``seg_overflow``.
+    """
+    positions = jnp.asarray(positions, dtype=state.pos.dtype)
+    k = positions.shape[0]
+    if velocities is None:
+        velocities = jnp.zeros_like(positions)
+    velocities = jnp.broadcast_to(
+        jnp.asarray(velocities, dtype=state.vel.dtype), positions.shape)
+    n = state.num_active
+    ok = n + k <= state.capacity
+    # clamp the write start so the slice stays in bounds even when the
+    # emission is rejected (the select below discards the write then)
+    start = jnp.minimum(n, state.capacity - k).astype(jnp.int32)
+    pos2 = jax.lax.dynamic_update_slice(state.pos, positions, (start, 0))
+    vel2 = jax.lax.dynamic_update_slice(state.vel, velocities, (start, 0))
+    new = FluidState(
+        pos=jnp.where(ok, pos2, state.pos),
+        vel=jnp.where(ok, vel2, state.vel),
+        pressure=state.pressure,
+        num_active=jnp.where(ok, n + k, n).astype(n.dtype),
+    )
+    overflow = jnp.where(ok, 0, k).astype(jnp.int32)
+    return new, overflow
+
+
 def remove_particles(state: FluidState, keep) -> FluidState:
     """Deactivate particles where ``keep`` is False (open-boundary
     outflow, drains — beyond-reference: the upstream app only ever ADDS

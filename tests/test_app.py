@@ -266,3 +266,72 @@ def test_cli_outflow_drains(capsys):
     assert summary["seg_overflow"] == 0
     n0 = 2197  # default dam-break cube at the default n-target
     assert summary["particles"] < n0, summary["particles"]
+
+
+def test_add_particles_traced_semantics():
+    import jax
+    import jax.numpy as jnp
+    state = nt.make_fluid_state(np.zeros((4, 3)) + 0.2, capacity=10)
+    pts = np.full((3, 3), 0.4, np.float32)
+
+    @jax.jit
+    def emit(s):
+        return nt.add_particles_traced(s, pts, velocities=jnp.ones(3))
+
+    s1, ovf = emit(state)
+    assert int(ovf) == 0 and int(s1.num_active) == 7
+    np.testing.assert_allclose(np.asarray(s1.pos)[4:7], pts)
+    np.testing.assert_allclose(np.asarray(s1.vel)[4:7], 1.0)
+    s2, ovf = emit(s1)
+    assert int(ovf) == 0 and int(s2.num_active) == 10
+    # would not fit: emits NOTHING, reports the count, state unchanged
+    s3, ovf = emit(s2)
+    assert int(ovf) == 3 and int(s3.num_active) == 10
+    np.testing.assert_array_equal(np.asarray(s3.pos), np.asarray(s2.pos))
+
+
+def test_fountain_emit_and_drain():
+    """Flow-through pipeline fully inside one jitted step: a nozzle emits
+    every step, a drain plane removes — the live count stays bounded by
+    capacity while particles cycle through."""
+    import jax
+    import jax.numpy as jnp
+    cfg = nt.SimConfig()
+    params = nt.make_params()
+    spacing = float(params.interaction_radius) - 0.005
+    from nereus_tpu.scene import particle_cube
+    nozzle = particle_cube((0.25, 0.55, 0.25), (0.08, 0.04, 0.08), spacing)
+    state = nt.make_fluid_state(np.zeros((0, 3)), capacity=2048)
+    grid = nt.fit_grid(np.array([-0.2, -0.2, -0.2]),
+                       np.array([0.7, 0.8, 0.7]),
+                       float(params.interaction_radius))
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=1)
+    def step(s, emit):
+        # traced emission gate: an empty emission = add 0 of the batch
+        # (remove the freshly added ones again) would churn; instead gate
+        # by emitting into a rejected state via the overflow path — the
+        # cleanest traced gate is simply two jitted branches, so `emit`
+        # stays a static python bool here (two compiles total)
+        emitted_ovf = jnp.int32(0)
+        if emit:
+            # jet fast enough that consecutive batches separate by more
+            # than one lattice spacing before the next emission
+            s, emitted_ovf = nt.add_particles_traced(
+                s, nozzle, velocities=jnp.asarray([0.0, -3.0, 0.0]))
+        s, d = nt.wcsph_step(s, params, grid, cfg, None)
+        s = nt.remove_particles(s, s.pos[:, 1] >= 0.0)
+        return s, d, emitted_ovf
+
+    counts = []
+    for i in range(80):
+        state, d, ovf = step(state, i % 16 == 0)
+        assert int(d.seg_overflow) == 0, i
+        counts.append(int(state.num_active))
+    assert max(counts) <= 2048
+    assert counts[0] > 0                    # emission happening
+    p = np.asarray(state.pos[:counts[-1]])
+    assert np.isfinite(p).all()
+    assert p[:, 1].min() >= -0.05            # drain keeps the tail short
