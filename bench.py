@@ -149,6 +149,7 @@ def run_case(name, n_steps=10):
         "dfsph_256k_settled": ("dfsph", 256_000, "settled"),
         "sharded_wcsph_1M": ("sharded_wcsph", 2 ** 20, False),
         "sharded_iisph_256k": ("sharded_iisph", 256_000, False),
+        "sharded_dfsph_256k": ("sharded_dfsph", 256_000, False),
     }[name]
 
     cfg_kw = {}
@@ -163,7 +164,7 @@ def run_case(name, n_steps=10):
     cfg = nt.SimConfig(**cfg_kw)
     if solver in ("iisph", "sharded_iisph"):
         params = nt.iisph_params()
-    elif solver == "dfsph":
+    elif solver in ("dfsph", "sharded_dfsph"):
         params = nt.dfsph_params()
     elif solver == "pcisph":
         params = calibrate_mass(nt.pcisph_params(), cfg)
@@ -198,6 +199,7 @@ def run_case(name, n_steps=10):
         # pod the same command produces the N-chip row unmodified)
         from jax.sharding import Mesh
         from nereus_tpu.parallel import (ShardConfig,
+                                         make_sharded_dfsph_step,
                                          make_sharded_iisph_step,
                                          make_sharded_wcsph_step,
                                          shard_state)
@@ -208,8 +210,9 @@ def run_case(name, n_steps=10):
         # size every slab for the whole set (cheap at these n)
         scfg = ShardConfig(n_shards=len(devs), local_capacity=n + 256)
         state = shard_state(state, grid, scfg, mesh)
-        make = (make_sharded_iisph_step if solver == "sharded_iisph"
-                else make_sharded_wcsph_step)
+        make = {"sharded_iisph": make_sharded_iisph_step,
+                "sharded_dfsph": make_sharded_dfsph_step,
+                "sharded_wcsph": make_sharded_wcsph_step}[solver]
         step = make(mesh, params, grid, cfg, scfg, boundary)
         # sharded step is already jitted and returns ShardedDiagnostics
         # (same fields used below)
@@ -243,7 +246,8 @@ def main():
     all_cases = ["wcsph_150k", "wcsph_1M", "wcsph_boundary_274k",
                  "iisph_256k", "pcisph_256k", "iisph_256k_settled",
                  "pcisph_256k_settled", "wcsph_256k_settled",
-                 "sharded_wcsph_1M", "sharded_iisph_256k", "wcsph_2M",
+                 "sharded_wcsph_1M", "sharded_iisph_256k",
+                 "sharded_dfsph_256k", "wcsph_2M",
                  "wcsph_4M", "wcsph_8M", "wcsph_10M", "iisph_1M",
                  "iisph_1M_settled", "dfsph_256k_settled"]
     if args.cases:
