@@ -476,7 +476,6 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
     if cfg.use_pallas():
         from ..solvers.pallas_common import check_pallas_dtype
         check_pallas_dtype(cfg, grid)
-    _check_static_boundary(boundary, "sharded WCSPH")
     cl = scfg.local_capacity
     kh = scfg.halo_capacity
 
@@ -556,6 +555,9 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
                 b_hash_f32 = hash_payload(boundary.sorted_hash, pos.dtype,
                                       grid.size)
                 bzero = jnp.zeros_like(boundary.psi)
+                bvel = ([boundary.vel[:, k] for k in range(3)]
+                        if boundary.vel is not None
+                        else [bzero, bzero, bzero])
                 n_rows = 2 * rloc
 
                 def pack(vel_cols, slot6):
@@ -563,7 +565,7 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
                         src_pos, hash_f32,
                         [*vel_cols, slot6],
                         boundary.pos, b_hash_f32,
-                        [bzero, bzero, bzero, boundary.psi], rows=8,
+                        [*bvel, boundary.psi], rows=8,
                         win=swin)
 
             else:
@@ -601,6 +603,7 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
             force = PSs.fluid_force_sweep(
                 cfg, q8, pack(src_vel_cols, src_dens), anchors,
                 pvec, grid.size, n_rows=n_rows,
+                moving_boundary=_moving_b(boundary),
                 interpret=interp)
             force = force[:cl] + pm * params.gravity
             seg_overflow = miss
@@ -698,16 +701,16 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
     return step
 
 
-def _check_static_boundary(boundary, what: str):
-    """The sharded packs build their boundary velocity rows as zeros;
-    prescribed-motion boundaries (BoundaryData.vel) are a single-chip
-    feature so far — error clearly rather than silently dropping the
-    motion."""
-    if boundary is not None and boundary.vel is not None:
-        raise NotImplementedError(
-            f"{what} does not support moving boundaries yet "
-            "(BoundaryData.vel is set); use the single-chip step or "
-            "drop the velocity field")
+def _moving_b(boundary) -> bool:
+    """Constant prescribed boundary velocities (BoundaryData.vel —
+    conveyors, a drum spinning in place) are supported sharded: the packs
+    carry them in the boundary vel rows and the WCSPH friction compiles
+    the relative-velocity form. TIME-DEPENDENT motion (positions changing
+    per step) needs the step rebuilt per boundary snapshot — same cadence
+    mechanism as the CLI's --refit-every, impractical per step; use the
+    single-chip solvers for wavemakers."""
+    return (boundary is not None and boundary.num_boundaries > 0
+            and boundary.vel is not None)
 
 
 def _check_pallas_only(cfg: SimConfig, grid: gridlib.Grid, what: str):
@@ -763,7 +766,6 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
             f"mesh axis {ax!r} has {mesh.shape[ax]} devices but "
             f"ShardConfig.n_shards={d}")
     _check_pallas_only(cfg, grid, "sharded IISPH")
-    _check_static_boundary(boundary, "sharded IISPH")
     cl = scfg.local_capacity
     kh = scfg.halo_capacity
     interp = interpret_mode()
@@ -834,11 +836,13 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
             b_hash_f32 = hash_payload(boundary.sorted_hash, pos.dtype,
                                       grid.size)
             bzero = jnp.zeros_like(boundary.psi)
+            bvel = ([boundary.vel[:, k] for k in range(3)]
+                    if boundary.vel is not None else [bzero, bzero, bzero])
 
             def pack(cols_f, rows=8):
                 return pack_source_fused(
                     src_pos, hash_f32, cols_f, boundary.pos, b_hash_f32,
-                    [bzero, bzero, bzero, boundary.psi], rows=rows,
+                    [*bvel, boundary.psi], rows=rows,
                     win=swin)
         else:
             def pack(cols_f, rows=8):
@@ -869,7 +873,9 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
         f_adv = PSs.fluid_force_sweep(cfg, q8, pack8(src_vel, src_dens),
                                       anchors, pvec, grid.size,
                                       include_pressure=False,
-                                      n_rows=n_rows, interpret=interp)
+                                      n_rows=n_rows,
+                                      moving_boundary=_moving_b(boundary),
+                                      interpret=interp)
         f_adv = f_adv[:cl] + pm * params.gravity
         vel_adv = vel + (dt / pm) * f_adv
         (src_vel_adv,) = hop({"va": vel_adv})
@@ -1039,7 +1045,6 @@ def make_sharded_pcisph_step(mesh: Mesh, params: SimParams,
             f"mesh axis {ax!r} has {mesh.shape[ax]} devices but "
             f"ShardConfig.n_shards={d}")
     _check_pallas_only(cfg, grid, "sharded PCISPH")
-    _check_static_boundary(boundary, "sharded PCISPH")
     cl = scfg.local_capacity
     kh = scfg.halo_capacity
     interp = interpret_mode()
@@ -1112,6 +1117,8 @@ def make_sharded_pcisph_step(mesh: Mesh, params: SimParams,
             b_hash_f32 = hash_payload(boundary.sorted_hash, pos.dtype,
                                       grid.size)
             bzero = jnp.zeros_like(boundary.psi)
+            bvel = ([boundary.vel[:, k] for k in range(3)]
+                    if boundary.vel is not None else [bzero, bzero, bzero])
 
             def pack8(vel3=None, slot6=None, posf=None):
                 v = vel3 if vel3 is not None else jnp.zeros(
@@ -1122,7 +1129,7 @@ def make_sharded_pcisph_step(mesh: Mesh, params: SimParams,
                     posf if posf is not None else src_pos, hash_f32,
                     [v[:, 0], v[:, 1], v[:, 2], s6],
                     boundary.pos, b_hash_f32,
-                    [bzero, bzero, bzero, boundary.psi], rows=8,
+                    [*bvel, boundary.psi], rows=8,
                     win=swin)
         else:
             def pack8(vel3=None, slot6=None, posf=None):
@@ -1150,7 +1157,9 @@ def make_sharded_pcisph_step(mesh: Mesh, params: SimParams,
         f_adv = PSs.fluid_force_sweep(cfg, q8, pack8(src_vel, src_dens),
                                       anchors, pvec, grid.size,
                                       include_pressure=False,
-                                      n_rows=n_rows, interpret=interp)
+                                      n_rows=n_rows,
+                                      moving_boundary=_moving_b(boundary),
+                                      interpret=interp)
         f_adv = f_adv[:cl] + pm * params.gravity
 
         tol = tol_frac * params.rest_density
@@ -1267,7 +1276,6 @@ def make_sharded_dfsph_step(mesh: Mesh, params: SimParams,
             f"mesh axis {ax!r} has {mesh.shape[ax]} devices but "
             f"ShardConfig.n_shards={d}")
     _check_pallas_only(cfg, grid, "sharded DFSPH")
-    _check_static_boundary(boundary, "sharded DFSPH")
     cl = scfg.local_capacity
     kh = scfg.halo_capacity
     interp = interpret_mode()
@@ -1334,6 +1342,8 @@ def make_sharded_dfsph_step(mesh: Mesh, params: SimParams,
             b_hash_f32 = hash_payload(boundary.sorted_hash, pos.dtype,
                                       grid.size)
             bzero = jnp.zeros_like(boundary.psi)
+            bvel = ([boundary.vel[:, k] for k in range(3)]
+                    if boundary.vel is not None else [bzero, bzero, bzero])
 
             def pack8(vel3=None, slot6=None):
                 v = vel3 if vel3 is not None else jnp.zeros(
@@ -1343,7 +1353,7 @@ def make_sharded_dfsph_step(mesh: Mesh, params: SimParams,
                 return pack_source_fused(
                     src_pos, hash_f32, [v[:, 0], v[:, 1], v[:, 2], s6],
                     boundary.pos, b_hash_f32,
-                    [bzero, bzero, bzero, boundary.psi], rows=8,
+                    [*bvel, boundary.psi], rows=8,
                     win=swin)
         else:
             def pack8(vel3=None, slot6=None):
@@ -1428,7 +1438,9 @@ def make_sharded_dfsph_step(mesh: Mesh, params: SimParams,
         f_adv = PSs.fluid_force_sweep(cfg, q8, pack8(src_vdf, src_dens),
                                       anchors, pvec, grid.size,
                                       include_pressure=False,
-                                      n_rows=n_rows, interpret=interp)
+                                      n_rows=n_rows,
+                                      moving_boundary=_moving_b(boundary),
+                                      interpret=interp)
         f_adv = f_adv[:cl] + pm * params.gravity
         v_star = tuple(vel_df[k] + (dt / pm) * f_adv[:, k]
                        for k in range(3))
