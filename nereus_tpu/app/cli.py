@@ -95,6 +95,10 @@ def _build_parser():
                           "step (the reference's disabled #if 0 block, "
                           "sph.cpp:217); all solvers, single-chip and "
                           "sharded")
+    run.add_argument("--xsph", type=float, default=None, metavar="EPS",
+                     help="Monaghan XSPH velocity smoothing for the "
+                          "position update (WCSPH only; typical 0.3-0.5) "
+                          "— one extra fluid sweep per step")
     run.add_argument("--outflow", default=None,
                      metavar="AXIS:below|above:VALUE",
                      help="open-boundary outflow: every step, remove "
@@ -244,6 +248,9 @@ def cmd_run(args):
     enable_compilation_cache()
 
     log = get_logger()
+    if args.xsph is not None and (args.solver != "wcsph" or args.shards > 1):
+        log.error("--xsph applies to single-chip WCSPH only")
+        return 2
     drain = None
     if args.outflow:
         if args.shards > 1:
@@ -401,10 +408,12 @@ def cmd_run(args):
             solver = {"wcsph": nt.wcsph_step,
                       "iisph": nt.iisph_step,
                       "dfsph": nt.dfsph_step}[args.solver]
+            xkw = ({"xsph_eps": float(args.xsph)}
+                   if args.xsph is not None else {})
 
             def _step(s, t=None):
                 return solver(s, maybe_adapt(s, params), grid, cfg,
-                              boundary if t is None else bd_at(t))
+                              boundary if t is None else bd_at(t), **xkw)
 
             step = jax.jit(_step)
         return step, host_state, lambda s: s

@@ -490,6 +490,31 @@ def alpha_pair(q_ref, src_ref, valid, pv, *, kernel_set,
          jnp.sum(c * dz, axis=1, keepdims=True), sq], axis=1)
 
 
+def xsph_pair(q_ref, src_ref, valid, pv, *, kernel_set):
+    """Monaghan XSPH smoothing sum (beyond-reference, fluid rows only):
+    Σ (2m/(ρ_i+ρ_j)) (v_j − v_i) W(r). The self term is exactly 0
+    (v_i − v_i), so self-inclusion is free as usual.
+
+    q fields: x y z vx vy vz dens. src rows 3-5 vel, 6 dens.
+    Out (B, 4): dvx dvy dvz (pad) — scaled by ε OUTSIDE the sweep, so ε
+    may be traced without entering the kernel.
+    """
+    dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv)
+    rl, invrl = _maybe_rl(kernel_set, r2)
+    okf = (valid & (r2 < pv[PV_H2])).astype(q_ref.dtype)
+    w = _w_value(kernel_set, r2, rl, pv)
+    denom = jnp.maximum(q_ref[:, 6:7] + src_ref[6:7, :], _EPS)
+    c = (2.0 * pv[PV_PM]) * w / denom * okf
+    zero = jnp.zeros_like(dx[:, :1])
+    return jnp.concatenate(
+        [jnp.sum(c * (src_ref[3:4, :] - q_ref[:, 3:4]), axis=1,
+                 keepdims=True),
+         jnp.sum(c * (src_ref[4:5, :] - q_ref[:, 4:5]), axis=1,
+                 keepdims=True),
+         jnp.sum(c * (src_ref[5:6, :] - q_ref[:, 5:6]), axis=1,
+                 keepdims=True), zero], axis=1)
+
+
 def drho_pair(q_ref, src_ref, valid, pv, *, kernel_set):
     """DFSPH velocity-divergence term: Σ ψ_j (v_q − v_j)·∇W.
 

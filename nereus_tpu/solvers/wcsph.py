@@ -113,18 +113,54 @@ def compute_pressure_force(ctx: common.NeighborCtx, params: SimParams,
     return -pm * acc["fp"]
 
 
+def xsph_velocity(ctx: common.NeighborCtx, params: SimParams,
+                  cfg: SimConfig, vel, dens, eps):
+    """Monaghan XSPH velocity smoothing (beyond-reference; the classic
+    WCSPH disorder stabilizer, Monaghan 1989):
+
+      v̂_i = v_i + ε Σ_j (2m/(ρ_i+ρ_j)) (v_j − v_i) W(r_ij)
+
+    over fluid neighbors. The smoothed velocity advects positions only;
+    the carried momentum stays un-smoothed.
+    """
+    pos = ctx.state.pos
+    n = pos.shape[0]
+    ir = params.interaction_radius
+    pm = params.particle_mass
+
+    def pair(i, j, valid):
+        rij = i["pos"][:, None, :] - j["pos"]
+        dist2 = jnp.sum(rij * rij, axis=-1)
+        ok = valid & (dist2 < ir * ir)
+        w = K.w_value(cfg.kernel_set, rij, params)
+        coef = (2.0 * pm) * w / jnp.maximum(
+            i["dens"][:, None] + j["dens"], 1e-12)
+        dv = j["vel"] - i["vel"][:, None, :]
+        return {"dx": masked(ok, coef[..., None] * dv)}
+
+    src = {"pos": ctx.source_pos, "vel": vel, "dens": dens}
+    acc = common.fluid_reduce(
+        ctx, pair, {"dx": jnp.zeros((n, 3), cfg.dtype)}, src,
+        {"pos": pos, "vel": vel, "dens": dens}, cfg)
+    return vel + eps * acc["dx"]
+
+
 def wcsph_step(state: FluidState, params: SimParams, grid: gridlib.Grid,
-               cfg: SimConfig, boundary: Optional[BoundaryData] = None):
+               cfg: SimConfig, boundary: Optional[BoundaryData] = None,
+               xsph_eps=None):
     """One WCSPH step (``SPH::update``, ``sph/sph.cpp:215-285``).
 
     Returns ``(new_state, StepDiagnostics)``; the new state is in hash-sorted
     order (as the reference's is after its reorder+integrate). Dispatches to
     the Pallas engine on TPU (``SimConfig.engine``); this jnp segment path
-    is the everywhere-correct oracle.
+    is the everywhere-correct oracle. ``xsph_eps`` (None = off; may be a
+    traced scalar — no recompile when it changes) enables Monaghan XSPH
+    velocity smoothing for the position update (:func:`xsph_velocity`).
     """
     if cfg.use_pallas():
         from .wcsph_pallas import wcsph_step_pallas
-        return wcsph_step_pallas(state, params, grid, cfg, boundary)
+        return wcsph_step_pallas(state, params, grid, cfg, boundary,
+                                 xsph_eps=xsph_eps)
     ctx = common.build_ctx(state, grid, cfg, boundary)
     pos, vel = ctx.state.pos, ctx.state.vel
     active = ctx.active
@@ -140,7 +176,11 @@ def wcsph_step(state: FluidState, params: SimParams, grid: gridlib.Grid,
     # v += dt·F/m; x += dt·v.
     dt = params.dt
     new_vel = vel + (dt / params.particle_mass) * force
-    new_pos = pos + dt * new_vel
+    if xsph_eps is not None:
+        v_adv = xsph_velocity(ctx, params, cfg, new_vel, dens, xsph_eps)
+    else:
+        v_adv = new_vel
+    new_pos = pos + dt * v_adv
     new_vel = jnp.where(active[:, None], new_vel, vel)
     new_pos = jnp.where(active[:, None], new_pos, pos)
 

@@ -24,7 +24,8 @@ from .wcsph import StepDiagnostics, density_errors, tait_pressure
 
 def wcsph_step_pallas(state: FluidState, params: SimParams,
                       grid: gridlib.Grid, cfg: SimConfig,
-                      boundary: Optional[BoundaryData] = None):
+                      boundary: Optional[BoundaryData] = None,
+                      xsph_eps=None):
     """One WCSPH step; returns ``(new_state, StepDiagnostics)``.
 
     ``seg_overflow`` in the diagnostics reports Pallas window-coverage
@@ -70,9 +71,34 @@ def wcsph_step_pallas(state: FluidState, params: SimParams,
         nv = v + (dt / pm) * (f + pm * gk)
         return jnp.where(active, nv, v), jnp.where(active, p + dt * nv, p)
 
-    nvx, npx = integ(ctx.vx, ctx.px, fx, g[0])
-    nvy, npy = integ(ctx.vy, ctx.py, fy, g[1])
-    nvz, npz = integ(ctx.vz, ctx.pz, fz, g[2])
+    def new_vel_only(v, f, gk):
+        return v + (dt / pm) * (f + pm * gk)
+
+    if xsph_eps is None:
+        nvx, npx = integ(ctx.vx, ctx.px, fx, g[0])
+        nvy, npy = integ(ctx.vy, ctx.py, fy, g[1])
+        nvz, npz = integ(ctx.vz, ctx.pz, fz, g[2])
+    else:
+        # XSPH (Monaghan): smooth the advection velocity over FLUID
+        # neighbors (one extra sweep on the fluid-only plan); the carried
+        # momentum stays un-smoothed. ε scales outside the sweep so a
+        # traced value never recompiles.
+        nv = tuple(new_vel_only(v, f, gk) for v, f, gk in
+                   ((ctx.vx, fx, g[0]), (ctx.vy, fy, g[1]),
+                    (ctx.vz, fz, g[2])))
+        q8x = ctx.queries(*nv, dens, width=8)
+        src_x = ctx.update_rows(src_f, 3, list(nv))
+        sm = PS.generic_sweep(cfg, PS.xsph_pair, q8x, src_x,
+                              ctx.anchors_f, pvec, gsize, out_width=4,
+                              n_rows=ctx.rows_local, interpret=interp)
+        nvx, nvy, nvz = nv
+        v_adv = tuple(nv[k] + xsph_eps * sm[:, k] for k in range(3))
+        npx = jnp.where(active, ctx.px + dt * v_adv[0], ctx.px)
+        npy = jnp.where(active, ctx.py + dt * v_adv[1], ctx.py)
+        npz = jnp.where(active, ctx.pz + dt * v_adv[2], ctx.pz)
+        nvx = jnp.where(active, nvx, ctx.vx)
+        nvy = jnp.where(active, nvy, ctx.vy)
+        nvz = jnp.where(active, nvz, ctx.vz)
 
     new_state = FluidState(
         pos=jnp.stack([npx[:c], npy[:c], npz[:c]], axis=1),

@@ -335,3 +335,13 @@ def test_fountain_emit_and_drain():
     p = np.asarray(state.pos[:counts[-1]])
     assert np.isfinite(p).all()
     assert p[:, 1].min() >= -0.05            # drain keeps the tail short
+
+
+def test_cli_xsph(capsys):
+    rc = cli_main(["run", "--solver", "wcsph", "--steps", "5",
+                   "--no-boundary", "--xsph", "0.4"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["seg_overflow"] == 0
+    assert cli_main(["run", "--solver", "iisph", "--steps", "2",
+                     "--xsph", "0.4"]) == 2
