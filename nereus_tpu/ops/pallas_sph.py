@@ -306,7 +306,8 @@ def fluid_force_pair(q_ref, src_ref, valid, pv, *, kernel_set, st_model,
 
 
 def boundary_force_pair(q_ref, src_ref, valid, pv, *, kernel_set,
-                        include_pressure=True, moving=False):
+                        include_pressure=True, moving=False,
+                        include_adhesion=True, pressure_sign=1.0):
     """Fused boundary forces: Akinci adhesion + friction + boundary pressure
     (``computeCellForces`` boundary loop, ``sph_kernel_impl.cuh:552-602``;
     pressure term scaling per ``compute_pressure_force``).
@@ -316,6 +317,16 @@ def boundary_force_pair(q_ref, src_ref, valid, pv, *, kernel_set,
     carries prescribed rigid-motion velocities in src rows 3-5 and the
     friction term uses the relative velocity (v_i − v_b); off, the static
     path compiles with zero extra VPU ops.
+    ``include_adhesion=False`` drops the Becker β penalty term — the
+    Akinci-2012 pressure+friction contact the rigid-body coupling uses
+    (the stiff penalty, ~2000× a light body's weight at close range, is
+    wall scenery physics, not dynamic-contact physics).
+    ``pressure_sign=-1`` selects the physically repulsive Akinci form
+    −mψ(p_i/ρ_i²)∇W: the reference's own boundary pressure term (+1, kept
+    for wall parity) points ALONG ∇W — i.e. toward the boundary for
+    positive pressure — and is dominated upstream by the β penalty; a
+    dynamic body needs the honest sign (same flip the implicit solvers'
+    ``grad_pressure_force_pair`` applies via ``boundary_sign``).
     """
     dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv)
     rl, invrl = _maybe_rl(kernel_set, r2)
@@ -327,7 +338,7 @@ def boundary_force_pair(q_ref, src_ref, valid, pv, *, kernel_set,
     sd = _w_grad_scale_default(kernel_set, r2, rl, pv, invrl)
 
     # adhesion: β ψ W(r) r⃗  (β·ψ folds rank-1)
-    cadh = (pv[PV_BETA] * psi) * w
+    cadh = (pv[PV_BETA] * psi) * w if include_adhesion else 0.0
 
     # friction: 2·m·μ · (−m ψ Π) ∇W_dflt, Π = −ν·max(v_i·r, 0)/(1+0.01h²)
     # ν is rank-1 in the query; the constants fold into it
@@ -345,7 +356,7 @@ def boundary_force_pair(q_ref, src_ref, valid, pv, *, kernel_set,
 
     # boundary pressure: −m · (−m ψ pd2_i) · ∇W_dflt
     if include_pressure:
-        c = cadh + (cfric + (pv[PV_PM] * pv[PV_PM])
+        c = cadh + (cfric + (pressure_sign * pv[PV_PM] * pv[PV_PM])
                     * psi * q_ref[:, 7:8] * sd)
     else:
         c = cadh + cfric
