@@ -95,6 +95,13 @@ def _build_parser():
                           "step (the reference's disabled #if 0 block, "
                           "sph.cpp:217); all solvers, single-chip and "
                           "sharded")
+    run.add_argument("--rigid-box", default=None,
+                     metavar="CX,CY,CZ:SX,SY,SZ:DENSITY",
+                     help="drop a rigid box into the scene with two-way "
+                          "coupling (wcsph_coupled_step): floats/sinks by "
+                          "its material density (kg/m^3), e.g. "
+                          "0.25,0.4,0.25:0.08,0.08,0.08:150; single-chip "
+                          "WCSPH only")
     run.add_argument("--xsph", type=float, default=None, metavar="EPS",
                      help="Monaghan XSPH velocity smoothing for the "
                           "position update (WCSPH only; typical 0.3-0.5) "
@@ -183,6 +190,19 @@ def _make_setup(args):
     return cfg, params, state, grid, boundary
 
 
+def _parse_rigid_box(spec: str):
+    """'CX,CY,CZ:SX,SY,SZ:DENSITY' → (center, size, density)."""
+    try:
+        c_s, s_s, d_s = spec.split(":")
+        center = tuple(float(v) for v in c_s.split(","))
+        size = tuple(float(v) for v in s_s.split(","))
+        assert len(center) == 3 and len(size) == 3
+        return center, size, float(d_s)
+    except (ValueError, AssertionError):
+        raise SystemExit(
+            f"--rigid-box expects CX,CY,CZ:SX,SY,SZ:DENSITY, got {spec!r}")
+
+
 def _parse_outflow(spec: str):
     """'AXIS:below|above:VALUE' → (axis index, keep_above bool, value)."""
     try:
@@ -251,6 +271,16 @@ def cmd_run(args):
     if args.xsph is not None and (args.solver != "wcsph" or args.shards > 1):
         log.error("--xsph applies to single-chip WCSPH only")
         return 2
+    if args.rigid_box is not None:
+        _parse_rigid_box(args.rigid_box)  # validate early
+        bad = [n for f, n in ((args.solver != "wcsph", "--solver wcsph"),
+                              (args.shards > 1, "--shards 1"),
+                              (args.wavemaker, "no --wavemaker"),
+                              (args.xsph is not None, "no --xsph"))
+               if f]
+        if bad:
+            log.error("--rigid-box requires: %s", ", ".join(bad))
+            return 2
     drain = None
     if args.outflow:
         if args.shards > 1:
@@ -379,6 +409,16 @@ def cmd_run(args):
                              p.dt)
             return dataclasses.replace(p, dt=dt)
 
+        if body_holder[0] is not None:
+            coupled = jax.jit(lambda s, b: nt.wcsph_coupled_step(
+                s, maybe_adapt(s, params), grid, cfg, b, boundary))
+
+            def _cstep(s, t=None):
+                s2, body_holder[0], d = coupled(s, body_holder[0])
+                return s2, d
+
+            return _cstep, host_state, lambda s: s
+
         wm = _parse_wavemaker(args.wavemaker) if args.wavemaker else None
 
         def bd_at(t):
@@ -417,6 +457,14 @@ def cmd_run(args):
 
             step = jax.jit(_step)
         return step, host_state, lambda s: s
+
+    body_holder = [None]
+    if args.rigid_box:
+        center, size, rho = _parse_rigid_box(args.rigid_box)
+        body_holder[0] = nt.make_rigid_box(
+            center, size, float(params.particle_radius), rho, params)
+        log.info("rigid box: center=%s size=%s density=%g samples=%d",
+                 center, size, rho, body_holder[0].num_samples)
 
     try:
         step, run_state, to_host = build_stepper(grid, boundary, state)

@@ -345,3 +345,15 @@ def test_cli_xsph(capsys):
     assert summary["seg_overflow"] == 0
     assert cli_main(["run", "--solver", "iisph", "--steps", "2",
                      "--xsph", "0.4"]) == 2
+
+
+def test_cli_rigid_box(capsys):
+    rc = cli_main(["run", "--solver", "wcsph", "--steps", "8",
+                   "--neighbor-engine", "pallas",
+                   "--rigid-box", "0.25,0.45,0.25:0.08,0.08,0.08:200"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["seg_overflow"] == 0
+    # incompatible combos refuse
+    assert cli_main(["run", "--solver", "iisph",
+                     "--rigid-box", "0.2,0.2,0.2:0.1,0.1,0.1:200"]) == 2
