@@ -133,6 +133,44 @@ def concat_boundaries(grid, a: BoundaryData | None,
                         vel=jnp.stack(out[4:7], axis=0).T)
 
 
+def wall_contact_force(body: RigidBody, walls: BoundaryData,
+                       params: SimParams,
+                       kernel_set: KernelSet = KernelSet.MULLER,
+                       stiffness: float = 1.0, damping: float = 20.0):
+    """Body ↔ static-wall contact: Becker-style penalty + normal damping
+    over (body sample × wall particle) pairs.
+
+    The sample sets are tiny (tens–hundreds of body samples; the walls'
+    shell), so this is a dense jnp pass — no neighbor engine needed.
+    ``stiffness`` scales the same β·ψ·W(r)·r̂ penalty the fluid feels from
+    walls (the force law that demonstrably holds resting fluid);
+    ``damping`` adds −γ·β·ψ·W·(v·r)·r per sample so the body settles
+    instead of ringing (γ·|v||r| ~ 1 at ~1 m/s contact speed for the
+    default γ — the damping force then matches the penalty and kills the
+    bounce). Returns ``(force, torque)`` about the body com.
+    """
+    from . import kernels as K
+
+    pos, vel = body_world(body)
+    rij = pos[:, None, :] - walls.pos[None, :, :]       # (Mb, Mw, 3)
+    d2 = jnp.sum(rij * rij, axis=-1)
+    ir = params.interaction_radius
+    ok = d2 < ir * ir
+    w = K.w_value(kernel_set, rij, params)
+    coef = jnp.where(ok, (stiffness * params.beta) * walls.psi[None, :]
+                     * w, 0.0)
+    f = coef[..., None] * rij                            # repulsive
+    # normal damping against the wall-relative sample velocity
+    vdotr = jnp.sum(vel[:, None, :] * rij, axis=-1)
+    f = f - (damping * params.beta) * jnp.where(ok, walls.psi[None, :]
+                                                * w * vdotr, 0.0)[..., None] \
+        * rij
+    f_sample = jnp.sum(f, axis=1)                        # (Mb, 3)
+    force = jnp.sum(f_sample, axis=0)
+    torque = jnp.sum(jnp.cross(pos - body.com[None, :], f_sample), axis=0)
+    return force, torque
+
+
 def _orthonormalize(R):
     """Gram-Schmidt re-orthonormalization (keeps the integrated rotation a
     rotation; cheap and robust at SPH timesteps)."""

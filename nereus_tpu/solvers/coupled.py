@@ -32,7 +32,8 @@ from .. import grid as gridlib
 from .. import kernels as K
 from ..ops.neighbors import masked, neighbor_reduce
 from ..params import SimConfig, SimParams
-from ..rigid import RigidBody, body_boundary, integrate_rigid
+from ..rigid import (RigidBody, body_boundary, integrate_rigid,
+                     wall_contact_force)
 from ..state import BoundaryData, FluidState
 from . import common
 from .wcsph import StepDiagnostics, density_errors, tait_pressure
@@ -127,6 +128,12 @@ def wcsph_coupled_step(state: FluidState, params: SimParams,
     tau = -jnp.sum(jnp.where(
         actf, jnp.cross(pos - body.com[None, :], f_body), 0.0), axis=0)
 
+    if boundary is not None and boundary.num_boundaries > 0:
+        fw, tw = wall_contact_force(body, boundary, params,
+                                    kernel_set=cfg.kernel_set)
+        F_body = F_body + fw
+        tau = tau + tw
+
     dt = params.dt
     new_vel = vel + (dt / pm) * force
     new_pos = pos + dt * new_vel
@@ -212,6 +219,11 @@ def _coupled_step_pallas(state, params, grid, cfg, body, boundary):
                      ctx.pz - body.com[2]], axis=1)
     F_body = -jnp.sum(jnp.where(actf, f_body, 0.0), axis=0)
     tau = -jnp.sum(jnp.where(actf, jnp.cross(rel, f_body), 0.0), axis=0)
+    if boundary is not None and boundary.num_boundaries > 0:
+        fw, tw = wall_contact_force(body, boundary, params,
+                                    kernel_set=cfg.kernel_set)
+        F_body = F_body + fw
+        tau = tau + tw
 
     dt = params.dt
     g = params.gravity

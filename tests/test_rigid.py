@@ -163,3 +163,26 @@ def test_buoyancy_light_rises_heavy_sinks():
     assert vy_light > 0.005, vy_light
     assert vy_heavy < -0.005, vy_heavy
     assert vy_light > vy_heavy
+
+
+def test_body_rests_on_dry_floor():
+    """Body ↔ static-wall contact: dropped in a DRY box, the body must
+    land, damp out, and rest above the floor (no fall-through, no
+    perpetual bounce)."""
+    cfg = nt.SimConfig(engine="pallas")
+    params = nt.make_params(dt=5e-4)
+    h = float(params.interaction_radius)
+    lo, hi = np.zeros(3), np.array((0.4, 0.5, 0.4))
+    grid = nt.fit_grid(lo - h, hi + h, h)
+    walls = box_boundary(grid, lo, hi, float(params.particle_radius),
+                         params)
+    body = nt.make_rigid_box((0.2, 0.25, 0.2), (0.08, 0.08, 0.08),
+                             float(params.particle_radius), 400.0, params)
+    state = nt.make_fluid_state(np.array([[0.35, 0.35, 0.35]]))
+    step = jax.jit(lambda s, b: nt.wcsph_coupled_step(
+        s, params, grid, cfg, b, walls))
+    for i in range(1200):
+        state, body, d = step(state, body)
+    assert 0.02 < float(body.com[1]) < 0.12, float(body.com[1])
+    assert abs(float(body.vel[1])) < 0.2, float(body.vel[1])
+    assert abs(float(body.com[0]) - 0.2) < 0.05
