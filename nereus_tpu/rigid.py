@@ -171,6 +171,37 @@ def wall_contact_force(body: RigidBody, walls: BoundaryData,
     return force, torque
 
 
+def body_body_contact(a: RigidBody, b: RigidBody, params: SimParams,
+                      kernel_set: KernelSet = KernelSet.MULLER,
+                      stiffness: float = 1.0, damping: float = 20.0):
+    """Rigid ↔ rigid contact between two shells (same penalty + normal
+    damping as :func:`wall_contact_force`, with the RELATIVE sample
+    velocities). Every pair force is central, so torques about BOTH
+    bodies' centers are exact from the a-side application points.
+    Returns ``(F_a, τ_a, F_b, τ_b)`` with ``F_b = −F_a`` (Newton-exact).
+    """
+    from . import kernels as K
+
+    pa, va = body_world(a)
+    pb, vb = body_world(b)
+    rij = pa[:, None, :] - pb[None, :, :]
+    d2 = jnp.sum(rij * rij, axis=-1)
+    ir = params.interaction_radius
+    ok = d2 < ir * ir
+    w = K.w_value(kernel_set, rij, params)
+    dv = va[:, None, :] - vb[None, :, :]
+    vdotr = jnp.sum(dv * rij, axis=-1)
+    coef = jnp.where(ok, (params.beta * b.psi[None, :]) * w
+                     * (stiffness - damping * vdotr), 0.0)
+    f = coef[..., None] * rij                     # on a, per pair
+    f_sa = jnp.sum(f, axis=1)                     # (Ma, 3)
+    F_a = jnp.sum(f_sa, axis=0)
+    tau_a = jnp.sum(jnp.cross(pa - a.com[None, :], f_sa), axis=0)
+    # central forces: the b-side torque evaluated at the a-side points
+    tau_b = -jnp.sum(jnp.cross(pa - b.com[None, :], f_sa), axis=0)
+    return F_a, tau_a, -F_a, tau_b
+
+
 def _orthonormalize(R):
     """Gram-Schmidt re-orthonormalization (keeps the integrated rotation a
     rotation; cheap and robust at SPH timesteps)."""

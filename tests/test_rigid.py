@@ -186,3 +186,47 @@ def test_body_rests_on_dry_floor():
     assert 0.02 < float(body.com[1]) < 0.12, float(body.com[1])
     assert abs(float(body.vel[1])) < 0.2, float(body.vel[1])
     assert abs(float(body.com[0]) - 0.2) < 0.05
+
+
+def test_two_bodies_light_over_heavy():
+    """Two boxes in one tank: the light one ends ABOVE the heavy one, and
+    the body-body contact keeps them from interpenetrating."""
+    cfg = nt.SimConfig(engine="pallas")
+    base = nt.make_params(dt=5e-4)
+    h = float(base.interaction_radius)
+    spacing = 0.8 * h
+    params = calibrate_mass(base, cfg, spacing=spacing)
+    lo, hi = np.zeros(3), np.array((0.4, 0.5, 0.4))
+    grid = nt.fit_grid(lo - h, hi + h, h)
+    walls = box_boundary(grid, lo, hi, float(params.particle_radius),
+                         params)
+    water = particle_cube((0.2, 0.15, 0.2), (0.38, 0.28, 0.38), spacing)
+    c_light, c_heavy = np.array([0.13, 0.15, 0.2]), np.array(
+        [0.27, 0.15, 0.2])
+    light = nt.make_rigid_box(c_light, (0.07, 0.07, 0.07),
+                              float(params.particle_radius), 80.0, params)
+    heavy = nt.make_rigid_box(c_heavy, (0.07, 0.07, 0.07),
+                              float(params.particle_radius), 4000.0,
+                              params)
+    keep = ((np.abs(water - c_light).max(axis=1) > 0.035 + 0.5 * spacing)
+            & (np.abs(water - c_heavy).max(axis=1) > 0.035 + 0.5 * spacing))
+    state = nt.make_fluid_state(water[keep])
+    bodies = (light, heavy)
+    step = jax.jit(lambda s, b: nt.wcsph_coupled_step(
+        s, params, grid, cfg, b, walls))
+    for i in range(150):          # frozen pre-settle
+        state, _, d = step(state, bodies)
+        assert int(d.seg_overflow) == 0, i
+    for i in range(250):
+        state, bodies, d = step(state, bodies)
+        assert int(d.seg_overflow) == 0, i
+    light2, heavy2 = bodies
+    assert np.isfinite(np.asarray(light2.com)).all()
+    y_l, y_h = float(light2.com[1]), float(heavy2.com[1])
+    # the heavy box sinks; the light one stays clearly above it
+    assert y_h < 0.12, y_h
+    assert y_l > y_h + 0.02, (y_l, y_h)
+    # neither escaped the tank
+    for b in bodies:
+        c = np.asarray(b.com)
+        assert -0.05 < c[0] < 0.45 and -0.05 < c[2] < 0.45, c
