@@ -157,14 +157,13 @@ def wall_contact_force(body: RigidBody, walls: BoundaryData,
     ir = params.interaction_radius
     ok = d2 < ir * ir
     w = K.w_value(kernel_set, rij, params)
-    coef = jnp.where(ok, (stiffness * params.beta) * walls.psi[None, :]
-                     * w, 0.0)
-    f = coef[..., None] * rij                            # repulsive
-    # normal damping against the wall-relative sample velocity
+    # normal damping against the wall-relative sample velocity; the
+    # combined coefficient is clamped ≥ 0 — contact may only PUSH (a
+    # fast-receding sample must separate freely, not get sucked back)
     vdotr = jnp.sum(vel[:, None, :] * rij, axis=-1)
-    f = f - (damping * params.beta) * jnp.where(ok, walls.psi[None, :]
-                                                * w * vdotr, 0.0)[..., None] \
-        * rij
+    coef = jnp.where(ok, params.beta * walls.psi[None, :] * w
+                     * jnp.maximum(stiffness - damping * vdotr, 0.0), 0.0)
+    f = coef[..., None] * rij
     f_sample = jnp.sum(f, axis=1)                        # (Mb, 3)
     force = jnp.sum(f_sample, axis=0)
     torque = jnp.sum(jnp.cross(pos - body.com[None, :], f_sample), axis=0)
@@ -191,8 +190,9 @@ def body_body_contact(a: RigidBody, b: RigidBody, params: SimParams,
     w = K.w_value(kernel_set, rij, params)
     dv = va[:, None, :] - vb[None, :, :]
     vdotr = jnp.sum(dv * rij, axis=-1)
+    # clamped ≥ 0: contact may only push (see wall_contact_force)
     coef = jnp.where(ok, (params.beta * b.psi[None, :]) * w
-                     * (stiffness - damping * vdotr), 0.0)
+                     * jnp.maximum(stiffness - damping * vdotr, 0.0), 0.0)
     f = coef[..., None] * rij                     # on a, per pair
     f_sa = jnp.sum(f, axis=1)                     # (Ma, 3)
     F_a = jnp.sum(f_sa, axis=0)
