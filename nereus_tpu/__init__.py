@@ -14,8 +14,9 @@ from .state import (BoundaryData, FluidState, add_particles,
                     add_particles_traced, make_fluid_state,
                     remove_particles)
 from .boundary import move_boundary, rotation_matrix
-from .rigid import (RigidBody, body_boundary, integrate_rigid,
-                    make_rigid_box)
+from .rigid import (RigidBody, body_body_contact, body_boundary,
+                    concat_boundaries, integrate_rigid,
+                    make_rigid_box, wall_contact_force)
 from .solvers.coupled import wcsph_coupled_step
 from .solvers.wcsph import wcsph_step, tait_pressure, cfl_dt
 from .solvers.iisph import iisph_step
@@ -32,7 +33,9 @@ __all__ = [
     "BoundaryData", "FluidState", "add_particles", "add_particles_traced",
     "make_fluid_state", "remove_particles", "move_boundary",
     "rotation_matrix",
-    "RigidBody", "body_boundary", "integrate_rigid", "make_rigid_box",
+    "RigidBody", "body_body_contact", "body_boundary",
+    "concat_boundaries", "integrate_rigid", "make_rigid_box",
+    "wall_contact_force",
     "wcsph_coupled_step",
     "wcsph_step", "tait_pressure", "cfl_dt",
     "iisph_step", "dfsph_step", "pcisph_step", "pcisph_delta",

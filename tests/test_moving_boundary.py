@@ -227,3 +227,30 @@ def test_rotating_boundary_engine_equivalence():
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(s_o.vel), np.asarray(s_p.vel),
                                atol=2e-3)
+
+
+def test_concat_boundaries_merges_sets():
+    """concat_boundaries: walls + a moved gate become ONE hash-sorted set
+    usable by any solver (same step result as a monolithic rebuild)."""
+    cfg = nt.SimConfig(engine="pallas")
+    params = nt.make_params()
+    state, grid, walls = _dam(params, cfg)
+    # a small moving "gate": reuse a slab of boundary samples
+    from nereus_tpu.rigid import concat_boundaries
+    gate = B.build_boundary(
+        grid, np.asarray(walls.pos[:200]) + np.array([0.0, 0.3, 0.0]),
+        np.asarray(walls.psi[:200]) / float(params.rest_density),
+        float(params.rest_density))
+    gate = B.move_boundary(gate, grid, velocity=jnp.asarray([0.2, 0., 0.]))
+    merged = concat_boundaries(grid, walls, gate)
+    assert merged.num_boundaries == walls.num_boundaries + 200
+    assert (np.diff(np.asarray(merged.sorted_hash)) >= 0).all()
+    assert merged.vel is not None
+    # walls' rows carry zero velocity, the gate's carry the belt velocity
+    v = np.asarray(merged.vel)
+    assert np.isclose(np.abs(v[:, 0]).max(), 0.2, atol=1e-6)
+    # the merged set steps cleanly
+    s, d = jax.jit(lambda st: nt.wcsph_step(st, params, grid, cfg,
+                                            merged))(state)
+    assert int(d.seg_overflow) == 0
+    assert np.isfinite(np.asarray(s.pos)).all()
