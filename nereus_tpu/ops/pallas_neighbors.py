@@ -175,10 +175,33 @@ _WIDE_CLAMP = 1 << 29  # inactive-sentinel clamp before biasing; must
                        # sort-merge _KEY_CAP)
 
 
-WIDE_MODE = "slice"   # debug knob (tools/wideprobe.py) for bisecting
-                      # wide-mode failures on real hardware:
-                      #   "slice"   — production: slice the (1, WIN) hash
-                      #               row, then bitcast it to int32
+WIDE_MOD = 1 << 24    # modulus of the "mod" wide mode: payloads are
+                      # h mod 2²⁴ — every value an ordinary small-integer
+                      # float32 (exact, no denormal/NaN bit patterns can
+                      # exist), unlike the bitcast modes below whose raw
+                      # int bits dropped pairs on real hardware (round-4
+                      # tail-deficit incident, CLAUDE.md).
+
+WIDE_MODE = "mod"     # wide-payload strategy past 2²⁴ cells; the non-"mod"
+                      # values are debug knobs (tools/wideprobe.py) kept
+                      # for bisecting on real hardware:
+                      #   "mod"     — production: ship h mod 2²⁴ as plain
+                      #               f32; the kernel accepts a slot iff
+                      #               ((h_m − lo mod 2²⁴) mod 2²⁴) ≤ hi−lo.
+                      #               EXACT for every pair that can
+                      #               contribute: a close pair's true
+                      #               h − lo is reproduced verbatim by the
+                      #               mod arithmetic whenever
+                      #               2·gx·gy + 5·gx + 6 ≤ 2²⁴ (enforced by
+                      #               check_pallas_dtype — a bound on the
+                      #               xy PLANE only; total cells are free
+                      #               to the 2²⁹ plan cap), and any aliased
+                      #               acceptance is ≥ one cell size away so
+                      #               its contribution is exactly 0 through
+                      #               the r² < h² cutoff (the fused-row
+                      #               between-cell argument).
+                      #   "slice"   — bitcast int32: slice the (1, WIN)
+                      #               hash row, then bitcast it to int32
                       #   "full"    — bitcast the whole (rows, WIN) block
                       #               to int32, then slice the hash row
                       #               (dodges a (1, WIN) slice+bitcast
@@ -193,13 +216,20 @@ def hash_payload(sorted_hash, dtype, gsize):
     """Cell-hash row for the packed source matrix.
 
     Below 2²⁴ cells the int32 hash converts exactly to float32 (f64 is
-    exact to 2⁵³ — never wide). Past it, the int32 BITS ride the float32
-    row via bitcast (DMA and layout ops are bit-preserving; the kernel
-    bitcasts back and compares in int32 — ``_sweep_kernel`` wide mode).
-    No arithmetic may ever touch the bitcast payload as float: many hash
-    bit patterns are denormal/NaN floats.
+    exact to 2⁵³ — never wide). Past it, the default "mod" mode ships
+    ``h mod 2²⁴`` — exact small-integer floats; the kernel reconstructs
+    each slot's true ``h − lo`` by modular wraparound (see ``WIDE_MODE``).
+    The bitcast modes instead ride the int32 BITS on the float32 row
+    (kernel bitcasts back, compares in int32); no arithmetic may ever
+    touch a bitcast payload as float — many hash bit patterns are
+    denormal/NaN floats, and real hardware was observed dropping a
+    subset of them in transit (round-4 tail-deficit incident).
     """
     if dtype == jnp.float32 and wide_hash_needed(gsize):
+        if WIDE_MODE == "mod":
+            hm = jnp.bitwise_and(sorted_hash.astype(jnp.int32),
+                                 jnp.int32(WIDE_MOD - 1))
+            return hm.astype(dtype)
         if WIDE_MODE == "convert":
             return sorted_hash.astype(dtype)
         h = sorted_hash.astype(jnp.int32)
@@ -645,7 +675,18 @@ def _sweep_kernel(anchors_ref, pvec_ref, q_ref, *refs,
                 row_ok = (zz >= num(0)) & (zz < num(gz))
             lo = jnp.where(row_ok, lo, num(1))
             hi = jnp.where(row_ok, hi, num(0))
-            if wide and WIDE_MODE != "convert" and WIDE_BIAS:
+            if wide and WIDE_MODE == "mod":
+                # mod mode: the payload is h mod 2²⁴ (plain f32); reduce
+                # the bounds to (lo mod 2²⁴, width = hi − lo) rank-1 f32 —
+                # the per-slot test reconstructs h − lo by wraparound.
+                # Empty rows keep width = −1 (never matches). The & with
+                # 2²⁴−1 is the true mod even for the fused mode's slightly
+                # negative lo (two's complement).
+                width = (hi - lo).astype(jnp.float32)
+                lo = jnp.bitwise_and(
+                    lo, jnp.int32(WIDE_MOD - 1)).astype(jnp.float32)
+                hi = width
+            elif wide and WIDE_MODE != "convert" and WIDE_BIAS:
                 # payload rides biased into normal-float bit space
                 # (hash_payload); shift the bounds identically — the
                 # compare is shift-invariant, empty rows stay empty
@@ -681,7 +722,16 @@ def _sweep_kernel(anchors_ref, pvec_ref, q_ref, *refs,
                     elif wide and WIDE_MODE == "convert":
                         # debug: plain-float payload, value-convert
                         src_hash = src_hash.astype(jnp.int32)
-                    valid = (src_hash >= lo) & (src_hash <= hi)
+                    if wide and WIDE_MODE == "mod":
+                        # h − lo by modular wraparound: d and d + 2²⁴ are
+                        # exact (integer-valued f32, |·| < 2²⁵). Aliased
+                        # acceptances are ≥ one cell away → pair fns
+                        # contribute exactly 0 (see WIDE_MODE).
+                        d = src_hash - lo
+                        dw = jnp.where(d < 0.0, d + float(WIDE_MOD), d)
+                        valid = dw <= hi
+                    else:
+                        valid = (src_hash >= lo) & (src_hash <= hi)
                     if p > 0:
                         # end of the previous pass's window — this pass
                         # owns columns at/beyond it (pass 0 owns its whole

@@ -191,6 +191,20 @@ def check_pallas_dtype(cfg: SimConfig, grid: gridlib.Grid):
             f"grid has {grid.num_cells} cells; the Pallas window plan "
             "addresses at most 2^29 cells (~5.4e8). Use a coarser grid "
             "or shard the domain.")
+    from ..ops import pallas_neighbors as _pn
+    gx, gy, _gz = grid.size
+    if (cfg.dtype == jnp.float32 and _pn.wide_hash_needed(grid.size)
+            and _pn.WIDE_MODE == "mod"
+            and 2 * gx * gy + 5 * gx + 6 > _pn.WIDE_MOD):
+        # the mod wide payload is alias-safe only while every close
+        # pair's h − lo is reproduced verbatim — a bound on the xy
+        # PLANE, not on total cells (hash = (z·gy + y)·gx + x is
+        # z-major, so z is the free axis)
+        raise ValueError(
+            f"grid plane {gx}x{gy} exceeds the wide-hash mod bound "
+            "(2*gx*gy + 5*gx + 6 <= 2^24). Orient the domain so its "
+            "largest extent is the z axis (the hash-major axis), use a "
+            "coarser grid, or shard the domain.")
     if cfg.dtype == jnp.float64 and not interpret_mode():
         raise ValueError(
             "float64 Pallas runs only in interpret mode (CPU): TPUs have "

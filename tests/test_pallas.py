@@ -261,12 +261,15 @@ def test_fused_rows_step_matches_legacy():
                                rtol=0, atol=1e-3)
 
 
-def test_wide_hash_mode_matches(monkeypatch):
-    """Past 2²⁴ cells the engine ships cell hashes as bitcast int32 and
-    the kernel compares them in integer arithmetic (hash_payload /
-    _sweep_kernel wide mode). Forcing wide mode on a small scene must be
-    BIT-identical to the exact-f32 path: the mask truth values are the
-    same, so every accumulation is the same in the same order."""
+@pytest.mark.parametrize("mode", ["mod", "slice"])
+def test_wide_hash_mode_matches(monkeypatch, mode):
+    """Past 2²⁴ cells the engine ships cell hashes either as mod-2²⁴
+    residues compared by exact f32 wraparound ("mod", production) or as
+    bitcast int32 compared in integer arithmetic ("slice", debug) —
+    hash_payload / _sweep_kernel wide mode. Forcing wide mode on a small
+    scene must be BIT-identical to the exact-f32 path: the mask truth
+    values are the same, so every accumulation is the same in the same
+    order."""
     from nereus_tpu.ops import pallas_neighbors as PN
 
     cfg, params, state0, grid, boundary = _scene(True)
@@ -281,6 +284,43 @@ def test_wide_hash_mode_matches(monkeypatch):
 
     s_ref, d_ref = run()
     monkeypatch.setattr(PN, "wide_hash_needed", lambda gsize: True)
+    monkeypatch.setattr(PN, "WIDE_MODE", mode)
+    s_wide, d_wide = run()
+    assert int(d_wide.seg_overflow) == 0
+    np.testing.assert_allclose(np.asarray(s_wide.pos),
+                               np.asarray(s_ref.pos), rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(s_wide.vel),
+                               np.asarray(s_ref.vel), rtol=0, atol=0)
+
+
+def test_wide_mod_alias_is_harmless(monkeypatch):
+    """The mod wide payload intentionally ALIASES: any source whose hash
+    differs from a row bound by a multiple of the modulus passes the
+    in-kernel mask. Correctness rests on the plane bound
+    2·gx·gy + 5·gx + 6 ≤ WIDE_MOD: close pairs then reproduce their true
+    h − lo verbatim, and every aliased acceptance is ≥ one cell away so
+    the r² < h² cutoff zeroes it. Shrinking WIDE_MOD to 2048 on a scene
+    whose hashes span far beyond it forces heavy aliasing while keeping
+    the plane bound satisfied — the result must stay BIT-identical."""
+    from nereus_tpu.ops import pallas_neighbors as PN
+
+    cfg, params, state0, grid, boundary = _scene(True)
+    gx, gy, gz = grid.size
+    assert grid.num_cells > 2048, "scene too small to force aliasing"
+    assert 2 * gx * gy + 5 * gx + 6 <= 2048, "plane bound violated"
+
+    def run():
+        step = jax.jit(
+            lambda s: wcsph_step_pallas(s, params, grid, cfg, boundary))
+        s = state0
+        for _ in range(3):
+            s, d = step(s)
+        return s, d
+
+    s_ref, _ = run()
+    monkeypatch.setattr(PN, "wide_hash_needed", lambda gsize: True)
+    monkeypatch.setattr(PN, "WIDE_MODE", "mod")
+    monkeypatch.setattr(PN, "WIDE_MOD", 2048)
     s_wide, d_wide = run()
     assert int(d_wide.seg_overflow) == 0
     np.testing.assert_allclose(np.asarray(s_wide.pos),

@@ -15,15 +15,24 @@ print(jax.devices()); print(float(np.asarray(jnp.sum(jnp.arange(8.)))))" \
 if [ $? -ne 0 ]; then log "tunnel still dead — aborting"; exit 1; fi
 log "tunnel alive: $(head -1 "$OUT/health.txt")"
 
-log "stage 1: wideprobe forced-wide A/B at 150k (biased payloads)"
-timeout 3000 python tools/wideprobe.py --n 150000 --modes wide,convert,raw \
+log "stage 1: wideprobe forced-wide A/B at 150k (mod first, then bitcast)"
+timeout 3000 python tools/wideprobe.py --n 150000 --modes mod,wide,convert,raw \
   >"$OUT/wideprobe_150k.txt" 2>&1
 log "wideprobe rc=$? — $(grep -c 'deficit' "$OUT/wideprobe_150k.txt") deficit lines"
 
-log "stage 2: wideprobe true >2^24-cell regime (pad-below)"
+log "stage 2: wideprobe true >2^24-cell regime (pad-below; mod hv may alias"
+log "         legitimately — judge physics NaN/overflow, not hv equality)"
 timeout 3000 python tools/wideprobe.py --n 150000 --pad-below 4100 \
-  --modes wide >"$OUT/wideprobe_pad.txt" 2>&1
+  --modes mod,wide >"$OUT/wideprobe_pad.txt" 2>&1
 log "pad-below rc=$?"
+
+log "stage 2b: physics A/B — 10 full steps per mode vs exact reference"
+timeout 3000 python tools/wideprobe.py --n 150000 --steps 10 \
+  --modes mod,wide >"$OUT/wideprobe_steps.txt" 2>&1
+log "steps small-grid rc=$? (mod/wide expect max|dpos|=0 exactly)"
+timeout 3000 python tools/wideprobe.py --n 150000 --steps 10 \
+  --pad-below 4100 --modes mod >"$OUT/wideprobe_steps_pad.txt" 2>&1
+log "steps pad-below rc=$? (vs segments oracle; order-noise only)"
 
 log "stage 3: headline sanity (wcsph_1M, fused defaults)"
 timeout 3000 python bench.py --cases wcsph_1M >"$OUT/wcsph_1M.json" 2>>"$OUT/queue.log"

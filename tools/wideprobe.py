@@ -141,15 +141,78 @@ def make_runner(state, params, grid, cfg, n_rows_expect):
     return jax.jit(run, static_argnums=(1,))
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def force_mode(mode):
+    """Force a wide-payload mode (or leave "narrow" untouched)."""
+    from nereus_tpu.ops import pallas_neighbors as PN
+    orig_need, orig_mode = PN.wide_hash_needed, PN.WIDE_MODE
+    orig_bias = PN.WIDE_BIAS
+    if mode in ("wide", "full", "convert", "raw", "mod"):
+        PN.wide_hash_needed = lambda gsize: True
+        PN.WIDE_MODE = {"wide": "slice", "full": "full",
+                        "convert": "convert", "raw": "slice",
+                        "mod": "mod"}[mode]
+        if mode == "raw":   # unbiased payload: denormal/NaN bit patterns
+            PN.WIDE_BIAS = 0
+    try:
+        yield
+    finally:
+        PN.wide_hash_needed = orig_need
+        PN.WIDE_MODE = orig_mode
+        PN.WIDE_BIAS = orig_bias
+
+
+def steps_ab(args, state, params, grid, cfg, n_act):
+    """Physics-level A/B: run --steps full WCSPH steps per forced mode and
+    compare final positions against an exact reference — the narrow
+    Pallas engine when the grid fits f32 hashes, else the jnp segments
+    oracle (int32 hashes: exact at ANY cell count, just slow). Mode "mod"
+    may legitimately accept aliased far sources past 2²⁴ cells; they
+    contribute exactly 0, so physics must match to summation-order noise
+    (bit-exactly when the reference is the narrow engine)."""
+    import nereus_tpu as nt
+    from nereus_tpu.ops.pallas_neighbors import wide_hash_needed
+    from nereus_tpu.solvers.wcsph_pallas import wcsph_step_pallas
+
+    def drive(fn, tag):
+        step = jax.jit(lambda s: fn(s, params, grid, cfg, None))
+        s = state
+        for _ in range(args.steps):
+            s, d = step(s)
+        pos = np.asarray(s.pos[:n_act])
+        print(f"[steps {tag}] seg_overflow={int(np.asarray(d.seg_overflow))}"
+              f" nan={int(np.isnan(pos).sum())}"
+              f" max_density={float(np.asarray(d.max_density)):.2f}")
+        return pos[np.lexsort((pos[:, 2], pos[:, 1], pos[:, 0]))]
+
+    wide_native = wide_hash_needed(grid.size)
+    if wide_native:
+        ref = drive(nt.wcsph_step, "segments-oracle")
+    else:
+        with force_mode("narrow"):
+            ref = drive(wcsph_step_pallas, "narrow")
+    for mode in args.modes.split(","):
+        with force_mode(mode):
+            pos = drive(wcsph_step_pallas, mode)
+        d = np.abs(pos - ref)
+        exact = "" if wide_native else " (expect 0 exactly)"
+        print(f"[steps {mode} vs ref] max|dpos|={d.max():.3e}"
+              f" mean|dpos|={d.mean():.3e}{exact}")
+
+
 def run_mode(mode, state, params, grid, cfg, rows_local, per_row):
     """Returns dict row_key -> (hv, true, miss) numpy arrays."""
     from nereus_tpu.ops import pallas_neighbors as PN
     orig_need, orig_mode = PN.wide_hash_needed, PN.WIDE_MODE
     orig_bias = PN.WIDE_BIAS
-    if mode in ("wide", "full", "convert", "raw"):
+    if mode in ("wide", "full", "convert", "raw", "mod"):
         PN.wide_hash_needed = lambda gsize: True
         PN.WIDE_MODE = {"wide": "slice", "full": "full",
-                        "convert": "convert", "raw": "slice"}[mode]
+                        "convert": "convert", "raw": "slice",
+                        "mod": "mod"}[mode]
         if mode == "raw":   # unbiased payload: denormal/NaN bit patterns
             PN.WIDE_BIAS = 0
     try:
@@ -257,6 +320,10 @@ def main():
                     "fluid at the hash-space top")
     ap.add_argument("--cellcheck", action="store_true",
                     help="compare in-kernel vs host cell coords only")
+    ap.add_argument("--steps", type=int, default=0,
+                    help="physics A/B: run K full WCSPH steps per mode "
+                    "and compare positions against an exact reference "
+                    "instead of counting sweeps")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -288,6 +355,9 @@ def main():
 
     if args.cellcheck:
         cellcheck(state, params, grid, cfg)
+        return
+    if args.steps:
+        steps_ab(args, state, params, grid, cfg, n_act)
         return
     rows_local = 3 if (args.fused and rows3_supported(grid.size)) else 9
     print(f"n={n_act} grid={grid.size} cells={grid.num_cells} "
