@@ -18,6 +18,7 @@ from .rigid import (RigidBody, body_body_contact, body_boundary,
                     concat_boundaries, integrate_rigid,
                     make_rigid_box, wall_contact_force)
 from .solvers.coupled import wcsph_coupled_step
+from .solvers.dfsph_coupled import dfsph_coupled_step
 from .solvers.wcsph import wcsph_step, tait_pressure, cfl_dt
 from .solvers.iisph import iisph_step
 from .solvers.dfsph import dfsph_step
@@ -36,7 +37,7 @@ __all__ = [
     "RigidBody", "body_body_contact", "body_boundary",
     "concat_boundaries", "integrate_rigid", "make_rigid_box",
     "wall_contact_force",
-    "wcsph_coupled_step",
+    "wcsph_coupled_step", "dfsph_coupled_step",
     "wcsph_step", "tait_pressure", "cfl_dt",
     "iisph_step", "dfsph_step", "pcisph_step", "pcisph_delta",
     "pcisph_delta_from_denom", "pcisph_grad_denom",

@@ -98,10 +98,11 @@ def _build_parser():
     run.add_argument("--rigid-box", default=None,
                      metavar="CX,CY,CZ:SX,SY,SZ:DENSITY",
                      help="drop a rigid box into the scene with two-way "
-                          "coupling (wcsph_coupled_step): floats/sinks by "
+                          "coupling (wcsph_coupled_step / "
+                          "dfsph_coupled_step): floats/sinks by "
                           "its material density (kg/m^3), e.g. "
                           "0.25,0.4,0.25:0.08,0.08,0.08:150; single-chip "
-                          "WCSPH only")
+                          "WCSPH or DFSPH only")
     run.add_argument("--xsph", type=float, default=None, metavar="EPS",
                      help="Monaghan XSPH velocity smoothing for the "
                           "position update (WCSPH only; typical 0.3-0.5) "
@@ -273,7 +274,8 @@ def cmd_run(args):
         return 2
     if args.rigid_box is not None:
         _parse_rigid_box(args.rigid_box)  # validate early
-        bad = [n for f, n in ((args.solver != "wcsph", "--solver wcsph"),
+        bad = [n for f, n in ((args.solver not in ("wcsph", "dfsph"),
+                               "--solver wcsph|dfsph"),
                               (args.shards > 1, "--shards 1"),
                               (args.wavemaker, "no --wavemaker"),
                               (args.xsph is not None, "no --xsph"))
@@ -410,7 +412,9 @@ def cmd_run(args):
             return dataclasses.replace(p, dt=dt)
 
         if body_holder[0] is not None:
-            coupled = jax.jit(lambda s, b: nt.wcsph_coupled_step(
+            coupled_fn = (nt.dfsph_coupled_step if args.solver == "dfsph"
+                          else nt.wcsph_coupled_step)
+            coupled = jax.jit(lambda s, b: coupled_fn(
                 s, maybe_adapt(s, params), grid, cfg, b, boundary))
 
             def _cstep(s, t=None):

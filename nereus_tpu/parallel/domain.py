@@ -1445,6 +1445,14 @@ def make_sharded_dfsph_step(mesh: Mesh, params: SimParams,
         v_star = tuple(vel_df[k] + (dt / pm) * f_adv[:, k]
                        for k in range(3))
 
+        # warm start — must mirror the single-chip step exactly
+        # (solvers/dfsph.py): half the previous step's accumulated κ
+        kap0 = jnp.zeros_like(dens)
+        if cfg.dfsph_warm_start:
+            kap0 = 0.5 * jnp.maximum(
+                jnp.where(own_active, sctx.pres, 0.0), 0.0)
+            v_star = apply_kappa(kap0, v_star)
+
         # --- constant-density solve on v* -------------------------------------
         def cond(carry):
             v, kap, err, it = carry
@@ -1452,14 +1460,14 @@ def make_sharded_dfsph_step(mesh: Mesh, params: SimParams,
                     & (it < cfg.dfsph_max_iters))
 
         def body(carry):
-            v, _, _, it = carry
+            v, kap, _, it = carry
             rho_star = dens + dt * drho_of(v)
             comp = jnp.maximum(rho_star - params.rest_density, 0.0)
             kappa = comp * alpha / (dt * dt)
             v = apply_kappa(kappa, v)
-            return (v, kappa, mean_active(comp), it + 1)
+            return (v, kap + kappa, mean_active(comp), it + 1)
 
-        init = (v_star, jnp.zeros_like(dens),
+        init = (v_star, kap0,
                 jnp.asarray(2.0, cfg.dtype) * tol,
                 jnp.asarray(0, jnp.int32))
         v_new, kappa, rho_err, iters = jax.lax.while_loop(cond, body, init)

@@ -98,6 +98,11 @@ class SimConfig:
     dfsph_max_iters: int = 100
     dfsph_min_iters_v: int = 1
     dfsph_max_iters_v: int = 100
+    # Warm-start the constant-density solve with half the previous step's
+    # accumulated stiffness (Bender & Koschier 2017 §3.3): one extra κ
+    # application before the loop, typically saving ≥1 iteration (= two
+    # sweeps) per settled step. state.pressure carries the accumulated κ.
+    dfsph_warm_start: bool = True
 
     def __post_init__(self):
         object.__setattr__(self, "dtype", jnp.dtype(self.dtype))
@@ -109,6 +114,7 @@ class SimConfig:
                      self.pcisph_min_iters, self.pcisph_max_iters,
                      self.dfsph_min_iters, self.dfsph_max_iters,
                      self.dfsph_min_iters_v, self.dfsph_max_iters_v,
+                     self.dfsph_warm_start,
                      self.engine, self.sweep_block, self.sweep_win,
                      self.sweep_kfold, self.sweep_fused_rows))
 

@@ -54,9 +54,10 @@ def _grad(cfg, rij, params):
     return K.w_default_grad(cfg.kernel_set, rij, params)
 
 
-def compute_alpha(ctx, params, cfg, boundary, dens):
-    """DFSPH factor α_i (paper eq. 9, with Akinci boundary terms in the
-    gradient sum). Returns (alpha, grad_sum) — grad_sum reused by tests."""
+def alpha_parts(ctx, params, cfg, boundary):
+    """The two α accumulators: (Σ ψ∇W gradient sum incl. Akinci boundary
+    terms, Σ|m∇W|² fluid-only square sum). Split out so the rigid-coupled
+    step can fold body-shell gradient sums in before forming α."""
     pos = ctx.state.pos
     n = pos.shape[0]
     ir = params.interaction_radius
@@ -84,9 +85,16 @@ def compute_alpha(ctx, params, cfg, boundary, dens):
                 "sq": masked(ok, jnp.zeros_like(g[..., 0]))}
 
     acc = common.boundary_reduce(ctx, boundary, bpair, acc, {"pos": pos}, cfg)
-    denom = jnp.sum(acc["gs"] * acc["gs"], axis=-1) + acc["sq"]
+    return acc["gs"], acc["sq"]
+
+
+def compute_alpha(ctx, params, cfg, boundary, dens):
+    """DFSPH factor α_i (paper eq. 9, with Akinci boundary terms in the
+    gradient sum). Returns (alpha, grad_sum) — grad_sum reused by tests."""
+    gs, sq = alpha_parts(ctx, params, cfg, boundary)
+    denom = jnp.sum(gs * gs, axis=-1) + sq
     alpha = dens / jnp.maximum(denom, _EPS_DENOM)
-    return alpha, acc["gs"]
+    return alpha, gs
 
 
 def compute_drho(ctx, params, cfg, boundary, vel):
@@ -170,7 +178,9 @@ def dfsph_step(state: FluidState, params: SimParams, grid: gridlib.Grid,
 
     Returns ``(new_state, StepDiagnostics)``; ``solver_iters`` is the
     total of divergence + density iterations, ``pressure`` carries the
-    final density-solver stiffness κ (diagnostic; not warm-started yet).
+    ACCUMULATED density-solver stiffness κ — the next step's warm start
+    (``SimConfig.dfsph_warm_start``; the divergence loop is not
+    warm-started, it usually exits at its configured minimum).
     """
     if cfg.use_pallas():
         from .dfsph_pallas import dfsph_step_pallas
@@ -217,22 +227,33 @@ def dfsph_step(state: FluidState, params: SimParams, grid: gridlib.Grid,
     v_star = tuple(vel_df[:, k] + (dt / pm) * f_adv[:, k] for k in range(3))
 
     # --- constant-density solve on v* ---------------------------------------
+    # warm start (Bender & Koschier 2017 §3.3): apply half the previous
+    # step's ACCUMULATED stiffness (carried in state.pressure) once before
+    # the loop; the loop then only solves the residual. κ ≥ 0 by
+    # construction; the first step (pressure 0) is bit-identical to cold.
+    kap0 = jnp.zeros_like(dens)
+    if cfg.dfsph_warm_start:
+        kap0 = 0.5 * jnp.maximum(
+            jnp.where(active, ctx.state.pressure, 0.0), 0.0)
+        v_star = apply_kappa(ctx, params, cfg, boundary, dens, kap0,
+                             jnp.stack(v_star, axis=1))
+
     def cond(carry):
         v, kap, err, it = carry
         return (((err > tol) | (it < cfg.dfsph_min_iters))
                 & (it < cfg.dfsph_max_iters))
 
     def body(carry):
-        v, _, _, it = carry
+        v, kap, _, it = carry
         vt = jnp.stack(v, axis=1)
         rho_star = dens + dt * compute_drho(ctx, params, cfg, boundary, vt)
         comp = jnp.maximum(rho_star - params.rest_density, 0.0)
         kappa = comp * alpha / (dt * dt)
         v = apply_kappa(ctx, params, cfg, boundary, dens, kappa, vt)
         err = _mean_active(comp, active, nact)
-        return (v, kappa, err, it + 1)
+        return (v, kap + kappa, err, it + 1)
 
-    init = (v_star, jnp.zeros_like(dens),
+    init = (v_star, kap0,
             jnp.asarray(2.0, cfg.dtype) * tol, jnp.asarray(0, jnp.int32))
     v_new, kappa, rho_err, iters = jax.lax.while_loop(cond, body, init)
     vel_new = jnp.stack(v_new, axis=1)

@@ -110,20 +110,29 @@ def dfsph_step_pallas(state: FluidState, params: SimParams,
                    for k in range(3))
 
     # --- constant-density solve on v* -----------------------------------------
+    # warm start (Bender & Koschier 2017 §3.3): half the previous step's
+    # accumulated κ (ctx.pres_prev) applied once before the loop; the
+    # first step (pressure 0) is bit-identical to cold.
+    kap0 = jnp.zeros_like(dens)
+    if cfg.dfsph_warm_start:
+        kap0 = 0.5 * jnp.maximum(
+            jnp.where(active, ctx.pres_prev, 0.0), 0.0)
+        v_star = apply_kappa(kap0, v_star)
+
     def cond(carry):
         v, kap, err, it = carry
         return (((err > tol) | (it < cfg.dfsph_min_iters))
                 & (it < cfg.dfsph_max_iters))
 
     def body(carry):
-        v, _, _, it = carry
+        v, kap, _, it = carry
         rho_star = dens + dt * drho_of(v)
         comp = jnp.maximum(rho_star - params.rest_density, 0.0)
         kappa = comp * alpha / (dt * dt)
         v = apply_kappa(kappa, v)
-        return (v, kappa, mean_active(comp), it + 1)
+        return (v, kap + kappa, mean_active(comp), it + 1)
 
-    init = (v_star, jnp.zeros_like(dens),
+    init = (v_star, kap0,
             jnp.asarray(2.0, cfg.dtype) * tol, jnp.asarray(0, jnp.int32))
     v_new, kappa, rho_err, iters = jax.lax.while_loop(cond, body, init)
 

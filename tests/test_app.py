@@ -357,3 +357,12 @@ def test_cli_rigid_box(capsys):
     # incompatible combos refuse
     assert cli_main(["run", "--solver", "iisph",
                      "--rigid-box", "0.2,0.2,0.2:0.1,0.1,0.1:200"]) == 2
+
+
+def test_cli_rigid_box_dfsph(capsys):
+    rc = cli_main(["run", "--solver", "dfsph", "--steps", "4",
+                   "--neighbor-engine", "pallas",
+                   "--rigid-box", "0.25,0.45,0.25:0.08,0.08,0.08:200"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["seg_overflow"] == 0

@@ -174,3 +174,48 @@ def test_dfsph_pallas_matches_oracle():
     np.testing.assert_allclose(np.sort(np.asarray(s_o.vel), axis=0),
                                np.sort(np.asarray(s_p.vel), axis=0),
                                rtol=2e-3, atol=2e-4)
+
+
+def test_dfsph_warm_start_reduces_iterations():
+    """With κ warm starting (Bender & Koschier 2017 §3.3, on by default)
+    a settled column needs FEWER density-solver iterations than a cold
+    solve of the same trajectory regime, at the same tolerance; physics
+    stays finite and the fluid stays in the tank. Pallas interpret (the
+    segments oracle's seg_window can overflow on settled lattices)."""
+    import dataclasses as _dc
+
+    from nereus_tpu.scene import resting_block
+
+    cfg_w = SimConfig(engine="pallas")
+    cfg_c = _dc.replace(cfg_w, dfsph_warm_start=False)
+    spacing = 0.8 * float(dfsph_params().interaction_radius)
+    steps = 30
+
+    def run(cfg):
+        params = calibrate_mass(dfsph_params(), cfg, spacing=spacing)
+        # an impact in progress: sustained compression keeps the density
+        # solve above its configured minimum, so warm starting has
+        # headroom to show (a quietly settled block exits at min iters
+        # with or without it)
+        state, grid, boundary = resting_block(params, cfg, n_target=343,
+                                              spacing=spacing,
+                                              impact_velocity=-2.0)
+        # tight tolerance (0.005% of rho0): the tiny block otherwise
+        # converges at min iters, leaving warm starting nothing to save
+        step = jax.jit(lambda s: dfsph.dfsph_step(s, params, grid, cfg,
+                                                  boundary, tol=0.05))
+        total = 0
+        for _ in range(steps):
+            state, diag = step(state)
+            total += int(np.asarray(diag.solver_iters))
+        p = np.asarray(state.pos[:int(np.asarray(state.num_active))])
+        assert np.isfinite(p).all()
+        assert p[:, 1].min() > 0.0
+        assert int(np.asarray(diag.seg_overflow)) == 0
+        return total
+
+    warm = run(cfg_w)
+    cold = run(cfg_c)
+    floor = steps * (cfg_w.dfsph_min_iters + cfg_w.dfsph_min_iters_v)
+    assert cold > floor, (cold, floor)   # the scene must do real work
+    assert warm < cold, (warm, cold)
