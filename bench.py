@@ -147,6 +147,11 @@ def run_case(name, n_steps=10):
         "iisph_1M_settled": ("iisph", 2 ** 20, "settled"),
         # beyond-reference solver (Bender & Koschier DFSPH)
         "dfsph_256k_settled": ("dfsph", 256_000, "settled"),
+        # beyond-reference solver (Macklin & Muller PBF): fixed-iteration
+        # position projection -- the real-time method, so a free-fall 1M
+        # row is honest (every step costs the same 2*pbf_iters sweeps)
+        "pbf_1M": ("pbf", 2 ** 20, False),
+        "pbf_256k_settled": ("pbf", 256_000, "settled"),
         "sharded_wcsph_1M": ("sharded_wcsph", 2 ** 20, False),
         "sharded_iisph_256k": ("sharded_iisph", 256_000, False),
         "sharded_dfsph_256k": ("sharded_dfsph", 256_000, False),
@@ -166,6 +171,8 @@ def run_case(name, n_steps=10):
         params = nt.iisph_params()
     elif solver in ("dfsph", "sharded_dfsph"):
         params = nt.dfsph_params()
+    elif solver == "pbf":
+        params = calibrate_mass(nt.pbf_params(), cfg)
     elif solver == "pcisph":
         params = calibrate_mass(nt.pcisph_params(), cfg)
     else:
@@ -186,6 +193,8 @@ def run_case(name, n_steps=10):
         step = lambda s: nt.iisph_step(s, params, grid, cfg, boundary)  # noqa: E731
     elif solver == "dfsph":
         step = lambda s: nt.dfsph_step(s, params, grid, cfg, boundary)  # noqa: E731
+    elif solver == "pbf":
+        step = lambda s: nt.pbf_step(s, params, grid, cfg, boundary)  # noqa: E731
     elif solver == "pcisph":
         delta = nt.pcisph_delta(params, cfg)
         # settled row: tighten the corrective tolerance from the default
@@ -249,7 +258,8 @@ def main():
                  "sharded_wcsph_1M", "sharded_iisph_256k",
                  "sharded_dfsph_256k", "wcsph_2M",
                  "wcsph_4M", "wcsph_8M", "wcsph_10M", "iisph_1M",
-                 "iisph_1M_settled", "dfsph_256k_settled"]
+                 "iisph_1M_settled", "dfsph_256k_settled",
+                 "pbf_1M", "pbf_256k_settled"]
     if args.cases:
         cases = args.cases.split(",")
     elif args.all:

@@ -8,7 +8,8 @@ TPU: static shapes, one fully-jitted step with zero host sync, sorted
 """
 
 from .params import (KernelSet, SimConfig, SimParams, SurfaceTensionModel,
-                     dfsph_params, iisph_params, make_params, pcisph_params)
+                     dfsph_params, iisph_params, make_params, pbf_params,
+                     pcisph_params)
 from .grid import Grid, fit_grid, make_grid, refit_grid
 from .state import (BoundaryData, FluidState, add_particles,
                     add_particles_traced, make_fluid_state,
@@ -22,6 +23,7 @@ from .solvers.dfsph_coupled import dfsph_coupled_step
 from .solvers.wcsph import wcsph_step, tait_pressure, cfl_dt
 from .solvers.iisph import iisph_step
 from .solvers.dfsph import dfsph_step
+from .solvers.pbf import pbf_step
 from .solvers.pcisph import (pcisph_step, pcisph_delta,
                              pcisph_delta_from_denom, pcisph_grad_denom)
 
@@ -29,7 +31,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "KernelSet", "SimConfig", "SimParams", "SurfaceTensionModel",
-    "dfsph_params", "iisph_params", "make_params", "pcisph_params",
+    "dfsph_params", "iisph_params", "make_params", "pbf_params", "pcisph_params",
     "Grid", "fit_grid", "make_grid", "refit_grid",
     "BoundaryData", "FluidState", "add_particles", "add_particles_traced",
     "make_fluid_state", "remove_particles", "move_boundary",
@@ -39,6 +41,6 @@ __all__ = [
     "wall_contact_force",
     "wcsph_coupled_step", "dfsph_coupled_step",
     "wcsph_step", "tait_pressure", "cfl_dt",
-    "iisph_step", "dfsph_step", "pcisph_step", "pcisph_delta",
+    "iisph_step", "dfsph_step", "pbf_step", "pcisph_step", "pcisph_delta",
     "pcisph_delta_from_denom", "pcisph_grad_denom",
 ]

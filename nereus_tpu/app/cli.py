@@ -28,7 +28,7 @@ def _build_parser():
 
     run = sub.add_parser("run", help="run a simulation")
     run.add_argument("--solver",
-                     choices=["wcsph", "iisph", "dfsph", "pcisph"],
+                     choices=["wcsph", "iisph", "dfsph", "pbf", "pcisph"],
                      default="wcsph")
     run.add_argument("--scene", choices=["dam-break", "cube-drop", "demo"],
                      default="dam-break",
@@ -158,9 +158,11 @@ def _make_setup(args):
         params = nt.iisph_params(**overrides)
     elif args.solver == "dfsph":
         params = nt.dfsph_params(**overrides)
+    elif args.solver == "pbf":
+        params = nt.pbf_params(**overrides)
     else:
         params = nt.pcisph_params(**overrides)
-    if args.calibrate_mass or args.solver == "pcisph":
+    if args.calibrate_mass or args.solver in ("pcisph", "pbf"):
         params = calibrate_mass(params, cfg)
 
     scene_kw = {}
@@ -451,7 +453,8 @@ def cmd_run(args):
         else:
             solver = {"wcsph": nt.wcsph_step,
                       "iisph": nt.iisph_step,
-                      "dfsph": nt.dfsph_step}[args.solver]
+                      "dfsph": nt.dfsph_step,
+                      "pbf": nt.pbf_step}[args.solver]
             xkw = ({"xsph_eps": float(args.xsph)}
                    if args.xsph is not None else {})
 

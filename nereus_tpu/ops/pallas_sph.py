@@ -46,7 +46,9 @@ PV_OY = 19
 PV_OZ = 20
 PV_INVCELL = 21
 PV_DT = 22
-PV_LEN = 23
+PV_SCORR_S = 23    # PBF anti-clustering: scorr = −(W·s)⁴ with
+                   # s = pbf_scorr_k^(1/4) / W(Δq·h) (0 disables)
+PV_LEN = 24
 
 
 def build_pvec(params: SimParams, cfg: SimConfig, grid):
@@ -79,6 +81,14 @@ def build_pvec(params: SimParams, cfg: SimConfig, grid):
     vals[PV_OZ] = grid.origin[2]
     vals[PV_INVCELL] = 1.0 / grid.cell[0]
     vals[PV_DT] = params.dt
+    if cfg.pbf_scorr_k > 0.0:
+        dqv = jnp.stack([cfg.pbf_scorr_dq * h, jnp.zeros_like(h),
+                         jnp.zeros_like(h)])
+        wdq = K.w_value(cfg.kernel_set, dqv[None, :], params)[0]
+        vals[PV_SCORR_S] = (cfg.pbf_scorr_k ** 0.25) / jnp.maximum(
+            wdq, 1e-30)
+    else:
+        vals[PV_SCORR_S] = jnp.zeros_like(h)
     return jnp.stack([jnp.asarray(v, cfg.dtype) for v in vals])
 
 
@@ -570,6 +580,76 @@ def grad_pressure_force_pair(q_ref, src_ref, valid, pv, *, kernel_set,
         [jnp.sum(c * dx, axis=1, keepdims=True),
          jnp.sum(c * dy, axis=1, keepdims=True),
          jnp.sum(c * dz, axis=1, keepdims=True), zero], axis=1)
+
+
+def pbf_lambda_pair(q_ref, src_ref, valid, pv, *, kernel_set,
+                    include_sq: bool):
+    """PBF constraint accumulators (solvers/pbf.py, beyond-reference) in
+    ONE sweep: out (B, 8) = [ρ, Σψ∇W (vector), Σ|ψ∇W|², 0, 0, 0].
+
+    C_i = ρ_i/ρ₀ − 1 and its denominator Σ_k|∇_k C|² =
+    (|Σψ∇W|² + Σ|ψ∇W|²)/ρ₀² are both built from these sums (ψ = m for
+    fluid). Boundary shells contribute to ρ and the gradient sum only
+    (include_sq=False), like :func:`alpha_pair`.
+
+    Frozen-neighborhood contract: q cols 0-2 = plan positions (hash
+    bounds), cols 4-6 = CURRENT iterate positions (pair geometry);
+    src rows 0-2 = current source positions, hash row frozen.
+    """
+    dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv, geom_offset=4)
+    rl, invrl = _maybe_rl(kernel_set, r2)
+    okf = (valid & (r2 < pv[PV_H2])).astype(q_ref.dtype)
+    w = _w_value(kernel_set, r2, rl, pv)
+    psi = src_ref[6:7, :]
+    d = psi * w * okf
+    s = _w_grad_scale_default(kernel_set, r2, rl, pv, invrl)
+    c = psi * s * okf
+    if include_sq:
+        sq = jnp.sum(c * c * r2, axis=1, keepdims=True)
+    else:
+        sq = jnp.zeros_like(dx[:, :1])
+    zero = jnp.zeros_like(dx[:, :1])
+    return jnp.concatenate(
+        [jnp.sum(d, axis=1, keepdims=True),
+         jnp.sum(c * dx, axis=1, keepdims=True),
+         jnp.sum(c * dy, axis=1, keepdims=True),
+         jnp.sum(c * dz, axis=1, keepdims=True),
+         sq, zero, zero, zero], axis=1)
+
+
+def pbf_dp_pair(q_ref, src_ref, valid, pv, *, kernel_set,
+                boundary: bool):
+    """PBF position correction (unscaled by 1/ρ₀ — folded outside):
+
+    fluid:    Δp += m (λ_i + λ_j + scorr)·∇W      (src slot 6 = λ_j)
+    boundary: Δp += ψ λ_i·∇W                      (src slot 6 = ψ)
+
+    scorr = −(W·s)⁴ with s from PV_SCORR_S (Macklin & Müller 2013 eq. 13;
+    the k^(1/4)/W(Δq) constant folds the whole ratio into one multiply).
+    q: cols 0-2 plan positions, col 3 = λ_i, cols 4-6 current positions.
+    Out (B, 4): dpx dpy dpz (pad). Signs: λ < 0 under compression and the
+    default gradient scale is negative along +r̂, so compressed pairs
+    separate; the boundary term pushes fluid OFF the wall with no extra
+    flip (same algebra as the fluid term with λ_b = 0).
+    """
+    dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv, geom_offset=4)
+    rl, invrl = _maybe_rl(kernel_set, r2)
+    okf = (valid & (r2 < pv[PV_H2])).astype(q_ref.dtype)
+    s = _w_grad_scale_default(kernel_set, r2, rl, pv, invrl)
+    if boundary:
+        coef = src_ref[6:7, :] * q_ref[:, 3:4] * s
+    else:
+        w = _w_value(kernel_set, r2, rl, pv)
+        t = w * pv[PV_SCORR_S]
+        t2 = t * t
+        scorr = -(t2 * t2)
+        coef = pv[PV_PM] * (q_ref[:, 3:4] + src_ref[6:7, :] + scorr) * s
+    coef = coef * okf
+    zero = jnp.zeros_like(dx[:, :1])
+    return jnp.concatenate(
+        [jnp.sum(coef * dx, axis=1, keepdims=True),
+         jnp.sum(coef * dy, axis=1, keepdims=True),
+         jnp.sum(coef * dz, axis=1, keepdims=True), zero], axis=1)
 
 
 # ---------------------------------------------------------------------------

@@ -103,6 +103,20 @@ class SimConfig:
     # application before the loop, typically saving ≥1 iteration (= two
     # sweeps) per settled step. state.pressure carries the accumulated κ.
     dfsph_warm_start: bool = True
+    # PBF (beyond-reference solver, Macklin & Müller 2013): fixed Jacobi
+    # iteration count (the real-time convention — no tolerance loop),
+    # anti-clustering pressure scorr = −k·(W/W(Δq·h))⁴ (k = 0 disables),
+    # and the λ-denominator relaxation ε. k default 0.001, NOT the
+    # paper's 0.1: scorr acts even at rest (it's what inflates the
+    # lattice slightly past rest spacing), and with this framework's
+    # sparse-neighborhood convention (rest spacing 0.75h, not the
+    # paper's ~0.5h) k=0.1 shoves a free-falling cube's edges 8× the
+    # ½gt² drop (measured; k=0.001 → 1.4× on the edge-most particle,
+    # rest density error < 0.01%).
+    pbf_iters: int = 4
+    pbf_scorr_k: float = 0.001
+    pbf_scorr_dq: float = 0.2
+    pbf_eps: float = 100.0
 
     def __post_init__(self):
         object.__setattr__(self, "dtype", jnp.dtype(self.dtype))
@@ -114,7 +128,8 @@ class SimConfig:
                      self.pcisph_min_iters, self.pcisph_max_iters,
                      self.dfsph_min_iters, self.dfsph_max_iters,
                      self.dfsph_min_iters_v, self.dfsph_max_iters_v,
-                     self.dfsph_warm_start,
+                     self.dfsph_warm_start, self.pbf_iters,
+                     self.pbf_scorr_k, self.pbf_scorr_dq, self.pbf_eps,
                      self.engine, self.sweep_block, self.sweep_win,
                      self.sweep_kfold, self.sweep_fused_rows))
 
@@ -288,6 +303,24 @@ def dfsph_params(**overrides) -> SimParams:
     """DFSPH default parameter set (beyond-reference solver; physical
     parameters follow the IISPH defaults, ``sph/iisph/iisph.cpp:37-80``,
     since DFSPH replaces only the pressure solve)."""
+    defaults = dict(
+        viscosity=0.01,
+        surface_tension=0.01,
+        interaction_radius=0.0537,
+        beta=1050.0,
+        mass_factor=0.5,
+    )
+    defaults.update(overrides)
+    return make_params(**defaults)
+
+
+def pbf_params(**overrides) -> SimParams:
+    """PBF default parameter set (beyond-reference solver; physical
+    parameters follow the IISPH defaults like :func:`dfsph_params` —
+    PBF replaces only the pressure projection). ALWAYS calibrate the
+    mass (``calibrate_mass``): the density constraint C = ρ/ρ₀ − 1 is
+    meaningless on a lattice that doesn't sum to ρ₀ (the CLI does this
+    automatically for ``--solver pbf``)."""
     defaults = dict(
         viscosity=0.01,
         surface_tension=0.01,

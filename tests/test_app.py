@@ -359,6 +359,14 @@ def test_cli_rigid_box(capsys):
                      "--rigid-box", "0.2,0.2,0.2:0.1,0.1,0.1:200"]) == 2
 
 
+def test_cli_pbf(capsys):
+    rc = cli_main(["run", "--solver", "pbf", "--steps", "5",
+                   "--neighbor-engine", "pallas"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["seg_overflow"] == 0
+
+
 def test_cli_rigid_box_dfsph(capsys):
     rc = cli_main(["run", "--solver", "dfsph", "--steps", "4",
                    "--neighbor-engine", "pallas",
