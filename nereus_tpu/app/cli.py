@@ -107,6 +107,14 @@ def _build_parser():
                      help="Monaghan XSPH velocity smoothing for the "
                           "position update (WCSPH only; typical 0.3-0.5) "
                           "— one extra fluid sweep per step")
+    run.add_argument("--emit", default=None, metavar="X,Y,Z:VX,VY,VZ:EVERY",
+                     help="traced inflow emitter: every EVERY steps, add "
+                          "a 3x3 particle patch at X,Y,Z (oriented "
+                          "perpendicular to the velocity) moving at "
+                          "VX,VY,VZ — add_particles_traced keeps shapes "
+                          "static and never recompiles; emissions that "
+                          "would overflow capacity are rejected and "
+                          "counted (emit_overflow); single-chip")
     run.add_argument("--outflow", default=None,
                      metavar="AXIS:below|above:VALUE",
                      help="open-boundary outflow: every step, remove "
@@ -174,6 +182,11 @@ def _make_setup(args):
         # leave headroom for dropped cubes (~3 extra fills of the run)
         drops = args.steps // args.drop_cube_every + 1
         scene_kw["capacity_factor"] = 1 + drops
+    if args.emit:
+        # emitted patches are tiny (9 particles); doubled capacity is
+        # generous headroom at CLI scales
+        scene_kw["capacity_factor"] = max(
+            scene_kw.get("capacity_factor", 1), 2)
     state, grid, boundary = scenelib.dam_break(
         params, cfg, n_target=args.n_target,
         with_boundary=not args.no_boundary, **scene_kw)
@@ -204,6 +217,20 @@ def _parse_rigid_box(spec: str):
     except (ValueError, AssertionError):
         raise SystemExit(
             f"--rigid-box expects CX,CY,CZ:SX,SY,SZ:DENSITY, got {spec!r}")
+
+
+def _parse_emit(spec: str):
+    """'X,Y,Z:VX,VY,VZ:EVERY' → (pos, vel, every)."""
+    try:
+        p_s, v_s, e_s = spec.split(":")
+        pos = tuple(float(v) for v in p_s.split(","))
+        vel = tuple(float(v) for v in v_s.split(","))
+        assert len(pos) == 3 and len(vel) == 3
+        return pos, vel, int(e_s)
+    except (ValueError, AssertionError):
+        raise SystemExit(
+            f"--emit expects X,Y,Z:VX,VY,VZ:EVERY (e.g. "
+            f"0.25,0.6,0.25:0,-1,0:20), got {spec!r}")
 
 
 def _parse_outflow(spec: str):
@@ -364,6 +391,7 @@ def cmd_run(args):
             from nereus_tpu.parallel import (ShardConfig,
                                              make_sharded_dfsph_step,
                                              make_sharded_iisph_step,
+                                             make_sharded_pbf_step,
                                              make_sharded_pcisph_step,
                                              make_sharded_wcsph_step,
                                              shard_state, slab_counts,
@@ -392,6 +420,10 @@ def cmd_run(args):
                     adaptive_dt_lambda=lam)
             elif args.solver == "dfsph":
                 step = make_sharded_dfsph_step(
+                    mesh, params, grid, cfg, scfg, boundary,
+                    adaptive_dt_lambda=lam)
+            elif args.solver == "pbf":
+                step = make_sharded_pbf_step(
                     mesh, params, grid, cfg, scfg, boundary,
                     adaptive_dt_lambda=lam)
             else:
@@ -495,6 +527,32 @@ def cmd_run(args):
         drop_pts = particle_cube((0.25, 0.55, 0.25), (0.12, 0.12, 0.12),
                                  spacing)
 
+    emit_jit = emit_every = None
+    if args.emit:
+        if args.shards > 1:
+            log.error("--emit is single-chip only")
+            return 2
+        import jax
+        epos, evel, emit_every = _parse_emit(args.emit)
+        sp = 2.0 * float(params.particle_radius)
+        # 3x3 patch perpendicular to the dominant velocity axis
+        ax = int(np.argmax(np.abs(evel))) if any(evel) else 1
+        o1, o2 = [d for d in range(3) if d != ax]
+        pts = []
+        for a in (-sp, 0.0, sp):
+            for b in (-sp, 0.0, sp):
+                q = list(epos)
+                q[o1] += a
+                q[o2] += b
+                pts.append(q)
+        epts = np.asarray(pts, np.float32)
+        evels = np.broadcast_to(
+            np.asarray(evel, np.float32), epts.shape).copy()
+        emit_jit = jax.jit(
+            lambda s: nt.add_particles_traced(s, epts, evels))
+        log.info("emitter: %d particles at %s vel %s every %d steps",
+                 len(epts), epos, evel, emit_every)
+
     # Overflow diagnostics are tracked as a running on-device max across
     # steps — a long sharded run that exceeds a heuristically sized
     # capacity must be surfaced even if the final step looks clean.
@@ -526,6 +584,12 @@ def cmd_run(args):
                 log.info("step %d: grid refit to %s", i,
                          np.asarray(grid.size).tolist())
                 step, run_state, to_host = build_stepper(grid, boundary, hs)
+            if emit_jit is not None and i and i % emit_every == 0:
+                import jax.numpy as jnp
+                run_state, eovf = emit_jit(run_state)
+                ovf_max["emit_overflow"] = (
+                    eovf if "emit_overflow" not in ovf_max
+                    else jnp.maximum(ovf_max["emit_overflow"], eovf))
             if drop_pts is not None and i and i % args.drop_cube_every == 0:
                 try:
                     run_state = nt.add_particles(run_state, drop_pts)

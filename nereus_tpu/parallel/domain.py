@@ -1512,3 +1512,208 @@ def make_sharded_dfsph_step(mesh: Mesh, params: SimParams,
                           num_active=n_loc), diag
 
     return step
+
+
+def make_sharded_pbf_step(mesh: Mesh, params: SimParams,
+                          grid: gridlib.Grid, cfg: SimConfig,
+                          scfg: ShardConfig,
+                          boundary: Optional[BoundaryData] = None,
+                          adaptive_dt_lambda: Optional[float] = None):
+    """Build the jitted multi-chip PBF step (Pallas window sweeps;
+    interpret mode off-TPU).
+
+    Same slab scheme as the other sharded solvers; advection to x*
+    happens BEFORE migration so slab ownership reflects the advected
+    positions. The fixed ``cfg.pbf_iters`` Jacobi projections hop two
+    ghost fields per iteration (the current iterate positions for both
+    sweeps, then the fresh λ column for the correction) over the frozen
+    window plan — the PCISPH frozen-neighborhood contract in its sharded
+    form (sharded PCISPH already hops predicted positions the same way).
+    The iteration count is static, so shards are in lockstep by
+    construction. Matches the single-chip
+    :func:`nereus_tpu.solvers.pbf.pbf_step` (without XSPH).
+    """
+    from ..ops import pallas_sph as PSs
+    from ..ops.pallas_neighbors import (fuse_plans, hash_payload,
+                                        pack_source, pack_source_fused,
+                                        plan_windows, round_up,
+                                        rows3_supported)
+    from ..solvers.pallas_common import interpret_mode, padded_len
+
+    ax = scfg.axis_name
+    d = scfg.n_shards
+    if mesh.shape[ax] != d:
+        raise ValueError(
+            f"mesh axis {ax!r} has {mesh.shape[ax]} devices but "
+            f"ShardConfig.n_shards={d}")
+    _check_pallas_only(cfg, grid, "sharded PBF")
+    cl = scfg.local_capacity
+    kh = scfg.halo_capacity
+    interp = interpret_mode()
+    rows3 = cfg.sweep_fused_rows and rows3_supported(grid.size)
+    rloc = 3 if rows3 else 9
+    swin = cfg.resolve_win(rows3)
+    sblock = cfg.resolve_block(rows3)
+    clb = round_up(cl, sblock)
+    qpad = clb - cl
+    src_len = cl + 2 * kh
+    has_b = boundary is not None and boundary.num_boundaries > 0
+    n_rows = 2 * rloc if has_b else rloc
+    rd = float(params.rest_density)
+
+    def padq(a, fillv):
+        if qpad == 0:
+            return a
+        fill = jnp.full((qpad,) + a.shape[1:], fillv, a.dtype)
+        return jnp.concatenate([a, fill])
+
+    def local_step(pos0, vel0, pres0, n_loc, params=params):
+        act0 = jnp.arange(cl, dtype=jnp.int32) < n_loc[0]
+        if adaptive_dt_lambda is not None:
+            params = _adapt_dt(params, vel0, act0, ax, adaptive_dt_lambda)
+        dt = params.dt
+        pm = params.particle_mass
+        g = jnp.asarray(params.gravity, pos0.dtype)
+        # external-force advection to x* BEFORE migration/halos: the
+        # frozen plan and the slab ownership are both built on x*
+        v_star0 = jnp.where(act0[:, None], vel0 + dt * g[None, :], vel0)
+        x_star0 = jnp.where(act0[:, None], pos0 + dt * v_star0, pos0)
+        sctx = _migrate_and_halo(x_star0, v_star0, pres0, n_loc,
+                                 grid=grid, scfg=scfg)
+        pos, vel = sctx.pos, sctx.vel
+        n_own, own_active = sctx.n_own, sctx.own_active
+        src_pos = sctx.src_pos
+        hash_f32 = hash_payload(sctx.src_hash, pos.dtype, grid.size)
+
+        pq = tuple(padq(pos[:, k], PARK) for k in range(3))
+        act_q = padq(own_active, False)
+        qcoords = gridlib.cell_coords_cols(grid, *pq)
+
+        def queries(*cols, width):
+            cols = [*pq, *cols]
+            z = jnp.zeros((clb,), pos.dtype)
+            return jnp.stack(list(cols) + [z] * (width - len(cols)),
+                             axis=0).T
+
+        pk16 = _fused_pack16(src_len, boundary, swin)
+        anchors, miss = plan_windows(sctx.src_hash, qcoords, grid.size,
+                                     sblock, padded_len(src_len, swin),
+                                     active_mask=act_q, win=swin,
+                                     pack16=pk16, rows_local=rloc)
+        pvec = PSs.build_pvec(params, cfg, grid)
+        psi_fluid = jnp.full((src_len,), 1.0, pos.dtype) * pm
+
+        if has_b:
+            b_anchors, b_miss = plan_windows(
+                boundary.sorted_hash, qcoords, grid.size, sblock,
+                padded_len(src_len, swin)
+                + padded_len(boundary.num_boundaries, swin),
+                active_mask=act_q,
+                pos_offset=padded_len(src_len, swin),
+                win=swin, pack16=pk16, rows_local=rloc)
+            anchors = fuse_plans(anchors, b_anchors, pack16=pk16,
+                                 rows_local=rloc)
+            miss = miss + b_miss
+            b_hash_f32 = hash_payload(boundary.sorted_hash, pos.dtype,
+                                      grid.size)
+            bzero = jnp.zeros_like(boundary.psi)
+            bvel = ([boundary.vel[:, k] for k in range(3)]
+                    if boundary.vel is not None else [bzero, bzero, bzero])
+
+            def pack8(slot6, posf):
+                z = jnp.zeros((src_len,), pos.dtype)
+                return pack_source_fused(
+                    posf, hash_f32, [z, z, z, slot6],
+                    boundary.pos, b_hash_f32,
+                    [*bvel, boundary.psi], rows=8, win=swin)
+        else:
+            def pack8(slot6, posf):
+                return pack_source(posf, hash_f32,
+                                   jnp.zeros((src_len, 3), pos.dtype),
+                                   slot6, win=swin)
+
+        def hop(fields):
+            return _halo_hop(fields, sctx, scfg, n_own)
+
+        def body(_, carry):
+            x, _, _ = carry
+            (src_x,) = hop({"x": x})
+            xq = tuple(padq(x[:, k], PARK) for k in range(3))
+            zq = jnp.zeros((clb,), pos.dtype)
+            q_l = queries(zq, *xq, width=8)
+            al = PSs.generic_sweep(
+                cfg, PSs.pbf_lambda_pair, q_l,
+                pack8(psi_fluid, src_x), anchors, pvec, grid.size,
+                out_width=8, n_rows=n_rows, interpret=interp,
+                include_sq=True,
+                pair_fn_b=(PSs.pbf_lambda_pair if has_b else None),
+                pair_b_kw=dict(include_sq=False))[:cl]
+            dens = al[:, 0]
+            comp = jnp.where(own_active,
+                             jnp.maximum(dens / rd - 1.0, 0.0), 0.0)
+            denom = (al[:, 1] ** 2 + al[:, 2] ** 2 + al[:, 3] ** 2
+                     + al[:, 4]) / (rd * rd)
+            lam = -comp / (denom + cfg.pbf_eps)
+            (src_lam,) = hop({"lam": lam})
+            q_dp = queries(padq(lam, 0.0), *xq, width=8)
+            dp = PSs.generic_sweep(
+                cfg, PSs.pbf_dp_pair, q_dp,
+                pack8(src_lam, src_x), anchors, pvec, grid.size,
+                out_width=4, n_rows=n_rows, interpret=interp,
+                boundary=False,
+                pair_fn_b=(PSs.pbf_dp_pair if has_b else None),
+                pair_b_kw=dict(boundary=True))[:cl, :3]
+            x = jnp.where(own_active[:, None], x + dp / rd, x)
+            return (x, lam, dens)
+
+        init = (pos, jnp.zeros((cl,), cfg.dtype),
+                jnp.zeros((cl,), cfg.dtype))
+        x_new, lam, dens = jax.lax.fori_loop(0, cfg.pbf_iters, body, init)
+
+        new_vel = vel + (x_new - pos) / dt
+        new_vel = jnp.where(own_active[:, None], new_vel,
+                            jnp.zeros_like(vel))
+        new_pos = jnp.where(own_active[:, None], x_new,
+                            jnp.full_like(pos, PARK))
+        new_pres = jnp.where(own_active, lam, 0.0)
+
+        nact_g = jnp.maximum(
+            jax.lax.psum(n_own, ax).astype(cfg.dtype), 1.0)
+
+        def gmean(v):
+            return jax.lax.psum(
+                jnp.sum(jnp.where(own_active, v, 0.0)), ax) / nact_g
+
+        comp_last = jnp.maximum(dens / rd - 1.0, 0.0)
+        diag = ShardedDiagnostics(
+            max_density=jax.lax.pmax(
+                jnp.max(jnp.where(own_active, dens, 0.0)), ax),
+            mean_density_error=gmean(jnp.abs(dens / rd - 1.0)),
+            mean_compression=gmean(comp_last),
+            seg_overflow=jax.lax.pmax(miss, ax),
+            halo_overflow=jax.lax.pmax(sctx.halo_overflow, ax),
+            migration_overflow=jax.lax.pmax(sctx.mig_overflow, ax),
+            capacity_overflow=jax.lax.pmax(sctx.cap_overflow, ax),
+            migration_violation=jax.lax.psum(sctx.mig_violation, ax),
+            num_active=jax.lax.psum(n_own, ax),
+            solver_iters=jnp.asarray(cfg.pbf_iters, jnp.int32),
+        )
+        return new_pos, new_vel, new_pres, n_own[None], diag
+
+    pspec = P(ax)
+    rep = P()
+    sharded = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(pspec, pspec, pspec, pspec),
+        out_specs=(pspec, pspec, pspec, pspec,
+                   jax.tree_util.tree_map(lambda _: rep, _diag_struct())),
+        check_vma=False)
+
+    @jax.jit
+    def step(state: FluidState):
+        pos, vel, pres, n_loc, diag = sharded(
+            state.pos, state.vel, state.pressure, state.num_active)
+        return FluidState(pos=pos, vel=vel, pressure=pres,
+                          num_active=n_loc), diag
+
+    return step

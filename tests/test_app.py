@@ -359,6 +359,16 @@ def test_cli_rigid_box(capsys):
                      "--rigid-box", "0.2,0.2,0.2:0.1,0.1,0.1:200"]) == 2
 
 
+def test_cli_emit(capsys):
+    rc = cli_main(["run", "--solver", "wcsph", "--steps", "16",
+                   "--neighbor-engine", "pallas",
+                   "--emit", "0.25,0.6,0.25:0,-1,0:5"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["seg_overflow"] == 0
+    assert summary.get("emit_overflow", 1) == 0   # emissions all accepted
+
+
 def test_cli_pbf(capsys):
     rc = cli_main(["run", "--solver", "pbf", "--steps", "5",
                    "--neighbor-engine", "pallas"])

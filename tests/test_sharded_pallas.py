@@ -240,3 +240,49 @@ def test_sharded_moving_boundary_matches_single_chip(mesh):
         np.testing.assert_allclose(
             np.asarray(merged.vel)[kN], np.asarray(state.vel[:n])[k1],
             rtol=0, atol=1e-4, err_msg=f"step {it}")
+
+
+def test_sharded_pbf_matches_single_chip(mesh):
+    from nereus_tpu.parallel import make_sharded_pbf_step
+    from nereus_tpu.params import calibrate_mass
+    cfg = nt.SimConfig(engine="pallas")
+    params = calibrate_mass(nt.pbf_params(dt=5e-4), cfg)
+    state, grid, boundary = scene.dam_break(
+        params, cfg, cube_size=(0.25, 0.25, 0.25),
+        cube_center=(-0.3, 0.05, 0.5),
+        box_min=(-0.8, -0.3, 0.0), box_max=(0.2, 0.7, 1.0),
+        with_boundary=True, boundary_radius=0.04)
+    n = int(state.num_active)
+
+    scfg = ShardConfig(n_shards=8, local_capacity=n, halo_capacity=512,
+                       migration_capacity=256)
+    sstate = shard_state(state, grid, scfg, mesh)
+    sharded = make_sharded_pbf_step(mesh, params, grid, cfg, scfg,
+                                    boundary)
+
+    @jax.jit
+    def single(s):
+        return nt.pbf_step(s, params, grid, cfg, boundary)
+
+    for it in range(2):
+        state, d1 = single(state)
+        sstate, dN = sharded(sstate)
+        assert int(dN.num_active) == n
+        assert int(dN.seg_overflow) == 0
+
+        merged = unshard_state(sstate)
+
+        def key(a):
+            a = np.asarray(a)
+            return np.lexsort((a[:, 2], a[:, 1], a[:, 0]))
+
+        p1, pN = np.asarray(state.pos[:n]), np.asarray(merged.pos)
+        k1, kN = key(p1), key(pN)
+        np.testing.assert_allclose(pN[kN], p1[k1], rtol=0, atol=1e-5,
+                                   err_msg=f"step {it}")
+        np.testing.assert_allclose(
+            np.asarray(merged.vel)[kN], np.asarray(state.vel[:n])[k1],
+            rtol=0, atol=1e-4, err_msg=f"step {it}")
+        np.testing.assert_allclose(float(dN.max_density),
+                                   float(d1.max_density),
+                                   rtol=1e-3, atol=1e-5)
