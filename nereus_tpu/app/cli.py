@@ -104,9 +104,16 @@ def _build_parser():
                           "0.25,0.4,0.25:0.08,0.08,0.08:150; single-chip "
                           "WCSPH or DFSPH only")
     run.add_argument("--xsph", type=float, default=None, metavar="EPS",
-                     help="Monaghan XSPH velocity smoothing for the "
-                          "position update (WCSPH only; typical 0.3-0.5) "
-                          "— one extra fluid sweep per step")
+                     help="Monaghan XSPH velocity smoothing (WCSPH: "
+                          "position update only, typical 0.3-0.5; PBF: "
+                          "the carried velocity — the paper's viscosity, "
+                          "typical 0.01-0.05) — one extra fluid sweep")
+    run.add_argument("--vorticity", type=float, default=None,
+                     metavar="EPS",
+                     help="PBF vorticity confinement (Macklin & Muller "
+                          "2013 s5): v += dt*EPS*(N x omega) — restores "
+                          "rotational energy the projection damps; two "
+                          "extra fluid sweeps per step")
     run.add_argument("--emit", default=None, metavar="X,Y,Z:VX,VY,VZ:EVERY",
                      help="traced inflow emitter: every EVERY steps, add "
                           "a 3x3 particle patch at X,Y,Z (oriented "
@@ -298,8 +305,13 @@ def cmd_run(args):
     enable_compilation_cache()
 
     log = get_logger()
-    if args.xsph is not None and (args.solver != "wcsph" or args.shards > 1):
-        log.error("--xsph applies to single-chip WCSPH only")
+    if args.xsph is not None and (args.solver not in ("wcsph", "pbf")
+                                  or args.shards > 1):
+        log.error("--xsph applies to single-chip WCSPH or PBF only")
+        return 2
+    if args.vorticity is not None and (args.solver != "pbf"
+                                       or args.shards > 1):
+        log.error("--vorticity applies to single-chip PBF only")
         return 2
     if args.rigid_box is not None:
         _parse_rigid_box(args.rigid_box)  # validate early
@@ -489,6 +501,8 @@ def cmd_run(args):
                       "pbf": nt.pbf_step}[args.solver]
             xkw = ({"xsph_eps": float(args.xsph)}
                    if args.xsph is not None else {})
+            if args.vorticity is not None:
+                xkw["vorticity_eps"] = float(args.vorticity)
 
             def _step(s, t=None):
                 return solver(s, maybe_adapt(s, params), grid, cfg,

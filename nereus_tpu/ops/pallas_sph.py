@@ -617,6 +617,31 @@ def pbf_lambda_pair(q_ref, src_ref, valid, pv, *, kernel_set,
          sq, zero, zero, zero], axis=1)
 
 
+def pbf_omega_pair(q_ref, src_ref, valid, pv, *, kernel_set):
+    """PBF vorticity accumulator (Macklin & Müller 2013 §5):
+
+      ω_i = Σ_j ψ_j (v_j − v_i) × ∇W_ij       (src slot 6 = m/ρ_j)
+
+    q fields: x y z vx vy vz (geometry over the advected configuration —
+    per-iteration displacements are a small fraction of h, the same
+    approximation the frozen plan already makes). Out (B, 4): ωx ωy ωz
+    (pad). The self term is exactly 0 (v_i − v_i).
+    """
+    dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv)
+    rl, invrl = _maybe_rl(kernel_set, r2)
+    okf = (valid & (r2 < pv[PV_H2])).astype(q_ref.dtype)
+    s = _w_grad_scale_default(kernel_set, r2, rl, pv, invrl)
+    c = src_ref[6:7, :] * s * okf
+    dvx = src_ref[3:4, :] - q_ref[:, 3:4]
+    dvy = src_ref[4:5, :] - q_ref[:, 4:5]
+    dvz = src_ref[5:6, :] - q_ref[:, 5:6]
+    return jnp.concatenate(
+        [jnp.sum(c * (dvy * dz - dvz * dy), axis=1, keepdims=True),
+         jnp.sum(c * (dvz * dx - dvx * dz), axis=1, keepdims=True),
+         jnp.sum(c * (dvx * dy - dvy * dx), axis=1, keepdims=True),
+         jnp.zeros_like(dx[:, :1])], axis=1)
+
+
 def pbf_dp_pair(q_ref, src_ref, valid, pv, *, kernel_set,
                 boundary: bool):
     """PBF position correction (unscaled by 1/ρ₀ — folded outside):

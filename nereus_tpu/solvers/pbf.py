@@ -52,10 +52,12 @@ _EPS_DENOM_SCALE = 1.0   # cfg.pbf_eps is used directly (paper ε)
 
 def pbf_step(state: FluidState, params: SimParams, grid: gridlib.Grid,
              cfg: SimConfig, boundary: Optional[BoundaryData] = None,
-             xsph_eps=None):
+             xsph_eps=None, vorticity_eps=None):
     """One PBF step. ``xsph_eps`` (None = off; may be traced) enables
     Monaghan XSPH smoothing of the carried velocity — the paper's
-    viscosity (its c ≈ 0.01).
+    viscosity (its c ≈ 0.01). ``vorticity_eps`` enables vorticity
+    confinement (paper §5): v += dt·ε (N̂ × ω) with N = ∇|ω| — restores
+    the rotational energy the position projection damps.
 
     Returns ``(new_state, StepDiagnostics)``; ``solver_iters`` reports
     the fixed ``cfg.pbf_iters``, ``pressure`` carries the final λ
@@ -63,7 +65,8 @@ def pbf_step(state: FluidState, params: SimParams, grid: gridlib.Grid,
     if cfg.use_pallas():
         from .pbf_pallas import pbf_step_pallas
         return pbf_step_pallas(state, params, grid, cfg, boundary,
-                               xsph_eps=xsph_eps)
+                               xsph_eps=xsph_eps,
+                               vorticity_eps=vorticity_eps)
     dt = params.dt
     pm = params.particle_mass
     rd = params.rest_density
@@ -166,6 +169,40 @@ def pbf_step(state: FluidState, params: SimParams, grid: gridlib.Grid,
 
     vel_new = vel_s + (x_new - x0) / dt
     vel_new = jnp.where(active[:, None], vel_new, ctx.state.vel)
+    if vorticity_eps is not None:
+        # vorticity confinement (paper §5), fluid pairs over the
+        # advected configuration — mirrors the Pallas path
+        dens_safe = jnp.maximum(dens, 1e-12)
+        mrho = pm / dens_safe
+
+        def om_pair(i, j, valid):
+            rij = i["pos"][:, None, :] - j["pos"]
+            ok = valid & (jnp.sum(rij * rij, axis=-1) < ir * ir)
+            gr = K.w_default_grad(cfg.kernel_set, rij, params)
+            dv = j["vel"] - i["vel"][:, None, :]
+            return {"om": masked(
+                ok, j["mr"][..., None] * jnp.cross(dv, gr))}
+
+        om = common.fluid_reduce(
+            ctx, om_pair, {"om": jnp.zeros((n, 3), cfg.dtype)},
+            {"pos": x0, "vel": vel_new, "mr": mrho},
+            {"pos": x0, "vel": vel_new}, cfg)["om"]
+        omn = jnp.linalg.norm(om, axis=-1)
+
+        def n_pair(i, j, valid):
+            rij = i["pos"][:, None, :] - j["pos"]
+            ok = valid & (jnp.sum(rij * rij, axis=-1) < ir * ir)
+            gr = K.w_default_grad(cfg.kernel_set, rij, params)
+            return {"gn": masked(ok, j["w"][..., None] * gr)}
+
+        gn = common.fluid_reduce(
+            ctx, n_pair, {"gn": jnp.zeros((n, 3), cfg.dtype)},
+            {"pos": x0, "w": mrho * omn}, {"pos": x0}, cfg)["gn"]
+        nhat = gn / jnp.maximum(
+            jnp.linalg.norm(gn, axis=-1, keepdims=True), 1e-10)
+        fv = jnp.cross(nhat, om)
+        vel_new = jnp.where(active[:, None],
+                            vel_new + (dt * vorticity_eps) * fv, vel_new)
     if xsph_eps is not None:
         v_carry = xsph_velocity(ctx, params, cfg, vel_new, dens, xsph_eps)
         vel_new = jnp.where(active[:, None], v_carry, vel_new)

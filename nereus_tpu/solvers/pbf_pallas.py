@@ -28,7 +28,7 @@ from .wcsph import StepDiagnostics, density_errors
 def pbf_step_pallas(state: FluidState, params: SimParams,
                     grid: gridlib.Grid, cfg: SimConfig,
                     boundary: Optional[BoundaryData] = None,
-                    xsph_eps=None):
+                    xsph_eps=None, vorticity_eps=None):
     dt = params.dt
     pm = params.particle_mass
     rd = params.rest_density
@@ -90,6 +90,36 @@ def pbf_step_pallas(state: FluidState, params: SimParams,
 
     vstar = (ctx.vx, ctx.vy, ctx.vz)
     vel_new = tuple(vstar[k] + (x_new[k] - x0[k]) / dt for k in range(3))
+    if vorticity_eps is not None:
+        # vorticity confinement (paper §5): ω from one cross-product
+        # sweep, its |ω|-gradient N from the λ-accumulator pair's
+        # gradient columns, then v += dt·ε (N̂ × ω). Fluid-only plan;
+        # geometry over the advected configuration.
+        dens_safe = jnp.maximum(dens, 1e-12)
+        mrho = (jnp.full((cb,), 1.0, ctx.dtype) * params.particle_mass
+                / dens_safe)
+        q8w = ctx.queries(*vel_new, width=8)
+        src_w = ctx.pack(vel=vel_new, slot6=mrho[:c])
+        om = PS.generic_sweep(cfg, PS.pbf_omega_pair, q8w, src_w,
+                              ctx.anchors_f, pvec, gsize, out_width=4,
+                              n_rows=ctx.rows_local, interpret=interp)
+        omn = jnp.sqrt(om[:, 0] ** 2 + om[:, 1] ** 2 + om[:, 2] ** 2)
+        qn = ctx.queries(zeros, *x0, width=8)
+        src_n = ctx.pack(slot6=(mrho * omn)[:c],
+                         pos_override=tuple(a[:c] for a in x0))
+        al_n = PS.generic_sweep(cfg, PS.pbf_lambda_pair, qn, src_n,
+                                ctx.anchors_f, pvec, gsize, out_width=8,
+                                n_rows=ctx.rows_local, interpret=interp,
+                                include_sq=False)
+        nx, ny, nz = al_n[:, 1], al_n[:, 2], al_n[:, 3]
+        ninv = jax.lax.rsqrt(jnp.maximum(
+            nx * nx + ny * ny + nz * nz, 1e-20))
+        fx = (ny * om[:, 2] - nz * om[:, 1]) * ninv
+        fy = (nz * om[:, 0] - nx * om[:, 2]) * ninv
+        fz = (nx * om[:, 1] - ny * om[:, 0]) * ninv
+        vel_new = (vel_new[0] + (dt * vorticity_eps) * fx,
+                   vel_new[1] + (dt * vorticity_eps) * fy,
+                   vel_new[2] + (dt * vorticity_eps) * fz)
     if xsph_eps is not None:
         # Monaghan XSPH on the carried velocity (the paper's viscosity);
         # geometry over the advected configuration (frozen plan)

@@ -375,6 +375,14 @@ def test_cli_pbf(capsys):
     assert rc == 0
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["seg_overflow"] == 0
+    # XSPH + vorticity confinement post-passes
+    rc = cli_main(["run", "--solver", "pbf", "--steps", "4",
+                   "--neighbor-engine", "pallas",
+                   "--xsph", "0.02", "--vorticity", "0.01"])
+    assert rc == 0
+    # incompatible combos refuse
+    assert cli_main(["run", "--solver", "wcsph",
+                     "--vorticity", "0.01"]) == 2
 
 
 def test_cli_rigid_box_dfsph(capsys):

@@ -31,17 +31,25 @@ def _settle_scene(nside=9):
     return cfg, params, grid, boundary, state
 
 
-def test_pbf_pallas_matches_oracle():
+import pytest
+
+
+@pytest.mark.parametrize("extras", [
+    {},
+    dict(xsph_eps=0.02, vorticity_eps=0.01),
+])
+def test_pbf_pallas_matches_oracle(extras):
     """Three full steps: Pallas (interpret) vs the segments oracle, same
-    frozen-neighborhood iteration — per-particle states must track."""
+    frozen-neighborhood iteration — per-particle states must track
+    (including the XSPH + vorticity-confinement post-passes)."""
     cfg_o, params, grid, boundary, state = _settle_scene(nside=7)
     cfg_p = dataclasses.replace(cfg_o, engine="pallas")
     s_o, s_p = state, state
     for it in range(3):
         s_o, d_o = jax.jit(lambda s: nt.pbf_step(
-            s, params, grid, cfg_o, boundary))(s_o)
+            s, params, grid, cfg_o, boundary, **extras))(s_o)
         s_p, d_p = jax.jit(lambda s: nt.pbf_step(
-            s, params, grid, cfg_p, boundary))(s_p)
+            s, params, grid, cfg_p, boundary, **extras))(s_p)
         assert int(np.asarray(d_p.seg_overflow)) == 0
         np.testing.assert_allclose(np.sort(np.asarray(s_o.pos), axis=0),
                                    np.sort(np.asarray(s_p.pos), axis=0),
