@@ -147,6 +147,10 @@ def run_case(name, n_steps=10):
         "iisph_1M_settled": ("iisph", 2 ** 20, "settled"),
         # beyond-reference solver (Bender & Koschier DFSPH)
         "dfsph_256k_settled": ("dfsph", 256_000, "settled"),
+        # beyond-reference: Weiler-2018 implicit viscosity (honey regime,
+        # nu = 100x default) — prices the per-step CG matvec sweeps; the
+        # impacting block gives the solve real shear from step 1
+        "dfsph_visc_256k_settled": ("dfsph_visc", 256_000, "settled"),
         # beyond-reference solver (Macklin & Muller PBF): fixed-iteration
         # position projection -- the real-time method, so a free-fall 1M
         # row is honest (every step costs the same 2*pbf_iters sweeps)
@@ -166,11 +170,15 @@ def run_case(name, n_steps=10):
     # auto defaults (fused 3-row windows: block 152, win 512) cover every
     # other row, measured: 0 plan misses at 150k/1M/2M/4M dam-break,
     # boundary_274k, and the settled scenes at 256k/1M
+    if solver == "dfsph_visc":
+        cfg_kw["viscosity_model"] = "implicit"
     cfg = nt.SimConfig(**cfg_kw)
     if solver in ("iisph", "sharded_iisph"):
         params = nt.iisph_params()
     elif solver in ("dfsph", "sharded_dfsph"):
         params = nt.dfsph_params()
+    elif solver == "dfsph_visc":
+        params = nt.dfsph_params(viscosity=5.0)
     elif solver == "pbf":
         params = calibrate_mass(nt.pbf_params(), cfg)
     elif solver == "pcisph":
@@ -191,7 +199,7 @@ def run_case(name, n_steps=10):
         step = lambda s: nt.wcsph_step(s, params, grid, cfg, boundary)  # noqa: E731
     elif solver == "iisph":
         step = lambda s: nt.iisph_step(s, params, grid, cfg, boundary)  # noqa: E731
-    elif solver == "dfsph":
+    elif solver in ("dfsph", "dfsph_visc"):
         step = lambda s: nt.dfsph_step(s, params, grid, cfg, boundary)  # noqa: E731
     elif solver == "pbf":
         step = lambda s: nt.pbf_step(s, params, grid, cfg, boundary)  # noqa: E731
@@ -259,6 +267,7 @@ def main():
                  "sharded_dfsph_256k", "wcsph_2M",
                  "wcsph_4M", "wcsph_8M", "wcsph_10M", "iisph_1M",
                  "iisph_1M_settled", "dfsph_256k_settled",
+                 "dfsph_visc_256k_settled",
                  "pbf_1M", "pbf_256k_settled"]
     if args.cases:
         cases = args.cases.split(",")

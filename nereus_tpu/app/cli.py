@@ -129,6 +129,14 @@ def _build_parser():
                           "drains everything that falls below y=0.02) — "
                           "remove_particles keeps shapes static and the "
                           "live count traced (no recompile); single-chip")
+    run.add_argument("--implicit-viscosity", type=float, default=None,
+                     metavar="NU",
+                     help="WCSPH/DFSPH: replace the explicit Muller "
+                          "viscosity with the Weiler-2018 implicit solve "
+                          "(matrix-free CG on (I - dt*nu*lap) v = v*; "
+                          "beyond-reference) at kinematic viscosity NU — "
+                          "unconditionally stable for honey/lava regimes; "
+                          "e.g. 5.0")
     run.add_argument("--wavemaker", default=None, metavar="AXIS:AMP:HZ",
                      help="oscillate the boundary box rigidly along AXIS "
                           "(x/y/z): offset A*sin(2*pi*f*t), velocity "
@@ -158,6 +166,11 @@ def _make_setup(args):
         kw["sweep_block"] = args.sweep_block
     if args.sweep_win is not None:
         kw["sweep_win"] = args.sweep_win
+    if getattr(args, "implicit_viscosity", None) is not None:
+        if args.solver not in ("wcsph", "dfsph"):
+            raise SystemExit(
+                "--implicit-viscosity requires --solver wcsph or dfsph")
+        kw["viscosity_model"] = "implicit"
     cfg = nt.SimConfig(kernel_set=kernel_set, surface_tension_model=st,
                        seg_window=args.seg_window,
                        engine=args.neighbor_engine, **kw)
@@ -167,6 +180,8 @@ def _make_setup(args):
         overrides["dt"] = args.dt
     if args.scene == "demo":
         overrides["gravity"] = (0.0, 0.0, 0.0)  # main.cpp:552 setGravity(0)
+    if getattr(args, "implicit_viscosity", None) is not None:
+        overrides["viscosity"] = args.implicit_viscosity
     if args.solver == "wcsph":
         params = nt.make_params(**overrides)
     elif args.solver == "iisph":

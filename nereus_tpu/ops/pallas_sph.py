@@ -235,7 +235,7 @@ def density_pair(q_ref, src_ref, valid, pv, *, kernel_set, geom_offset=0):
 
 
 def fluid_force_pair(q_ref, src_ref, valid, pv, *, kernel_set, st_model,
-                     include_pressure=True):
+                     include_pressure=True, include_viscosity=True):
     """Fused per-pair fluid forces: viscosity + surface tension (+ pressure
     when ``include_pressure`` — the IISPH/PCISPH advection prediction uses
     the same pair with it off), with the trailing scalings of
@@ -259,10 +259,12 @@ def fluid_force_pair(q_ref, src_ref, valid, pv, *, kernel_set, st_model,
     # true per-slot division left, measured 7.7% of the whole force sweep
     # at 1M — matching the reference's own `--use_fast_math` build
     # (CMakeLists.txt:85). Interpret mode computes it exactly.
-    a = _visc_rdotgrad(kernel_set, r2, rl, pv, invrl)
-    kv = (2.0 * pv[PV_PM] * pv[PV_VISC] * pv[PV_PM]) * inv_dens  # rank-1
-    bden = r2 + 0.01 * pv[PV_H2]
-    cvisc = kv * (a * _fast_recip(bden)) * okf
+    cvisc = None
+    if include_viscosity:
+        a = _visc_rdotgrad(kernel_set, r2, rl, pv, invrl)
+        kv = (2.0 * pv[PV_PM] * pv[PV_VISC] * pv[PV_PM]) * inv_dens
+        bden = r2 + 0.01 * pv[PV_H2]
+        cvisc = kv * (a * _fast_recip(bden)) * okf
 
     # displacement-direction coefficient: pressure + surface tension share
     # the r⃗ factor, so their scales combine into ONE (B, WIN) field before
@@ -297,16 +299,20 @@ def fluid_force_pair(q_ref, src_ref, valid, pv, *, kernel_set, st_model,
         cs = (-pv[PV_KAPPA] * pv[PV_PM] * pv[PV_PM]) * kij * c * invrl
         cpd = cs if cpd is None else cpd + cs
 
-    dvx = q_ref[:, 3:4] - src_ref[3:4, :]
-    dvy = q_ref[:, 4:5] - src_ref[4:5, :]
-    dvz = q_ref[:, 5:6] - src_ref[5:6, :]
-    if cpd is None:
+    if cvisc is None and cpd is None:
+        zero = jnp.zeros_like(dx[:, :1])
+        return jnp.concatenate([zero, zero, zero, zero], axis=1)
+    fx = fy = fz = 0.0
+    if cvisc is not None:
+        dvx = q_ref[:, 3:4] - src_ref[3:4, :]
+        dvy = q_ref[:, 4:5] - src_ref[4:5, :]
+        dvz = q_ref[:, 5:6] - src_ref[5:6, :]
         fx, fy, fz = cvisc * dvx, cvisc * dvy, cvisc * dvz
-    else:
+    if cpd is not None:
         cpd = cpd * okf
-        fx = cvisc * dvx + cpd * dx
-        fy = cvisc * dvy + cpd * dy
-        fz = cvisc * dvz + cpd * dz
+        fx = fx + cpd * dx
+        fy = fy + cpd * dy
+        fz = fz + cpd * dz
 
     zero = jnp.zeros_like(fx[:, :1])
     return jnp.concatenate(
@@ -317,7 +323,8 @@ def fluid_force_pair(q_ref, src_ref, valid, pv, *, kernel_set, st_model,
 
 def boundary_force_pair(q_ref, src_ref, valid, pv, *, kernel_set,
                         include_pressure=True, moving=False,
-                        include_adhesion=True, pressure_sign=1.0):
+                        include_adhesion=True, include_friction=True,
+                        pressure_sign=1.0):
     """Fused boundary forces: Akinci adhesion + friction + boundary pressure
     (``computeCellForces`` boundary loop, ``sph_kernel_impl.cuh:552-602``;
     pressure term scaling per ``compute_pressure_force``).
@@ -352,17 +359,21 @@ def boundary_force_pair(q_ref, src_ref, valid, pv, *, kernel_set,
 
     # friction: 2·m·μ · (−m ψ Π) ∇W_dflt, Π = −ν·max(v_i·r, 0)/(1+0.01h²)
     # ν is rank-1 in the query; the constants fold into it
-    nu = ((2.0 * pv[PV_PM] * pv[PV_PM] * pv[PV_VISC] * pv[PV_VISC]
-           * pv[PV_H] * pv[PV_CS]) / (1.0 + 0.01 * pv[PV_H2])) \
-        / (dens_i * dens_i)
-    if moving:
-        vdotr = ((q_ref[:, 3:4] - src_ref[3:4, :]) * dx
-                 + (q_ref[:, 4:5] - src_ref[4:5, :]) * dy
-                 + (q_ref[:, 5:6] - src_ref[5:6, :]) * dz)
-    else:
-        vdotr = (q_ref[:, 3:4] * dx + q_ref[:, 4:5] * dy
-                 + q_ref[:, 5:6] * dz)
-    cfric = nu * jnp.maximum(vdotr, 0.0) * psi * sd
+    # (include_friction=False drops it — the implicit viscosity solver
+    # handles fluid-boundary viscous coupling itself)
+    cfric = 0.0
+    if include_friction:
+        nu = ((2.0 * pv[PV_PM] * pv[PV_PM] * pv[PV_VISC] * pv[PV_VISC]
+               * pv[PV_H] * pv[PV_CS]) / (1.0 + 0.01 * pv[PV_H2])) \
+            / (dens_i * dens_i)
+        if moving:
+            vdotr = ((q_ref[:, 3:4] - src_ref[3:4, :]) * dx
+                     + (q_ref[:, 4:5] - src_ref[4:5, :]) * dy
+                     + (q_ref[:, 5:6] - src_ref[5:6, :]) * dz)
+        else:
+            vdotr = (q_ref[:, 3:4] * dx + q_ref[:, 4:5] * dy
+                     + q_ref[:, 5:6] * dz)
+        cfric = nu * jnp.maximum(vdotr, 0.0) * psi * sd
 
     # boundary pressure: −m · (−m ψ pd2_i) · ∇W_dflt
     if include_pressure:
@@ -617,6 +628,41 @@ def pbf_lambda_pair(q_ref, src_ref, valid, pv, *, kernel_set,
          sq, zero, zero, zero], axis=1)
 
 
+def visc_laplacian_pair(q_ref, src_ref, valid, pv, *, kernel_set,
+                        boundary: bool):
+    """Weiler-2018 viscous Laplacian applied to a velocity field
+    (solvers/viscosity.py, beyond-reference):
+
+      L(v)_i = 2(d+2) Σ_j coef_j · (v_ij·x_ij)/(‖x_ij‖² + 0.01h²) ∇W_ij
+
+    with d = 3, coef = m/ρ_j for fluid sources (src slot 6, precomputed)
+    and ψ_b/ρ_i for boundary sources (src slot 6 = ψ, ρ_i = q col 6;
+    boundary velocities ride src rows 3-5 — zeros when static). Exactly
+    linear in v (positions and densities are frozen over the solve), so
+    one sweep per CG matvec. q: x y z vx vy vz dens (pad).
+    Out (B, 4): Lx Ly Lz (pad).
+    """
+    dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv)
+    rl, invrl = _maybe_rl(kernel_set, r2)
+    okf = (valid & (r2 < pv[PV_H2])).astype(q_ref.dtype)
+    s = _w_grad_scale_default(kernel_set, r2, rl, pv, invrl)
+    if boundary:
+        inv_di = 1.0 / jnp.maximum(q_ref[:, 6:7], _EPS)   # rank-1 (B, 1)
+        coef = src_ref[6:7, :] * inv_di
+    else:
+        coef = src_ref[6:7, :]
+    dvdotx = ((q_ref[:, 3:4] - src_ref[3:4, :]) * dx
+              + (q_ref[:, 4:5] - src_ref[4:5, :]) * dy
+              + (q_ref[:, 5:6] - src_ref[5:6, :]) * dz)
+    c = (10.0 * coef * s) * dvdotx * _fast_recip(
+        r2 + 0.01 * pv[PV_H2]) * okf
+    zero = jnp.zeros_like(dx[:, :1])
+    return jnp.concatenate(
+        [jnp.sum(c * dx, axis=1, keepdims=True),
+         jnp.sum(c * dy, axis=1, keepdims=True),
+         jnp.sum(c * dz, axis=1, keepdims=True), zero], axis=1)
+
+
 def pbf_omega_pair(q_ref, src_ref, valid, pv, *, kernel_set):
     """PBF vorticity accumulator (Macklin & Müller 2013 §5):
 
@@ -697,18 +743,23 @@ def density_sweep(cfg: SimConfig, queries_pos, src, anchors, pvec, gsize,
 
 def fluid_force_sweep(cfg: SimConfig, queries, src, anchors, pvec, gsize,
                       *, include_pressure=True, n_rows=9,
-                      moving_boundary=False, interpret=False):
+                      moving_boundary=False, include_viscosity=True,
+                      interpret=False):
     """WCSPH forces; with ``n_rows=18`` the boundary terms (adhesion +
     friction + boundary pressure) run fused as rows 9-17.
-    ``moving_boundary``: see :func:`boundary_force_pair`."""
+    ``moving_boundary``: see :func:`boundary_force_pair`.
+    ``include_viscosity=False`` drops the explicit viscosity term AND the
+    boundary friction (the implicit viscosity solver owns both)."""
     pair = functools.partial(fluid_force_pair, kernel_set=cfg.kernel_set,
                              st_model=cfg.surface_tension_model,
-                             include_pressure=include_pressure)
+                             include_pressure=include_pressure,
+                             include_viscosity=include_viscosity)
     pair_b = None
     if n_rows in (6, 18):   # two window groups: rows_local fluid + boundary
         pair_b = functools.partial(boundary_force_pair,
                                    kernel_set=cfg.kernel_set,
                                    include_pressure=include_pressure,
+                                   include_friction=include_viscosity,
                                    moving=moving_boundary)
     out = neighbor_sweep(
         pair, queries=queries, src=src, anchors=anchors, pvec=pvec,

@@ -1431,6 +1431,7 @@ def make_sharded_dfsph_step(mesh: Mesh, params: SimParams,
         vel_df, err_v, iters_v = jax.lax.while_loop(vcond, vbody, init_v)
 
         # --- non-pressure forces ----------------------------------------------
+        implicit_visc = cfg.viscosity_model == "implicit"
         vel_df_t = jnp.stack(vel_df, axis=1)
         src_vdf, src_dens = hop({"v": vel_df_t, "d": dens})
         q8 = queries(*(padq(vk, 0.0) for vk in vel_df),
@@ -1440,10 +1441,47 @@ def make_sharded_dfsph_step(mesh: Mesh, params: SimParams,
                                       include_pressure=False,
                                       n_rows=n_rows,
                                       moving_boundary=_moving_b(boundary),
+                                      include_viscosity=not implicit_visc,
                                       interpret=interp)
         f_adv = f_adv[:cl] + pm * params.gravity
         v_star = tuple(vel_df[k] + (dt / pm) * f_adv[:, k]
                        for k in range(3))
+
+        if implicit_visc:
+            # Weiler-2018 backward-Euler viscosity (solvers/viscosity.py):
+            # one fused sweep per CG matvec; ghost velocities of the CG
+            # iterate hop per matvec (m/ρ is frozen — hopped once); dots
+            # are ownership-masked psums so all shards run the same
+            # global CG scalars in lockstep
+            from ..solvers.viscosity import cg_solve
+            nu_dt = params.viscosity * dt
+            mrho = pm / dens_safe
+            (src_mrho,) = hop({"m": mrho})
+            q_dens = padq(dens, 0.0)
+
+            def vdot(u, w):
+                s = sum(jnp.sum(jnp.where(own_active, ui * wi, 0.0))
+                        for ui, wi in zip(u, w))
+                return jax.lax.psum(s, ax)
+
+            def vmatvec(v):
+                (src_v,) = hop({"v": jnp.stack(v, axis=1)})
+                q8v = queries(*(padq(vk, 0.0) for vk in v), q_dens,
+                              width=8)
+                out = PSs.generic_sweep(
+                    cfg, PSs.visc_laplacian_pair, q8v,
+                    pack8(vel3=src_v, slot6=src_mrho), anchors, pvec,
+                    grid.size, out_width=4, n_rows=n_rows,
+                    interpret=interp, boundary=False,
+                    pair_fn_b=(PSs.visc_laplacian_pair if has_b
+                               else None),
+                    pair_b_kw=dict(boundary=True))
+                return tuple(v[k] - nu_dt * out[:cl, k]
+                             for k in range(3))
+
+            v_sol, _, _ = cg_solve(vmatvec, v_star, cfg, dot=vdot)
+            v_star = tuple(jnp.where(own_active, v_sol[k], v_star[k])
+                           for k in range(3))
 
         # warm start — must mirror the single-chip step exactly
         # (solvers/dfsph.py): half the previous step's accumulated κ

@@ -117,6 +117,15 @@ class SimConfig:
     pbf_scorr_k: float = 0.001
     pbf_scorr_dq: float = 0.2
     pbf_eps: float = 100.0
+    # Viscosity model for the DFSPH non-pressure stage (beyond-reference):
+    # "explicit" = the reference's Müller viscous force; "implicit" =
+    # Weiler et al. 2018's matrix-free CG solve of (I − dt·ν∇²)v = v* —
+    # unconditionally stable for high viscosity (honey/lava regimes where
+    # the explicit term demands tiny dt). params.viscosity is read as the
+    # kinematic viscosity ν in implicit mode.
+    viscosity_model: str = "explicit"
+    visc_cg_max_iters: int = 100
+    visc_cg_tol: float = 1e-4   # relative residual ‖r‖/‖b‖
 
     def __post_init__(self):
         object.__setattr__(self, "dtype", jnp.dtype(self.dtype))
@@ -130,6 +139,8 @@ class SimConfig:
                      self.dfsph_min_iters_v, self.dfsph_max_iters_v,
                      self.dfsph_warm_start, self.pbf_iters,
                      self.pbf_scorr_k, self.pbf_scorr_dq, self.pbf_eps,
+                     self.viscosity_model, self.visc_cg_max_iters,
+                     self.visc_cg_tol,
                      self.engine, self.sweep_block, self.sweep_win,
                      self.sweep_kfold, self.sweep_fused_rows))
 

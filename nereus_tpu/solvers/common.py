@@ -164,7 +164,8 @@ def compute_density(ctx: NeighborCtx, params: SimParams, cfg: SimConfig,
 def compute_nonpressure_forces(ctx: NeighborCtx, params: SimParams,
                                cfg: SimConfig,
                                boundary: Optional[BoundaryData],
-                               dens, src_dens=None):
+                               dens, src_dens=None,
+                               include_viscosity=True):
     """Viscosity + surface tension + boundary adhesion/friction + gravity.
 
     Net semantics of ``computeCellForces`` (``sph_kernel_impl.cuh:442-604``)
@@ -261,8 +262,12 @@ def compute_nonpressure_forces(ctx: NeighborCtx, params: SimParams,
 
     # Trailing scalings (``computeForces``, :663-673): the friction term is
     # accumulated into fvisc *before* the 2·m·μ scaling, so it inherits it.
-    fvisc_total = (bacc["ffric"] + acc["fvisc"]) * (2.0 * pm * params.viscosity)
-    total = fvisc_total + bacc["fbound"] + pm * params.gravity
+    # include_viscosity=False drops BOTH (the implicit viscosity solver,
+    # solvers/viscosity.py, owns fluid AND boundary viscous coupling).
+    total = bacc["fbound"] + pm * params.gravity
+    if include_viscosity:
+        total = total + (bacc["ffric"] + acc["fvisc"]) * (
+            2.0 * pm * params.viscosity)
     if use_st != SurfaceTensionModel.NONE:
         total = total + acc["fsurf"]
     return total

@@ -222,9 +222,20 @@ def dfsph_step(state: FluidState, params: SimParams, grid: gridlib.Grid,
     ctx_adv = _dc.replace(ctx, state=FluidState(
         pos=pos, vel=vel_df, pressure=ctx.state.pressure,
         num_active=ctx.state.num_active))
-    f_adv = common.compute_nonpressure_forces(ctx_adv, params, cfg, boundary,
-                                              dens)
+    implicit_visc = cfg.viscosity_model == "implicit"
+    f_adv = common.compute_nonpressure_forces(
+        ctx_adv, params, cfg, boundary, dens,
+        include_viscosity=not implicit_visc)
     v_star = tuple(vel_df[:, k] + (dt / pm) * f_adv[:, k] for k in range(3))
+    if implicit_visc:
+        # Weiler-2018 backward-Euler viscosity (solvers/viscosity.py):
+        # unconditionally stable at high ν; replaces the explicit term
+        # AND the boundary friction
+        from .viscosity import implicit_viscosity_oracle
+        v_mat, _, _ = implicit_viscosity_oracle(
+            ctx, params, cfg, boundary, dens, jnp.stack(v_star, axis=1))
+        v_star = tuple(jnp.where(active, v_mat[:, k], v_star[k])
+                       for k in range(3))
 
     # --- constant-density solve on v* ---------------------------------------
     # warm start (Bender & Koschier 2017 §3.3): apply half the previous

@@ -99,15 +99,24 @@ def dfsph_step_pallas(state: FluidState, params: SimParams,
     vel_df, err_v, iters_v = jax.lax.while_loop(vcond, vbody, init_v)
 
     # --- non-pressure forces --------------------------------------------------
+    implicit_visc = cfg.viscosity_model == "implicit"
     q8 = ctx.queries(*vel_df, dens, jnp.zeros((cb,), ctx.dtype))
     f_adv = PS.fluid_force_sweep(cfg, q8, ctx.pack(vel=vel_df, slot6=dens),
                                  ctx.anchors, pvec, gsize,
                                  include_pressure=False, n_rows=n_rows,
                                  moving_boundary=ctx.moving_boundary,
+                                 include_viscosity=not implicit_visc,
                                  interpret=interp)
     g = params.gravity
     v_star = tuple(vel_df[k] + (dt / pm) * (f_adv[:, k] + pm * g[k])
                    for k in range(3))
+    if implicit_visc:
+        # Weiler-2018 backward-Euler viscosity (solvers/viscosity.py)
+        from .viscosity import implicit_viscosity_pallas
+        v_sol, _, _ = implicit_viscosity_pallas(ctx, params, cfg, dens,
+                                                v_star)
+        v_star = tuple(jnp.where(active, v_sol[k], v_star[k])
+                       for k in range(3))
 
     # --- constant-density solve on v* -----------------------------------------
     # warm start (Bender & Koschier 2017 §3.3): half the previous step's

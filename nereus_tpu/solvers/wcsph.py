@@ -168,7 +168,10 @@ def wcsph_step(state: FluidState, params: SimParams, grid: gridlib.Grid,
     dens = common.compute_density(ctx, params, cfg, boundary)
     pres = tait_pressure(dens, params)
 
-    f_np = common.compute_nonpressure_forces(ctx, params, cfg, boundary, dens)
+    implicit_visc = cfg.viscosity_model == "implicit"
+    f_np = common.compute_nonpressure_forces(
+        ctx, params, cfg, boundary, dens,
+        include_viscosity=not implicit_visc)
     f_p = compute_pressure_force(ctx, params, cfg, boundary, dens, pres)
     force = f_np + f_p
 
@@ -176,6 +179,14 @@ def wcsph_step(state: FluidState, params: SimParams, grid: gridlib.Grid,
     # v += dt·F/m; x += dt·v.
     dt = params.dt
     new_vel = vel + (dt / params.particle_mass) * force
+    if implicit_visc:
+        # Weiler-2018 backward-Euler viscosity (solvers/viscosity.py):
+        # replaces the explicit viscous term AND the boundary friction;
+        # unconditionally stable at high ν (honey/lava regimes).
+        from .viscosity import implicit_viscosity_oracle
+        v_mat, _, _ = implicit_viscosity_oracle(
+            ctx, params, cfg, boundary, dens, new_vel)
+        new_vel = jnp.where(active[:, None], v_mat, new_vel)
     if xsph_eps is not None:
         v_adv = xsph_velocity(ctx, params, cfg, new_vel, dens, xsph_eps)
     else:

@@ -53,6 +53,7 @@ def wcsph_step_pallas(state: FluidState, params: SimParams,
     pres = tait_pressure(dens, params)
 
     # -- forces (viscosity + surface tension + pressure + boundary terms) ---
+    implicit_visc = cfg.viscosity_model == "implicit"
     dens_safe = jnp.maximum(dens, 1e-12)
     pd2 = pres / (dens_safe * dens_safe)
     q8 = ctx.queries(*vel, dens, pd2)
@@ -60,6 +61,7 @@ def wcsph_step_pallas(state: FluidState, params: SimParams,
     force = PS.fluid_force_sweep(cfg, q8, src_f, ctx.anchors, pvec, gsize,
                                  n_rows=n_rows,
                                  moving_boundary=ctx.moving_boundary,
+                                 include_viscosity=not implicit_visc,
                                  interpret=interp)
     fx, fy, fz = (force[:, k] for k in range(3))
 
@@ -67,38 +69,35 @@ def wcsph_step_pallas(state: FluidState, params: SimParams,
     dt = params.dt
     g = params.gravity
 
-    def integ(v, p, f, gk):
-        nv = v + (dt / pm) * (f + pm * gk)
-        return jnp.where(active, nv, v), jnp.where(active, p + dt * nv, p)
-
-    def new_vel_only(v, f, gk):
-        return v + (dt / pm) * (f + pm * gk)
+    nv = tuple(v + (dt / pm) * (f + pm * gk) for v, f, gk in
+               ((ctx.vx, fx, g[0]), (ctx.vy, fy, g[1]),
+                (ctx.vz, fz, g[2])))
+    if implicit_visc:
+        # Weiler-2018 backward-Euler viscosity (solvers/viscosity.py):
+        # replaces the explicit viscous term AND the boundary friction
+        from .viscosity import implicit_viscosity_pallas
+        v_sol, _, _ = implicit_viscosity_pallas(ctx, params, cfg, dens, nv)
+        nv = tuple(jnp.where(active, v_sol[k], nv[k]) for k in range(3))
 
     if xsph_eps is None:
-        nvx, npx = integ(ctx.vx, ctx.px, fx, g[0])
-        nvy, npy = integ(ctx.vy, ctx.py, fy, g[1])
-        nvz, npz = integ(ctx.vz, ctx.pz, fz, g[2])
+        v_adv = nv
     else:
         # XSPH (Monaghan): smooth the advection velocity over FLUID
         # neighbors (one extra sweep on the fluid-only plan); the carried
         # momentum stays un-smoothed. ε scales outside the sweep so a
         # traced value never recompiles.
-        nv = tuple(new_vel_only(v, f, gk) for v, f, gk in
-                   ((ctx.vx, fx, g[0]), (ctx.vy, fy, g[1]),
-                    (ctx.vz, fz, g[2])))
         q8x = ctx.queries(*nv, dens, width=8)
         src_x = ctx.update_rows(src_f, 3, list(nv))
         sm = PS.generic_sweep(cfg, PS.xsph_pair, q8x, src_x,
                               ctx.anchors_f, pvec, gsize, out_width=4,
                               n_rows=ctx.rows_local, interpret=interp)
-        nvx, nvy, nvz = nv
         v_adv = tuple(nv[k] + xsph_eps * sm[:, k] for k in range(3))
-        npx = jnp.where(active, ctx.px + dt * v_adv[0], ctx.px)
-        npy = jnp.where(active, ctx.py + dt * v_adv[1], ctx.py)
-        npz = jnp.where(active, ctx.pz + dt * v_adv[2], ctx.pz)
-        nvx = jnp.where(active, nvx, ctx.vx)
-        nvy = jnp.where(active, nvy, ctx.vy)
-        nvz = jnp.where(active, nvz, ctx.vz)
+    npx = jnp.where(active, ctx.px + dt * v_adv[0], ctx.px)
+    npy = jnp.where(active, ctx.py + dt * v_adv[1], ctx.py)
+    npz = jnp.where(active, ctx.pz + dt * v_adv[2], ctx.pz)
+    nvx = jnp.where(active, nv[0], ctx.vx)
+    nvy = jnp.where(active, nv[1], ctx.vy)
+    nvz = jnp.where(active, nv[2], ctx.vz)
 
     new_state = FluidState(
         pos=jnp.stack([npx[:c], npy[:c], npz[:c]], axis=1),
