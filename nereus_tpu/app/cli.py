@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -65,6 +66,15 @@ def _build_parser():
                      help="with --export png/mp4: keep OUT/latest.png "
                           "updated with the newest frame (atomic replace) "
                           "— tail it to watch a running sim")
+    run.add_argument("--export-mesh", type=int, default=0, metavar="K",
+                     help="every K steps, reconstruct the fluid surface "
+                          "(metaball field + marching tetrahedra, "
+                          "app/surface.py; beyond-reference — upstream "
+                          "renders raw point sprites only) and write "
+                          "OUT/mesh_STEP.obj; host-side at export "
+                          "cadence, not the TPU hot path")
+    run.add_argument("--mesh-spacing", type=float, default=None,
+                     help="surface grid vertex spacing (default h/2)")
     run.add_argument("--export-every", type=int, default=10,
                      help="export cadence in steps (reference records every "
                           "10th frame, main.cpp:619)")
@@ -644,6 +654,18 @@ def cmd_run(args):
                 exporter.add(np.asarray(hs.pos)[:na],
                              np.asarray(hs.vel)[:na],
                              np.asarray(hs.pressure)[:na])
+            if args.export_mesh and i % args.export_mesh == 0:
+                from .surface import reconstruct_surface, write_obj
+                hs = to_host(run_state)
+                na = int(np.asarray(hs.num_active).sum())
+                verts, faces = reconstruct_surface(
+                    np.asarray(hs.pos)[:na],
+                    float(params.interaction_radius),
+                    particle_radius=float(params.particle_radius),
+                    spacing=args.mesh_spacing)
+                os.makedirs(args.out, exist_ok=True)
+                write_obj(os.path.join(args.out, f"mesh_{i:05d}.obj"),
+                          verts, faces)
             if args.checkpoint_every and i and i % args.checkpoint_every == 0:
                 save_checkpoint(f"{args.out}_ckpt_{i:06d}.npz",
                                 to_host(run_state), step=i, extra=desc)
