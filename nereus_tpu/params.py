@@ -117,6 +117,15 @@ class SimConfig:
     pbf_scorr_k: float = 0.001
     pbf_scorr_dq: float = 0.2
     pbf_eps: float = 100.0
+    # Strong fluid–rigid coupling (beyond-reference, Gissler et al. 2019
+    # flavoured): add each rigid body's MOBILITY to the DFSPH factor's
+    # diagonal — per particle i and body k, pm·(|g|²/M + t·I⁻¹·t) with
+    # g = Σ_b ψ_b ∇W_ib and t = (x_i − com)×g (central impulses). The
+    # static-source α overestimates the achievable correction when the
+    # body yields, which is the classic added-mass divergence for light
+    # floaters (added/body mass ≳ 10); the mobility term restores the
+    # true diagonal. Costs nothing: g is already computed per body.
+    dfsph_strong_coupling: bool = True
     # Viscosity model for the DFSPH non-pressure stage (beyond-reference):
     # "explicit" = the reference's Müller viscous force; "implicit" =
     # Weiler et al. 2018's matrix-free CG solve of (I − dt·ν∇²)v = v* —
@@ -140,7 +149,7 @@ class SimConfig:
                      self.dfsph_warm_start, self.pbf_iters,
                      self.pbf_scorr_k, self.pbf_scorr_dq, self.pbf_eps,
                      self.viscosity_model, self.visc_cg_max_iters,
-                     self.visc_cg_tol,
+                     self.visc_cg_tol, self.dfsph_strong_coupling,
                      self.engine, self.sweep_block, self.sweep_win,
                      self.sweep_kfold, self.sweep_fused_rows))
 

@@ -183,12 +183,27 @@ def _coupled_oracle(state, params, grid, cfg, bodies, boundary, tol,
     dens_safe = jnp.maximum(dens, 1e-12)
 
     # α with body shells in the gradient sum (bodies, like static
-    # boundaries, contribute no |ψ∇W|² term)
+    # boundaries, contribute no |ψ∇W|² term). With strong coupling
+    # (SimConfig.dfsph_strong_coupling) each body also adds its MOBILITY
+    # to the diagonal: per unit κ_i the body yields Δv ∝ g/M and
+    # Δω ∝ I⁻¹t (t = (x_i−com)×g by centrality), feeding back
+    # pm·(|g|²/M + t·I⁻¹t) into Dρ/Dt — the static-source α overshoots
+    # by exactly this for light bodies (the added-mass divergence;
+    # Gissler et al. 2019 put rigid unknowns inside the solve, this is
+    # the diagonal of that system).
     from .dfsph import alpha_parts
     gs, sq = alpha_parts(ctx, params, cfg, boundary)
-    for bd in bds:
-        gs = gs + _body_alpha_gs(ctx, params, cfg, grid, bd)
-    alpha = dens / jnp.maximum(jnp.sum(gs * gs, axis=-1) + sq,
+    mob = jnp.zeros_like(dens)
+    for k, bd in enumerate(bds):
+        gk = _body_alpha_gs(ctx, params, cfg, grid, bd)
+        gs = gs + gk
+        if cfg.dfsph_strong_coupling:
+            tk = jnp.cross(pos - coms[k][None, :], gk)
+            mob = mob + pm * (
+                jnp.sum(gk * gk, axis=-1) / masses[k]
+                + jnp.einsum("ni,ij,nj->n", tk,
+                             jnp.linalg.inv(Iws[k]), tk))
+    alpha = dens / jnp.maximum(jnp.sum(gs * gs, axis=-1) + sq + mob,
                                _EPS_DENOM)
 
     bv0 = tuple((b.vel, b.omega) for b in bodies)
@@ -384,19 +399,31 @@ def _coupled_pallas(state, params, grid, cfg, bodies, boundary, tol,
                           interpret=interp, include_sq=True,
                           pair_fn_b=PS.alpha_pair,
                           pair_b_kw=dict(include_sq=False))
-    for anchors_b, src_b in plans:
+    rel_base = jnp.stack([ctx.px, ctx.py, ctx.pz], axis=1)
+    mob = jnp.zeros_like(dens)
+    for k, (anchors_b, src_b) in enumerate(plans):
         dens = dens + PS.density_sweep(cfg, q4, src_b, anchors_b, pvec,
                                        gsize, n_rows=ctx.rows_local,
                                        interpret=interp)
-        al = al + PS.generic_sweep(cfg, PS.alpha_pair, q4, src_b,
-                                   anchors_b, pvec, gsize, out_width=4,
-                                   n_rows=ctx.rows_local,
-                                   interpret=interp, include_sq=False)
+        alb = PS.generic_sweep(cfg, PS.alpha_pair, q4, src_b,
+                               anchors_b, pvec, gsize, out_width=4,
+                               n_rows=ctx.rows_local,
+                               interpret=interp, include_sq=False)
+        al = al + alb
+        if cfg.dfsph_strong_coupling:
+            # body-mobility diagonal (see the oracle path / params.py):
+            # g = alb[:, :3] is this body's Σψ∇W; t = (x_i − com)×g
+            gk = alb[:, :3]
+            tk = jnp.cross(rel_base - coms[k][None, :].astype(ctx.dtype),
+                           gk)
+            mob = mob + pm * (
+                jnp.sum(gk * gk, axis=-1) / masses[k].astype(ctx.dtype)
+                + jnp.einsum("ni,ij,nj->n", tk,
+                             jnp.linalg.inv(Iws[k]).astype(ctx.dtype),
+                             tk))
     dens_safe = jnp.maximum(dens, 1e-12)
-    denom = al[:, 0] ** 2 + al[:, 1] ** 2 + al[:, 2] ** 2 + al[:, 3]
+    denom = al[:, 0] ** 2 + al[:, 1] ** 2 + al[:, 2] ** 2 + al[:, 3] + mob
     alpha = dens / jnp.maximum(denom, _EPS_DENOM)
-
-    rel_base = jnp.stack([ctx.px, ctx.py, ctx.pz], axis=1)
 
     def drho_of(v, src_bs):
         q8 = ctx.queries(*v, width=8)

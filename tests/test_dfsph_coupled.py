@@ -90,6 +90,51 @@ def test_dfsph_coupled_momentum_conservation():
     np.testing.assert_allclose(p1, p0, rtol=2e-3, atol=2e-4)
 
 
+def test_dfsph_coupled_light_floater_strong_coupling():
+    """ρ=100 box — added/body mass ≈ 10, the regime where the static-α
+    partitioned coupling measurably DIVERGED at every dt tried (see
+    test_dfsph_coupled_float's docstring): the body-mobility diagonal
+    (``SimConfig.dfsph_strong_coupling``, Gissler-2019-flavoured) keeps
+    the solve stable and the box floating high, at the unchanged
+    dt=5e-4."""
+    from nereus_tpu.scene import resting_block
+
+    cfg = nt.SimConfig(engine="pallas")   # dfsph_strong_coupling default
+    base = nt.dfsph_params(dt=5e-4)
+    spacing = 0.8 * float(base.interaction_radius)
+    params = calibrate_mass(base, cfg, spacing=spacing)
+    n_target = 343
+    state, grid, walls = resting_block(params, cfg, n_target=n_target,
+                                       spacing=spacing)
+    sp_c = spacing * 1.003 ** (-1.0 / 3.0)
+    side = sp_c * n_target ** (1.0 / 3.0)
+    gap = 2 * sp_c
+    water_top = gap + side
+    cx = gap + side / 2.0
+    body = nt.make_rigid_box((cx, water_top + 0.05, cx),
+                             (0.08, 0.08, 0.08),
+                             float(params.particle_radius), 100.0, params)
+    step = jax.jit(lambda s, b: nt.dfsph_coupled_step(
+        s, params, grid, cfg, b, walls))
+    for i in range(60):         # settle the water (body frozen in air)
+        state, _, d = step(state, body)
+        assert int(d.seg_overflow) == 0, i
+    for i in range(200):        # release: fall, splash, float
+        state, body, d = step(state, body)
+        assert int(d.seg_overflow) == 0, i
+        # the old failure mode was a 100+ m/s ejection within a few steps
+        speed = float(jnp.linalg.norm(body.vel))
+        assert speed < 5.0, (i, speed)
+    p = np.asarray(state.pos[:int(state.num_active)])
+    assert np.isfinite(p).all()
+    assert p[:, 1].min() > 0.0, "fluid blew through the floor"
+    com_y = float(body.com[1])
+    # a ρ=100 floater rides high (draft ≈ 0.1·side): com stays around
+    # the free surface, never en route to the floor
+    assert com_y > water_top - 0.06, (com_y, water_top)
+    assert com_y < water_top + 0.10, (com_y, water_top)
+
+
 def test_dfsph_coupled_float():
     """A density-400 box dropped onto settled water FLOATS near the
     surface instead of sinking — hydrostatic κ acting through the exact
