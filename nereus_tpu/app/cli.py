@@ -342,7 +342,12 @@ def cmd_run(args):
         _parse_rigid_box(args.rigid_box)  # validate early
         bad = [n for f, n in ((args.solver not in ("wcsph", "dfsph"),
                                "--solver wcsph|dfsph"),
-                              (args.shards > 1, "--shards 1"),
+                              (args.shards > 1
+                               and args.solver != "dfsph",
+                               "--shards 1 (sharded coupling is "
+                               "DFSPH-only)"),
+                              (args.shards > 1 and args.adaptive_dt,
+                               "no --adaptive-dt with sharded rigid"),
                               (args.wavemaker, "no --wavemaker"),
                               (args.xsph is not None, "no --xsph"))
                if f]
@@ -447,6 +452,18 @@ def cmd_run(args):
                      counts.tolist(), scfg.local_capacity)
             run_state = shard_state(host_state, grid, scfg, mesh)
             lam = args.adaptive_dt
+            if body_holder[0] is not None:
+                # sharded rigid coupling (DFSPH-only; validated above)
+                from nereus_tpu.parallel import \
+                    make_sharded_dfsph_coupled_step
+                cstep = make_sharded_dfsph_coupled_step(
+                    mesh, params, grid, cfg, scfg, boundary)
+
+                def _cstep(s, t=None):
+                    s2, body_holder[0], d = cstep(s, body_holder[0])
+                    return s2, d
+
+                return _cstep, run_state, unshard_state
             if args.solver == "wcsph":
                 step = make_sharded_wcsph_step(
                     mesh, params, grid, cfg, scfg, boundary,

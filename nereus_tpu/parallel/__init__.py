@@ -1,6 +1,7 @@
 """Multi-chip domain decomposition (slab sharding + ghost-particle halos)."""
 
 from .domain import (ShardConfig, ShardedDiagnostics,
+                     make_sharded_dfsph_coupled_step,
                      make_sharded_dfsph_step, make_sharded_iisph_step,
                      make_sharded_pbf_step,
                      make_sharded_pcisph_step,
@@ -8,7 +9,8 @@ from .domain import (ShardConfig, ShardedDiagnostics,
                      unshard_state)
 
 __all__ = [
-    "ShardConfig", "ShardedDiagnostics", "make_sharded_dfsph_step",
+    "ShardConfig", "ShardedDiagnostics",
+    "make_sharded_dfsph_coupled_step", "make_sharded_dfsph_step",
     "make_sharded_pbf_step",
     "make_sharded_iisph_step", "make_sharded_pcisph_step",
     "make_sharded_wcsph_step", "shard_state", "slab_counts",

@@ -1552,6 +1552,390 @@ def make_sharded_dfsph_step(mesh: Mesh, params: SimParams,
     return step
 
 
+def make_sharded_dfsph_coupled_step(mesh: Mesh, params: SimParams,
+                                    grid: gridlib.Grid, cfg: SimConfig,
+                                    scfg: ShardConfig,
+                                    boundary: Optional[BoundaryData] = None,
+                                    tol: float = 1.0, tol_v: float = 1.0):
+    """Build the jitted multi-chip DFSPH step with two-way rigid-body
+    coupling (floating bodies at pod scale; beyond-reference — upstream
+    is single-GPU with immovable scenery, ``sph/sph.cpp:391-432``).
+
+    Bodies are REPLICATED: every shard carries identical body state,
+    plans its own windows over the body's Akinci shell (like the walls),
+    and computes the fluid-side reaction for the particles it OWNS; the
+    per-iteration reaction impulses are ``psum``-reduced so every shard
+    applies the same kick to its body copy inside the while_loop carry
+    (deterministic lockstep — the Gauss–Seidel interface of
+    :func:`nereus_tpu.solvers.dfsph_coupled.dfsph_coupled_step`, whose
+    single-chip Pallas path this matches exactly). The strong-coupling
+    body-mobility diagonal (``SimConfig.dfsph_strong_coupling``) is
+    per-particle-local and needs no collective.
+
+    Returns ``step(state, bodies) -> (state, bodies, diag)`` where
+    ``bodies`` is a tuple of :class:`~nereus_tpu.rigid.RigidBody` (or a
+    single body, returned in kind).
+    """
+    from ..ops import pallas_sph as PSs
+    from ..ops.pallas_neighbors import (anchors_pack16, fuse_plans,
+                                        hash_payload, pack_source,
+                                        pack_source_fused, plan_windows,
+                                        round_up, rows3_supported)
+    from ..rigid import RigidBody, body_boundary, integrate_rigid
+    from ..solvers.coupled import _reaction, _rigid_extras
+    from ..solvers.dfsph_coupled import _body_inertia_world, _kick
+    from ..solvers.pallas_common import interpret_mode, padded_len
+
+    ax = scfg.axis_name
+    d = scfg.n_shards
+    if mesh.shape[ax] != d:
+        raise ValueError(
+            f"mesh axis {ax!r} has {mesh.shape[ax]} devices but "
+            f"ShardConfig.n_shards={d}")
+    _check_pallas_only(cfg, grid, "sharded coupled DFSPH")
+    cl = scfg.local_capacity
+    kh = scfg.halo_capacity
+    interp = interpret_mode()
+    rows3 = cfg.sweep_fused_rows and rows3_supported(grid.size)
+    rloc = 3 if rows3 else 9
+    swin = cfg.resolve_win(rows3)
+    sblock = cfg.resolve_block(rows3)
+    clb = round_up(cl, sblock)
+    qpad = clb - cl
+    src_len = cl + 2 * kh
+    has_b = boundary is not None and boundary.num_boundaries > 0
+    n_rows = 2 * rloc if has_b else rloc
+    _EPS_DENOM = 1e-6
+
+    def padq(a, fillv):
+        if qpad == 0:
+            return a
+        fill = jnp.full((qpad,) + a.shape[1:], fillv, a.dtype)
+        return jnp.concatenate([a, fill])
+
+    def local_step(pos0, vel0, pres0, n_loc, bodies):
+        sctx = _migrate_and_halo(pos0, vel0, pres0, n_loc,
+                                 grid=grid, scfg=scfg)
+        pos, vel = sctx.pos, sctx.vel
+        n_own, own_active = sctx.n_own, sctx.own_active
+        src_pos = sctx.src_pos
+        hash_f32 = hash_payload(sctx.src_hash, pos.dtype, grid.size)
+        dt = params.dt
+        pm = params.particle_mass
+
+        bds = [body_boundary(b, grid) for b in bodies]
+        coms = [b.com.astype(pos.dtype) for b in bodies]
+        relbs = [bd.pos - b.com[None, :] for bd, b in zip(bds, bodies)]
+        masses = [b.mass.astype(pos.dtype) for b in bodies]
+        Iws = [_body_inertia_world(b).astype(pos.dtype) for b in bodies]
+
+        pq = tuple(padq(pos[:, k], PARK) for k in range(3))
+        act_q = padq(own_active, False)
+        qcoords = gridlib.cell_coords_cols(grid, *pq)
+
+        def queries(*cols, width):
+            cols = [*pq, *cols]
+            z = jnp.zeros((clb,), pos.dtype)
+            return jnp.stack(list(cols) + [z] * (width - len(cols)),
+                             axis=0).T
+        pk16 = _fused_pack16(src_len, boundary, swin)
+        anchors, miss = plan_windows(sctx.src_hash, qcoords, grid.size,
+                                     sblock,
+                                     padded_len(src_len, swin),
+                                     active_mask=act_q, win=swin,
+                                     pack16=pk16, rows_local=rloc)
+        pvec = PSs.build_pvec(params, cfg, grid)
+        psi_fluid = jnp.full((src_len,), 1.0, pos.dtype) * pm
+
+        if has_b:
+            b_anchors, b_miss = plan_windows(
+                boundary.sorted_hash, qcoords, grid.size, sblock,
+                padded_len(src_len, swin)
+                + padded_len(boundary.num_boundaries, swin),
+                active_mask=act_q,
+                pos_offset=padded_len(src_len, swin),
+                win=swin, pack16=pk16, rows_local=rloc)
+            anchors = fuse_plans(anchors, b_anchors, pack16=pk16,
+                                 rows_local=rloc)
+            miss = miss + b_miss
+            b_hash_f32 = hash_payload(boundary.sorted_hash, pos.dtype,
+                                      grid.size)
+            bzero = jnp.zeros_like(boundary.psi)
+            bvel = ([boundary.vel[:, k] for k in range(3)]
+                    if boundary.vel is not None
+                    else [bzero, bzero, bzero])
+
+            def pack8(vel3=None, slot6=None):
+                v = vel3 if vel3 is not None else jnp.zeros(
+                    (src_len, 3), pos.dtype)
+                s6 = slot6 if slot6 is not None else jnp.zeros(
+                    (src_len,), pos.dtype)
+                return pack_source_fused(
+                    src_pos, hash_f32, [v[:, 0], v[:, 1], v[:, 2], s6],
+                    boundary.pos, b_hash_f32,
+                    [*bvel, boundary.psi], rows=8, win=swin)
+        else:
+            def pack8(vel3=None, slot6=None):
+                v = vel3 if vel3 is not None else jnp.zeros(
+                    (src_len, 3), pos.dtype)
+                s6 = slot6 if slot6 is not None else jnp.zeros(
+                    (src_len,), pos.dtype)
+                return pack_source(src_pos, hash_f32, v, s6, win=swin)
+
+        # one plan + packed source per body (slot 6 = ψ); body velocity
+        # rows respliced per iteration (Gauss–Seidel interface)
+        plans = []
+        for k, bd in enumerate(bds):
+            mb = bd.num_boundaries
+            pk16_b = anchors_pack16(padded_len(mb, swin), swin)
+            anchors_b, miss_b = plan_windows(
+                bd.sorted_hash, qcoords, grid.size, sblock,
+                padded_len(mb, swin), active_mask=act_q, win=swin,
+                pack16=pk16_b, rows_local=rloc)
+            src_b = pack_source(
+                tuple(bd.pos[:, a] for a in range(3)),
+                hash_payload(bd.sorted_hash, pos.dtype, grid.size),
+                vel=tuple(bd.vel[:, a] for a in range(3)),
+                dens_or_psi=bd.psi, win=swin)
+            plans.append((anchors_b, src_b))
+            miss = miss + miss_b
+
+        bv0 = tuple((b.vel.astype(pos.dtype), b.omega.astype(pos.dtype))
+                    for b in bodies)
+
+        def body_srcs(bv):
+            out = []
+            for k, (anchors_b, src_b) in enumerate(plans):
+                vk, wk = bv[k]
+                velb = vk[None, :] + jnp.cross(
+                    jnp.broadcast_to(wk, relbs[k].shape), relbs[k])
+                rows = velb.T.astype(pos.dtype)
+                out.append(jax.lax.dynamic_update_slice(src_b, rows,
+                                                        (3, 0)))
+            return out
+
+        def hop(fields):
+            return _halo_hop(fields, sctx, scfg, n_own)
+
+        nact_f = jnp.maximum(jax.lax.psum(n_own.astype(cfg.dtype), ax),
+                             1.0)
+
+        def mean_active(x):
+            return jax.lax.psum(
+                jnp.sum(jnp.where(own_active, x, 0.0)), ax) / nact_f
+
+        def kick_psum(bv_k, F, T, k):
+            """psum the local fluid-side reaction so all shards apply
+            the identical kick to their body copy."""
+            return _kick(bv_k, jax.lax.psum(F, ax), jax.lax.psum(T, ax),
+                         dt, masses[k], Iws[k])
+
+        # --- density + α (body shells in both; mobility diagonal) ------
+        q4 = queries(width=4)
+        src_psi = pack8(slot6=psi_fluid)
+        dens = PSs.density_sweep(cfg, q4, src_psi, anchors, pvec,
+                                 grid.size, n_rows=n_rows,
+                                 interpret=interp)[:cl]
+        al = PSs.generic_sweep(cfg, PSs.alpha_pair, q4, src_psi, anchors,
+                               pvec, grid.size, out_width=4,
+                               n_rows=n_rows, interpret=interp,
+                               include_sq=True,
+                               pair_fn_b=(PSs.alpha_pair if has_b
+                                          else None),
+                               pair_b_kw=dict(include_sq=False))[:cl]
+        mob = jnp.zeros_like(dens)
+        for k, (anchors_b, src_b) in enumerate(plans):
+            dens = dens + PSs.density_sweep(
+                cfg, q4, src_b, anchors_b, pvec, grid.size,
+                n_rows=rloc, interpret=interp)[:cl]
+            alb = PSs.generic_sweep(
+                cfg, PSs.alpha_pair, q4, src_b, anchors_b, pvec,
+                grid.size, out_width=4, n_rows=rloc, interpret=interp,
+                include_sq=False)[:cl]
+            al = al + alb
+            if cfg.dfsph_strong_coupling:
+                gk = alb[:, :3]
+                tk = jnp.cross(pos - coms[k][None, :], gk)
+                mob = mob + pm * (
+                    jnp.sum(gk * gk, axis=-1) / masses[k]
+                    + jnp.einsum("ni,ij,nj->n", tk,
+                                 jnp.linalg.inv(Iws[k]), tk))
+        dens_safe = jnp.maximum(dens, 1e-12)
+        denom = (al[:, 0] ** 2 + al[:, 1] ** 2 + al[:, 2] ** 2
+                 + al[:, 3] + mob)
+        alpha = dens / jnp.maximum(denom, _EPS_DENOM)
+
+        def drho_of(v, src_bs):
+            (src_v,) = hop({"v": jnp.stack(v, axis=1)})
+            q8 = queries(*(padq(vk, 0.0) for vk in v), width=8)
+            src = pack8(vel3=src_v, slot6=psi_fluid)
+            dr = PSs.generic_sweep(
+                cfg, PSs.drho_pair, q8, src, anchors, pvec, grid.size,
+                out_width=1, n_rows=n_rows, interpret=interp,
+                pair_fn_b=(PSs.drho_pair if has_b else None))[:cl, 0]
+            for k, (anchors_b, _) in enumerate(plans):
+                dr = dr + PSs.generic_sweep(
+                    cfg, PSs.drho_pair, q8, src_bs[k], anchors_b, pvec,
+                    grid.size, out_width=1, n_rows=rloc,
+                    interpret=interp)[:cl, 0]
+            return dr
+
+        def correct(kappa, v, bv):
+            kd = kappa / dens_safe
+            (src_kd,) = hop({"kd": kd})
+            q_kd = queries(padq(kd, 0.0), width=4)
+            f = PSs.generic_sweep(
+                cfg, PSs.grad_pressure_force_pair, q_kd,
+                pack8(slot6=src_kd), anchors, pvec, grid.size,
+                out_width=4, n_rows=n_rows, interpret=interp,
+                boundary=False,
+                pair_fn_b=(PSs.grad_pressure_force_pair if has_b
+                           else None),
+                pair_b_kw=dict(boundary=True, boundary_sign=-1.0))
+            v = tuple(v[k] + (dt / pm) * f[:cl, k] for k in range(3))
+            bv = list(bv)
+            for k, (anchors_b, _) in enumerate(plans):
+                fb = PSs.generic_sweep(
+                    cfg, PSs.grad_pressure_force_pair, q_kd,
+                    body_srcs(bv)[k], anchors_b, pvec, grid.size,
+                    out_width=4, n_rows=rloc, interpret=interp,
+                    boundary=True, boundary_sign=-1.0)
+                v = tuple(v[a] + (dt / pm) * fb[:cl, a]
+                          for a in range(3))
+                Fk, Tk = _reaction(pos, fb[:cl, :3], own_active,
+                                   coms[k])
+                bv[k] = kick_psum(bv[k], Fk, Tk, k)
+            return v, tuple(bv)
+
+        # --- divergence-free solve --------------------------------------
+        def vcond(carry):
+            _, _, err, it = carry
+            return (((err > tol_v) | (it < cfg.dfsph_min_iters_v))
+                    & (it < cfg.dfsph_max_iters_v))
+
+        def vbody(carry):
+            v, bv, _, it = carry
+            drho = jnp.maximum(drho_of(v, body_srcs(bv)), 0.0)
+            v, bv = correct(drho * alpha / dt, v, bv)
+            return (v, bv, dt * mean_active(drho), it + 1)
+
+        v0 = tuple(vel[:, k] for k in range(3))
+        init_v = (v0, bv0, jnp.asarray(2.0, cfg.dtype) * tol_v,
+                  jnp.asarray(0, jnp.int32))
+        vel_df, bv, err_v, iters_v = jax.lax.while_loop(vcond, vbody,
+                                                        init_v)
+
+        # --- non-pressure forces + body friction -------------------------
+        vel_df_t = jnp.stack(vel_df, axis=1)
+        src_vdf, src_dens = hop({"v": vel_df_t, "d": dens})
+        q8 = queries(*(padq(vk, 0.0) for vk in vel_df),
+                     padq(dens, 0.0), width=8)
+        f_adv = PSs.fluid_force_sweep(cfg, q8, pack8(src_vdf, src_dens),
+                                      anchors, pvec, grid.size,
+                                      include_pressure=False,
+                                      n_rows=n_rows,
+                                      moving_boundary=_moving_b(boundary),
+                                      interpret=interp)
+        fxyz = [f_adv[:cl, k] for k in range(3)]
+        bv = list(bv)
+        for k, (anchors_b, _) in enumerate(plans):
+            fb = PSs.generic_sweep(
+                cfg, PSs.boundary_force_pair, q8, body_srcs(bv)[k],
+                anchors_b, pvec, grid.size, out_width=4, n_rows=rloc,
+                interpret=interp, include_pressure=False, moving=True,
+                include_adhesion=False)
+            for a in range(3):
+                fxyz[a] = fxyz[a] + fb[:cl, a]
+            Fk, Tk = _reaction(pos, fb[:cl, :3], own_active, coms[k])
+            bv[k] = kick_psum(bv[k], Fk, Tk, k)
+        bv = tuple(bv)
+        g = params.gravity
+        v_star = tuple(vel_df[k] + (dt / pm) * (fxyz[k] + pm * g[k])
+                       for k in range(3))
+
+        # warm start: half the previous step's accumulated κ
+        kap0 = jnp.zeros_like(dens)
+        if cfg.dfsph_warm_start:
+            kap0 = 0.5 * jnp.maximum(
+                jnp.where(own_active, sctx.pres, 0.0), 0.0)
+            v_star, bv = correct(kap0, v_star, bv)
+
+        # --- constant-density solve on v* --------------------------------
+        def cond(carry):
+            _, _, _, err, it = carry
+            return (((err > tol) | (it < cfg.dfsph_min_iters))
+                    & (it < cfg.dfsph_max_iters))
+
+        def body_fn(carry):
+            v, bv, kap, _, it = carry
+            rho_star = dens + dt * drho_of(v, body_srcs(bv))
+            comp = jnp.maximum(rho_star - params.rest_density, 0.0)
+            kappa = comp * alpha / (dt * dt)
+            v, bv = correct(kappa, v, bv)
+            return (v, bv, kap + kappa, mean_active(comp), it + 1)
+
+        init = (v_star, bv, kap0,
+                jnp.asarray(2.0, cfg.dtype) * tol,
+                jnp.asarray(0, jnp.int32))
+        v_new, bv, kappa, rho_err, iters = jax.lax.while_loop(
+            cond, body_fn, init)
+        vel_new = jnp.stack(v_new, axis=1)
+
+        # --- integrate (bodies replicated: identical on every shard) -----
+        Fx, Tx = _rigid_extras(bodies, boundary, params, cfg)
+        new_bodies = tuple(
+            integrate_rigid(dataclasses.replace(b, vel=bv[k][0],
+                                                omega=bv[k][1]),
+                            Fx[k], Tx[k], dt, g)
+            for k, b in enumerate(bodies))
+
+        new_pos = pos + dt * vel_new
+        new_vel = jnp.where(own_active[:, None], vel_new,
+                            jnp.zeros_like(vel))
+        new_pos = jnp.where(own_active[:, None], new_pos,
+                            jnp.full_like(pos, PARK))
+        new_pres = jnp.where(own_active, kappa, 0.0)
+
+        diag = ShardedDiagnostics(
+            max_density=jax.lax.pmax(
+                jnp.max(jnp.where(own_active, dens, 0.0)), ax),
+            mean_density_error=rho_err / params.rest_density,
+            mean_compression=rho_err / params.rest_density,
+            seg_overflow=jax.lax.pmax(miss, ax),
+            halo_overflow=jax.lax.pmax(sctx.halo_overflow, ax),
+            migration_overflow=jax.lax.pmax(sctx.mig_overflow, ax),
+            capacity_overflow=jax.lax.pmax(sctx.cap_overflow, ax),
+            migration_violation=jax.lax.psum(sctx.mig_violation, ax),
+            num_active=jax.lax.psum(n_own, ax),
+            solver_iters=iters + iters_v,
+        )
+        return new_pos, new_vel, new_pres, n_own[None], new_bodies, diag
+
+    pspec = P(ax)
+    rep = P()
+    # prefix specs: `rep` broadcasts over the whole bodies pytree
+    sharded = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(pspec, pspec, pspec, pspec, rep),
+        out_specs=(pspec, pspec, pspec, pspec, rep,
+                   jax.tree_util.tree_map(lambda _: rep,
+                                          _diag_struct())),
+        check_vma=False)
+
+    @jax.jit
+    def step(state: FluidState, body):
+        single = isinstance(body, RigidBody)
+        bodies = (body,) if single else tuple(body)
+        pos, vel, pres, n_loc, new_bodies, diag = sharded(
+            state.pos, state.vel, state.pressure, state.num_active,
+            bodies)
+        new_state = FluidState(pos=pos, vel=vel, pressure=pres,
+                               num_active=n_loc)
+        return new_state, (new_bodies[0] if single else new_bodies), diag
+
+    return step
+
+
 def make_sharded_pbf_step(mesh: Mesh, params: SimParams,
                           grid: gridlib.Grid, cfg: SimConfig,
                           scfg: ShardConfig,

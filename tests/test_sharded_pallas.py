@@ -194,6 +194,68 @@ def test_sharded_dfsph_matches_single_chip(mesh):
                                    rtol=1e-3, atol=1e-5)
 
 
+def test_sharded_dfsph_coupled_matches_single_chip(mesh):
+    """Sharded DFSPH with a free rigid body (replicated body state,
+    psum'd per-iteration reaction impulses) vs the single-chip coupled
+    step — fluid AND body trajectories must agree."""
+    from nereus_tpu.parallel import make_sharded_dfsph_coupled_step
+    cfg = nt.SimConfig(engine="pallas")
+    params = nt.dfsph_params(dt=2e-4)
+    state, grid, boundary = scene.dam_break(
+        params, cfg, cube_size=(0.25, 0.25, 0.25),
+        cube_center=(-0.3, 0.05, 0.5),
+        box_min=(-0.8, -0.3, 0.0), box_max=(0.2, 0.7, 1.0),
+        with_boundary=True, boundary_radius=0.04)
+    n = int(state.num_active)
+    # body hovering just above the cube: its shell overlaps the fluid's
+    # support from step 1, and it straddles several z-slabs
+    body = nt.make_rigid_box((-0.3, 0.23, 0.5), (0.08, 0.08, 0.08),
+                             float(params.particle_radius), 300.0, params)
+
+    scfg = ShardConfig(n_shards=8, local_capacity=n, halo_capacity=512,
+                       migration_capacity=256)
+    sstate = shard_state(state, grid, scfg, mesh)
+    sharded = make_sharded_dfsph_coupled_step(mesh, params, grid, cfg,
+                                              scfg, boundary)
+
+    @jax.jit
+    def single(s, b):
+        return nt.dfsph_coupled_step(s, params, grid, cfg, b, boundary)
+
+    body1 = bodyN = body
+    for it in range(2):
+        state, body1, d1 = single(state, body1)
+        sstate, bodyN, dN = sharded(sstate, bodyN)
+        assert int(dN.num_active) == n
+        assert int(dN.seg_overflow) == 0
+        assert int(dN.solver_iters) == int(d1.solver_iters), it
+
+        merged = unshard_state(sstate)
+
+        def key(a):
+            a = np.asarray(a)
+            return np.lexsort((a[:, 2], a[:, 1], a[:, 0]))
+
+        p1, pN = np.asarray(state.pos[:n]), np.asarray(merged.pos)
+        k1, kN = key(p1), key(pN)
+        np.testing.assert_allclose(pN[kN], p1[k1], rtol=0, atol=1e-5,
+                                   err_msg=f"step {it}")
+        np.testing.assert_allclose(
+            np.asarray(merged.vel)[kN], np.asarray(state.vel[:n])[k1],
+            rtol=0, atol=2e-4, err_msg=f"step {it}")
+        np.testing.assert_allclose(np.asarray(bodyN.com),
+                                   np.asarray(body1.com), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(bodyN.vel),
+                                   np.asarray(body1.vel), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(bodyN.omega),
+                                   np.asarray(body1.omega), atol=2e-3)
+    # the body must actually be coupled: a free-falling uncoupled body
+    # would carry exactly −g·(2dt) — the dam-break seed's density spike
+    # instead kicks it hard through the κ reaction
+    g_only = -9.81 * 2 * float(params.dt)
+    assert abs(float(body1.vel[1]) - g_only) > 1e-2
+
+
 def test_sharded_moving_boundary_matches_single_chip(mesh):
     """Constant prescribed boundary velocities (conveyor) sharded:
     friction + rho_adv boundary terms must match the single-chip step."""
