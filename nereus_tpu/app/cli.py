@@ -113,6 +113,17 @@ def _build_parser():
                           "its material density (kg/m^3), e.g. "
                           "0.25,0.4,0.25:0.08,0.08,0.08:150; single-chip "
                           "WCSPH or DFSPH only")
+    run.add_argument("--rigid-obj", default=None,
+                     metavar="PATH:DENSITY[:SCALE[:OX,OY,OZ]]",
+                     help="two-way coupled rigid body from a closed "
+                     "triangle-mesh OBJ (exact polyhedral mass/inertia, "
+                     "Akinci surface shell); same solver support as "
+                     "--rigid-box")
+    run.add_argument("--obstacle-obj", default=None,
+                     metavar="PATH[:SCALE[:OX,OY,OZ]]",
+                     help="static obstacle/terrain sampled from a "
+                     "triangle-mesh OBJ, merged into the scene walls "
+                     "(grid auto-widens to cover it)")
     run.add_argument("--xsph", type=float, default=None, metavar="EPS",
                      help="Monaghan XSPH velocity smoothing (WCSPH: "
                           "position update only, typical 0.3-0.5; PBF: "
@@ -238,6 +249,38 @@ def _make_setup(args):
     return cfg, params, state, grid, boundary
 
 
+def _parse_rigid_obj(spec: str):
+    """'PATH:DENSITY[:SCALE[:OX,OY,OZ]]' → (path, density, scale, offset)."""
+    try:
+        parts = spec.split(":")
+        assert 2 <= len(parts) <= 4
+        path, rho = parts[0], float(parts[1])
+        scale = float(parts[2]) if len(parts) > 2 else 1.0
+        off = (tuple(float(v) for v in parts[3].split(","))
+               if len(parts) > 3 else (0.0, 0.0, 0.0))
+        assert len(off) == 3
+        return path, rho, scale, off
+    except (ValueError, AssertionError):
+        raise SystemExit(
+            f"--rigid-obj expects PATH:DENSITY[:SCALE[:OX,OY,OZ]], "
+            f"got {spec!r}")
+
+
+def _parse_obstacle_obj(spec: str):
+    """'PATH[:SCALE[:OX,OY,OZ]]' → (path, scale, offset)."""
+    try:
+        parts = spec.split(":")
+        assert 1 <= len(parts) <= 3
+        scale = float(parts[1]) if len(parts) > 1 else 1.0
+        off = (tuple(float(v) for v in parts[2].split(","))
+               if len(parts) > 2 else (0.0, 0.0, 0.0))
+        assert len(off) == 3
+        return parts[0], scale, off
+    except (ValueError, AssertionError):
+        raise SystemExit(
+            f"--obstacle-obj expects PATH[:SCALE[:OX,OY,OZ]], got {spec!r}")
+
+
 def _parse_rigid_box(spec: str):
     """'CX,CY,CZ:SX,SY,SZ:DENSITY' → (center, size, density)."""
     try:
@@ -310,12 +353,16 @@ def _run_desc(args, params, grid):
         "particle_mass": float(np.asarray(params.particle_mass)),
         "grid_size": np.asarray(grid.size).tolist(),
         "wavemaker": args.wavemaker,
+        "rigid_box": args.rigid_box,
+        "rigid_obj": args.rigid_obj,
+        "obstacle_obj": args.obstacle_obj,
     }
 
 
 # Header keys that must match between a checkpoint and the resuming run.
 _RESUME_KEYS = ("solver", "scene", "kernel_set", "surface_tension",
-                "boundary", "n_target", "dt", "particle_mass", "wavemaker")
+                "boundary", "n_target", "dt", "particle_mass", "wavemaker",
+                "rigid_box", "rigid_obj", "obstacle_obj")
 
 
 def cmd_run(args):
@@ -338,8 +385,14 @@ def cmd_run(args):
                                        or args.shards > 1):
         log.error("--vorticity applies to single-chip PBF only")
         return 2
-    if args.rigid_box is not None:
-        _parse_rigid_box(args.rigid_box)  # validate early
+    if args.rigid_box is not None and args.rigid_obj is not None:
+        log.error("--rigid-box and --rigid-obj are mutually exclusive")
+        return 2
+    if args.rigid_box is not None or args.rigid_obj is not None:
+        if args.rigid_box is not None:
+            _parse_rigid_box(args.rigid_box)  # validate early
+        else:
+            _parse_rigid_obj(args.rigid_obj)
         bad = [n for f, n in ((args.solver not in ("wcsph", "dfsph"),
                                "--solver wcsph|dfsph"),
                               (args.shards > 1
@@ -352,7 +405,7 @@ def cmd_run(args):
                               (args.xsph is not None, "no --xsph"))
                if f]
         if bad:
-            log.error("--rigid-box requires: %s", ", ".join(bad))
+            log.error("--rigid-box/--rigid-obj requires: %s", ", ".join(bad))
             return 2
     drain = None
     if args.outflow:
@@ -379,10 +432,40 @@ def cmd_run(args):
                           "boundary)", name)
                 return 2
     cfg, params, state, grid, boundary = _make_setup(args)
+    if args.obstacle_obj:
+        # a static mesh obstacle joins the walls as ONE hash-sorted set;
+        # the grid widens to cover it (and the walls re-sort) first
+        if args.wavemaker:
+            log.error("--obstacle-obj is incompatible with --wavemaker "
+                      "(the prescribed motion would move the obstacle)")
+            return 2
+        from nereus_tpu.boundary import rehash_boundary
+        path, scale, off = _parse_obstacle_obj(args.obstacle_obj)
+        mv, mf = nt.load_obj(path)
+        mv = mv * scale + np.asarray(off, np.float64)
+        h = float(params.interaction_radius)
+        cell = float(np.asarray(grid.cell).reshape(-1)[0])
+        glo = np.asarray(grid.origin, np.float64)
+        ghi = glo + np.asarray(grid.size, np.float64) * cell
+        lo = np.minimum(glo, mv.min(axis=0) - h)
+        hi = np.maximum(ghi, mv.max(axis=0) + h)
+        if (lo < glo - 1e-12).any() or (hi > ghi + 1e-12).any():
+            grid = nt.fit_grid(lo, hi, cell)
+            if boundary is not None:
+                boundary = rehash_boundary(boundary, grid)
+        mb = nt.mesh_boundary(grid, mv, mf,
+                              float(params.particle_radius), params,
+                              kernel_set=cfg.kernel_set)
+        boundary = (mb if boundary is None
+                    else nt.concat_boundaries(grid, boundary, mb))
+        log.info("obstacle %s: %d boundary samples", path,
+                 mb.num_boundaries)
     desc = _run_desc(args, params, grid)
     step0 = 0
+    resume_bodies = ()
     if args.resume:
-        state, header = load_checkpoint(args.resume)
+        state, header, resume_bodies = load_checkpoint(
+            args.resume, return_bodies=True)
         prev = header.get("extra") or {}
         def differs(a, b):
             # float keys (dt, particle_mass) are recomputed at resume
@@ -560,6 +643,27 @@ def cmd_run(args):
             center, size, float(params.particle_radius), rho, params)
         log.info("rigid box: center=%s size=%s density=%g samples=%d",
                  center, size, rho, body_holder[0].num_samples)
+    elif args.rigid_obj:
+        path, rho, scale, off = _parse_rigid_obj(args.rigid_obj)
+        rv, rf = nt.load_obj(path)
+        body_holder[0] = nt.make_rigid_mesh(
+            rv, rf, float(params.particle_radius), rho, params,
+            kernel_set=cfg.kernel_set, scale=scale, offset=off)
+        log.info("rigid mesh %s: mass=%.4g com=%s samples=%d", path,
+                 float(body_holder[0].mass),
+                 np.asarray(body_holder[0].com).round(4).tolist(),
+                 body_holder[0].num_samples)
+    if body_holder[0] is not None:
+        if resume_bodies:
+            # the body is dynamic state: resume mid-trajectory (shell
+            # included — no rebuild drift), not at the scene's spawn pose
+            body_holder[0] = resume_bodies[0]
+            log.info("resumed rigid body at com=%s",
+                     np.asarray(body_holder[0].com).tolist())
+        elif args.resume:
+            log.warning("checkpoint %s carries no rigid body — the "
+                        "--rigid-box body restarts at its spawn pose",
+                        args.resume)
 
     try:
         step, run_state, to_host = build_stepper(grid, boundary, state)
@@ -685,7 +789,9 @@ def cmd_run(args):
                           verts, faces)
             if args.checkpoint_every and i and i % args.checkpoint_every == 0:
                 save_checkpoint(f"{args.out}_ckpt_{i:06d}.npz",
-                                to_host(run_state), step=i, extra=desc)
+                                to_host(run_state), step=i, extra=desc,
+                                bodies=(body_holder[0],)
+                                if body_holder[0] is not None else None)
         jax.block_until_ready(run_state.pos)
     dt_wall = time.perf_counter() - t0
     if drain is not None:

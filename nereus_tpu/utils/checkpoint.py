@@ -25,14 +25,32 @@ from ..state import FluidState
 _FORMAT_VERSION = 2
 
 
+# Per-body arrays serialized under ``body{i}_{field}`` keys. Additive to
+# the v2 layout: readers that don't know about bodies simply never touch
+# the extra keys, and ``num_bodies`` in the header makes their presence
+# formally detectable (no probing).
+_BODY_FIELDS = ("offsets", "psi", "mass", "inertia_body", "com", "R",
+                "vel", "omega")
+
+
 def save_checkpoint(path: str, state: FluidState, *, step: int = 0,
-                    extra: dict | None = None) -> None:
-    """Write the fluid state (host-gathered) and metadata to ``path``."""
+                    extra: dict | None = None, bodies=None) -> None:
+    """Write the fluid state (host-gathered) and metadata to ``path``.
+
+    ``bodies`` (optional) is a :class:`~nereus_tpu.rigid.RigidBody` or a
+    sequence of them — a coupled run's dynamic bodies are part of the
+    physical state and resume mid-trajectory (pose, velocities, AND the
+    Akinci shell, so a resumed run needs no scene rebuild to agree
+    bit-for-bit)."""
+    if bodies is not None and not isinstance(bodies, (tuple, list)):
+        bodies = (bodies,)
+    bodies = bodies or ()
     header = {
         "format_version": _FORMAT_VERSION,
         "step": int(step),
         "num_active": int(state.num_active) if state.num_active.ndim == 0
         else None,
+        "num_bodies": len(bodies),
         "extra": extra or {},
     }
     arrays = {
@@ -43,6 +61,9 @@ def save_checkpoint(path: str, state: FluidState, *, step: int = 0,
         "__header__": np.frombuffer(
             json.dumps(header).encode(), dtype=np.uint8),
     }
+    for i, b in enumerate(bodies):
+        for f in _BODY_FIELDS:
+            arrays[f"body{i}_{f}"] = np.asarray(getattr(b, f))
     np.savez_compressed(path, **arrays)
 
 
@@ -74,8 +95,12 @@ def load_checkpoint_orbax(path: str):
     return state, int(tree["meta"]["step"])
 
 
-def load_checkpoint(path: str):
-    """Returns ``(FluidState, header_dict)``."""
+def load_checkpoint(path: str, *, return_bodies: bool = False):
+    """Returns ``(FluidState, header_dict)``; with ``return_bodies=True``,
+    ``(FluidState, header_dict, bodies_tuple)`` — empty tuple for
+    checkpoints written without bodies (``num_bodies`` absent or 0)."""
+    from ..rigid import RigidBody
+
     with np.load(path) as z:
         header = json.loads(bytes(z["__header__"]).decode())
         if header["format_version"] > _FORMAT_VERSION:
@@ -88,4 +113,10 @@ def load_checkpoint(path: str):
             pressure=jnp.asarray(z["pressure"]),
             num_active=jnp.asarray(z["num_active"]),
         )
-    return state, header
+        if not return_bodies:
+            return state, header
+        bodies = tuple(
+            RigidBody(**{f: jnp.asarray(z[f"body{i}_{f}"])
+                         for f in _BODY_FIELDS})
+            for i in range(header.get("num_bodies", 0)))
+    return state, header, bodies

@@ -29,6 +29,79 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(loaded.num_active) == 100
 
 
+def test_checkpoint_body_roundtrip(tmp_path):
+    """Rigid bodies are dynamic state: they persist (pose, velocities,
+    shell) and load back bit-for-bit; body-free checkpoints keep loading
+    under both signatures (additive format)."""
+    from nereus_tpu.rigid import RigidBody
+    from nereus_tpu.utils.checkpoint import _BODY_FIELDS
+
+    rng = np.random.default_rng(1)
+    state = nt.make_fluid_state(rng.uniform(0, 1, (50, 3)), capacity=64)
+    params = nt.make_params()
+    body = nt.make_rigid_box((0.3, 0.4, 0.3), (0.08, 0.08, 0.08),
+                             float(params.particle_radius), 200.0, params)
+    import dataclasses
+    body = dataclasses.replace(body,
+                               vel=np.array([0.1, -0.2, 0.3], np.float32),
+                               omega=np.array([1.0, 0.0, -2.0], np.float32))
+    path = str(tmp_path / "ckpt_body.npz")
+    save_checkpoint(path, state, step=3, bodies=body)
+    loaded, header, bodies = load_checkpoint(path, return_bodies=True)
+    assert header["num_bodies"] == 1 and len(bodies) == 1
+    assert isinstance(bodies[0], RigidBody)
+    for f in _BODY_FIELDS:
+        np.testing.assert_array_equal(np.asarray(getattr(bodies[0], f)),
+                                      np.asarray(getattr(body, f)), f)
+    # two-tuple signature unchanged; body-free files report zero bodies
+    loaded2, header2 = load_checkpoint(path)
+    np.testing.assert_array_equal(np.asarray(loaded2.pos),
+                                  np.asarray(state.pos))
+    nobody = str(tmp_path / "ckpt_nobody.npz")
+    save_checkpoint(nobody, state, step=3)
+    _, h3, b3 = load_checkpoint(nobody, return_bodies=True)
+    assert h3["num_bodies"] == 0 and b3 == ()
+
+
+def test_cli_rigid_box_resume(tmp_path, capsys):
+    """A --rigid-box run's checkpoints carry the body; --resume continues
+    it mid-trajectory instead of resetting to the spawn pose, and a
+    different --rigid-box spec refuses like any physics mismatch."""
+    out = str(tmp_path / "rb")
+    spec = "0.25,0.45,0.25:0.08,0.08,0.08:200"
+    rc = cli_main(["run", "--solver", "wcsph", "--steps", "6",
+                   "--neighbor-engine", "pallas", "--rigid-box", spec,
+                   "--checkpoint-every", "4", "--out", out])
+    assert rc == 0
+    capsys.readouterr()
+    ckpt = f"{out}_ckpt_000004.npz"
+    _, header, bodies = load_checkpoint(ckpt, return_bodies=True)
+    assert header["extra"]["rigid_box"] == spec
+    assert len(bodies) == 1
+    com4 = np.asarray(bodies[0].com)
+    assert np.isfinite(com4).all()
+    assert com4[1] < 0.45          # the body has fallen from spawn
+
+    rc = cli_main(["run", "--solver", "wcsph", "--steps", "4",
+                   "--neighbor-engine", "pallas", "--rigid-box", spec,
+                   "--checkpoint-every", "2", "--resume", ckpt,
+                   "--out", out])
+    assert rc == 0
+    capsys.readouterr()
+    _, _, bodies6 = load_checkpoint(f"{out}_ckpt_000006.npz",
+                                    return_bodies=True)
+    # resumed mid-fall: two more steps continue the trajectory downward
+    assert float(bodies6[0].com[1]) < float(com4[1])
+
+    # a different body spec is a physics mismatch → refuse
+    rc = cli_main(["run", "--solver", "wcsph", "--steps", "2",
+                   "--neighbor-engine", "pallas",
+                   "--rigid-box", "0.25,0.45,0.25:0.08,0.08,0.08:900",
+                   "--resume", ckpt, "--out", out])
+    assert rc == 2
+    capsys.readouterr()
+
+
 def test_render_frame_draws_particles():
     rng = np.random.default_rng(1)
     pos = rng.uniform(0.1, 0.4, (500, 3))
