@@ -15,6 +15,8 @@ from .state import (BoundaryData, FluidState, add_particles,
                     add_particles_traced, make_fluid_state,
                     remove_particles)
 from .boundary import move_boundary, rotation_matrix
+from .mesh import (load_obj, make_rigid_mesh, mesh_boundary,
+                   mesh_mass_properties, sample_surface)
 from .rigid import (RigidBody, body_body_contact, body_boundary,
                     concat_boundaries, integrate_rigid,
                     make_rigid_box, wall_contact_force)
@@ -36,6 +38,8 @@ __all__ = [
     "BoundaryData", "FluidState", "add_particles", "add_particles_traced",
     "make_fluid_state", "remove_particles", "move_boundary",
     "rotation_matrix",
+    "load_obj", "make_rigid_mesh", "mesh_boundary",
+    "mesh_mass_properties", "sample_surface",
     "RigidBody", "body_body_contact", "body_boundary",
     "concat_boundaries", "integrate_rigid", "make_rigid_box",
     "wall_contact_force",
