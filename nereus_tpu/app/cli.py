@@ -124,6 +124,12 @@ def _build_parser():
                      help="static obstacle/terrain sampled from a "
                      "triangle-mesh OBJ, merged into the scene walls "
                      "(grid auto-widens to cover it)")
+    run.add_argument("--second-phase", default=None,
+                     metavar="RATIO[:FRACTION]",
+                     help="multiphase: mark the top FRACTION (default "
+                     "0.5) of the fluid as a second phase with rest "
+                     "density RATIO*rho0 (WCSPH single-chip; requires "
+                     "--surface-tension none)")
     run.add_argument("--xsph", type=float, default=None, metavar="EPS",
                      help="Monaghan XSPH velocity smoothing (WCSPH: "
                           "position update only, typical 0.3-0.5; PBF: "
@@ -356,13 +362,14 @@ def _run_desc(args, params, grid):
         "rigid_box": args.rigid_box,
         "rigid_obj": args.rigid_obj,
         "obstacle_obj": args.obstacle_obj,
+        "second_phase": args.second_phase,
     }
 
 
 # Header keys that must match between a checkpoint and the resuming run.
 _RESUME_KEYS = ("solver", "scene", "kernel_set", "surface_tension",
                 "boundary", "n_target", "dt", "particle_mass", "wavemaker",
-                "rigid_box", "rigid_obj", "obstacle_obj")
+                "rigid_box", "rigid_obj", "obstacle_obj", "second_phase")
 
 
 def cmd_run(args):
@@ -431,7 +438,50 @@ def cmd_run(args):
                           "(single-chip, fixed dt, static grid, needs a "
                           "boundary)", name)
                 return 2
+    if args.second_phase is not None:
+        try:
+            parts = args.second_phase.split(":")
+            sp_ratio = float(parts[0])
+            sp_frac = float(parts[1]) if len(parts) > 1 else 0.5
+            assert sp_ratio > 0 and 0 < sp_frac < 1
+        except (ValueError, AssertionError):
+            log.error("--second-phase expects RATIO[:FRACTION], got %r",
+                      args.second_phase)
+            return 2
+        bad = [n for f, n in ((args.solver != "wcsph", "--solver wcsph"),
+                              (args.shards > 1, "--shards 1"),
+                              (args.surface_tension != "none",
+                               "--surface-tension none"),
+                              (args.xsph is not None, "no --xsph"),
+                              (args.implicit_viscosity is not None,
+                               "no --implicit-viscosity"),
+                              (args.rigid_box or args.rigid_obj,
+                               "no rigid body")) if f]
+        if bad:
+            log.error("--second-phase requires: %s", ", ".join(bad))
+            return 2
     cfg, params, state, grid, boundary = _make_setup(args)
+    if args.second_phase is not None:
+        import jax.numpy as jnp
+        # top FRACTION of the fluid (by y) becomes phase 2: rest density
+        # RATIO*rho0, mass scaled identically so every particle starts at
+        # its own rest density on the shared seeding lattice
+        n0 = int(np.asarray(state.num_active))
+        pos_h = np.asarray(state.pos)[:n0]
+        y_cut = np.quantile(pos_h[:, 1], 1.0 - sp_frac)
+        rd = float(np.asarray(params.rest_density))
+        pm = float(np.asarray(params.particle_mass))
+        rho0 = np.where(pos_h[:, 1] >= y_cut, rd * sp_ratio, rd)
+        cap = state.capacity
+        rho0_full = np.full(cap, rd)
+        rho0_full[:n0] = rho0
+        state = nt.FluidState(
+            pos=state.pos, vel=state.vel, pressure=state.pressure,
+            num_active=state.num_active,
+            mass=jnp.asarray(rho0_full * (pm / rd), cfg.dtype),
+            rho0=jnp.asarray(rho0_full, cfg.dtype))
+        log.info("second phase: %d of %d particles at rho0=%g",
+                 int((rho0 != rd).sum()), n0, rd * sp_ratio)
     if args.obstacle_obj:
         # a static mesh obstacle joins the walls as ONE hash-sorted set;
         # the grid widens to cover it (and the walls re-sort) first

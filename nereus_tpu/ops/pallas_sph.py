@@ -547,6 +547,122 @@ def xsph_pair(q_ref, src_ref, valid, pv, *, kernel_set):
                  keepdims=True), zero], axis=1)
 
 
+def multiphase_density_pair(q_ref, src_ref, valid, pv, *, kernel_set):
+    """Multiphase NUMBER density (Solenthaler adapted density): Σ W into
+    col 0 — no source scalar at all; the caller multiplies by the query's
+    own mass (ρ̃_i = m_i·δ_i; self-inclusion gives W(0) for free).
+    Out (B, 4): [δ, 0, 0, 0] — col 1 belongs to the boundary rows
+    (:func:`multiphase_density_bpair`), rescaled per query phase."""
+    dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv)
+    rl, invrl = _maybe_rl(kernel_set, r2)
+    okf = (valid & (r2 < pv[PV_H2])).astype(q_ref.dtype)
+    w = _w_value(kernel_set, r2, rl, pv)
+    d = jnp.sum(w * okf, axis=1, keepdims=True)
+    zero = jnp.zeros_like(d)
+    return jnp.concatenate([d, zero, zero, zero], axis=1)
+
+
+def multiphase_density_bpair(q_ref, src_ref, valid, pv, *, kernel_set):
+    """Boundary rows of the multiphase density sweep: Σ ψ_b·W into col 1,
+    kept SEPARATE from the fluid sum so the caller can rescale the baked
+    ψ = ρ0_ref·V_b by each query's own ρ0_i/ρ0_ref (Akinci boundary
+    handling measures displaced fluid of the querying phase)."""
+    dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv)
+    rl, invrl = _maybe_rl(kernel_set, r2)
+    okf = (valid & (r2 < pv[PV_H2])).astype(q_ref.dtype)
+    w = _w_value(kernel_set, r2, rl, pv)
+    d = jnp.sum(src_ref[6:7, :] * w * okf, axis=1, keepdims=True)
+    zero = jnp.zeros_like(d)
+    return jnp.concatenate([zero, d, zero, zero], axis=1)
+
+
+def multiphase_force_pair(q_ref, src_ref, valid, pv, *, kernel_set):
+    """Multiphase fluid ACCELERATION (adapted-density volume form — see
+    ``solvers.wcsph.multiphase_accels`` for the discretization):
+
+      a = −inv_m_i (p_i·V_i² + p_j·V_j²) ∇W_press
+          + 2μ V_j (r·∇W_visc)/(|r|²+0.01h²) (v_i − v_j)
+
+    q fields: x y z vx vy vz p_iV_i² inv_m_i m_i inv_ρ̃_i (10 columns).
+    src slots: 6 = V_j = 1/δ_j, 7 = p_j·V_j² (wide 16-row source; the
+    8-row pack's row 7 is the hash row, so two source scalars need the
+    wide format).
+    Out (B, 4): a_x a_y a_z (pad). Self term exactly 0 (grad 0, dv 0).
+    """
+    dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv)
+    rl, invrl = _rl_invrl(r2)
+    okf = (valid & (r2 < pv[PV_H2])).astype(q_ref.dtype)
+
+    vj = src_ref[6:7, :]
+    pv2j = src_ref[7:8, :]
+
+    a = _visc_rdotgrad(kernel_set, r2, rl, pv, invrl)
+    bden = r2 + 0.01 * pv[PV_H2]
+    cvisc = (2.0 * pv[PV_VISC]) * vj * (a * _fast_recip(bden)) * okf
+
+    sp = _w_grad_scale_press(kernel_set, r2, rl, pv, invrl)
+    cp = -q_ref[:, 7:8] * (q_ref[:, 6:7] + pv2j) * sp * okf
+
+    dvx = q_ref[:, 3:4] - src_ref[3:4, :]
+    dvy = q_ref[:, 4:5] - src_ref[4:5, :]
+    dvz = q_ref[:, 5:6] - src_ref[5:6, :]
+    fx = cvisc * dvx + cp * dx
+    fy = cvisc * dvy + cp * dy
+    fz = cvisc * dvz + cp * dz
+    zero = jnp.zeros_like(fx[:, :1])
+    return jnp.concatenate(
+        [jnp.sum(fx, axis=1, keepdims=True),
+         jnp.sum(fy, axis=1, keepdims=True),
+         jnp.sum(fz, axis=1, keepdims=True), zero], axis=1)
+
+
+def multiphase_boundary_pair(q_ref, src_ref, valid, pv, *, kernel_set,
+                             moving=False):
+    """Boundary rows of the multiphase force sweep — ACCELERATION:
+
+      a_β = (β/m_i) ψ_b W r⃗            (wall penalty; ψ deliberately
+                                         unscaled — stiffness, not physics)
+      a_f = 2μ m_i ψ_b ν̂ max((v_i−v_b)·r, 0)/(1+0.01h²) ∇W_dflt,
+            ν̂ = ν·h·c_s·inv_ρ̃_i²      (same net scalings as the
+                                         single-phase friction)
+
+    q fields as :func:`multiphase_force_pair` (7 = 1/m_i, 8 = m_i,
+    9 = 1/ρ̃_i); src slot 6 = ψ. The reference's boundary pd2 pressure
+    term is dropped (attractive-signed and negligible next to β —
+    CLAUDE.md).
+    Out (B, 4): a_x a_y a_z (pad).
+    """
+    dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv)
+    rl, invrl = _maybe_rl(kernel_set, r2)
+    okf = (valid & (r2 < pv[PV_H2])).astype(q_ref.dtype)
+    psi = src_ref[6:7, :]
+    inv_rho = q_ref[:, 9:10]
+
+    w = _w_value(kernel_set, r2, rl, pv)
+    sd = _w_grad_scale_default(kernel_set, r2, rl, pv, invrl)
+
+    cadh = (pv[PV_BETA] * psi) * q_ref[:, 7:8] * w
+
+    nu = ((2.0 * pv[PV_VISC] * pv[PV_VISC] * pv[PV_H] * pv[PV_CS])
+          / (1.0 + 0.01 * pv[PV_H2])) * q_ref[:, 8:9] \
+        * (inv_rho * inv_rho)
+    if moving:
+        vdotr = ((q_ref[:, 3:4] - src_ref[3:4, :]) * dx
+                 + (q_ref[:, 4:5] - src_ref[4:5, :]) * dy
+                 + (q_ref[:, 5:6] - src_ref[5:6, :]) * dz)
+    else:
+        vdotr = (q_ref[:, 3:4] * dx + q_ref[:, 4:5] * dy
+                 + q_ref[:, 5:6] * dz)
+    cfric = nu * jnp.maximum(vdotr, 0.0) * psi * sd
+
+    c = (cadh + cfric) * okf
+    zero = jnp.zeros_like(dx[:, :1])
+    return jnp.concatenate(
+        [jnp.sum(c * dx, axis=1, keepdims=True),
+         jnp.sum(c * dy, axis=1, keepdims=True),
+         jnp.sum(c * dz, axis=1, keepdims=True), zero], axis=1)
+
+
 def drho_pair(q_ref, src_ref, valid, pv, *, kernel_set):
     """DFSPH velocity-divergence term: Σ ψ_j (v_q − v_j)·∇W.
 

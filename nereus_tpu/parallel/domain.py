@@ -231,6 +231,10 @@ def shard_state(state: FluidState, grid: gridlib.Grid, scfg: ShardConfig,
                 mesh: Mesh) -> FluidState:
     """Distribute a host FluidState into per-slab blocks of a (D·Cl) global
     array laid out shard-major, and device_put it with the slab sharding."""
+    if state.multiphase:
+        raise NotImplementedError(
+            "multiphase (per-particle mass/rho0) is single-chip-only: "
+            "the sharded packs do not carry the phase columns yet")
     d, cl = scfg.n_shards, scfg.local_capacity
     pos = np.asarray(state.pos)
     vel = np.asarray(state.vel)

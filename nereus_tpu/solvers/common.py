@@ -72,10 +72,13 @@ def build_ctx(state: FluidState, grid: gridlib.Grid, cfg: SimConfig,
     three fused XLA ops."""
     mask = state.active_mask()
     h = gridlib.hash_positions(grid, state.pos, mask)
-    sorted_hash, _, (pos_s, vel_s, pres_s) = gridlib.sort_by_hash(
-        h, state.pos, state.vel, state.pressure)
+    phase_cols = (state.mass, state.rho0) if state.multiphase else ()
+    sorted_hash, _, (pos_s, vel_s, pres_s, *phase_s) = gridlib.sort_by_hash(
+        h, state.pos, state.vel, state.pressure, *phase_cols)
     sstate = FluidState(pos=pos_s, vel=vel_s, pressure=pres_s,
-                        num_active=state.num_active)
+                        num_active=state.num_active,
+                        mass=phase_s[0] if phase_s else None,
+                        rho0=phase_s[1] if phase_s else None)
     coords = gridlib.cell_coords(grid, pos_s)
     fs, fe = gridlib.row_segments(grid, sorted_hash, coords)
     overflow = gridlib.segment_overflow(fs, fe, cfg.seg_window)
@@ -155,6 +158,59 @@ def compute_density(ctx: NeighborCtx, params: SimParams, cfg: SimConfig,
     zero = jnp.zeros((1, 3), dtype=cfg.dtype)
     self_w = pm * K.w_value(cfg.kernel_set, zero, params)[0]
     return acc["dens"] + self_w
+
+
+def compute_density_multiphase(ctx: NeighborCtx, params: SimParams,
+                               cfg: SimConfig,
+                               boundary: Optional[BoundaryData]):
+    """Multiphase ADAPTED density (Solenthaler & Pajarola 2008, "Density
+    contrast SPH"): ρ̃_i = m_i·δ_i with the NUMBER density
+    δ_i = Σ_j W_ij (self included) — a particle's density never smooths
+    over its neighbors' masses, so a sharp density interface reads each
+    phase's own rest density on both sides (the plain mixture sum
+    Σ m_j W reads intermediate densities in the transition band, drives
+    spurious interface pressures, and blows up at ratios ≳2 — measured).
+
+    Walls: + (ρ0_i/ρ0_ref)·Σ_b ψ_b·W — the baked ψ = ρ0_ref·V_b rescaled
+    per QUERY phase (Akinci boundary handling measures the displaced
+    fluid of the phase doing the querying).
+
+    Returns ``(rho, delta)`` — callers need δ for the volume-form forces
+    (V_i = 1/δ_i).
+    """
+    st = ctx.state
+    pos = st.pos
+    ir = params.interaction_radius
+
+    def pair(i, j, valid):
+        rij = i["pos"][:, None, :] - j["pos"]
+        dist2 = jnp.sum(rij * rij, axis=-1)
+        w = K.w_value(cfg.kernel_set, rij, params)
+        ok = valid & (dist2 < ir * ir)
+        return {"delta": masked(ok, w)}
+
+    acc = fluid_reduce(ctx, pair,
+                       {"delta": jnp.zeros(pos.shape[0], cfg.dtype)},
+                       {"pos": ctx.source_pos},
+                       {"pos": pos}, cfg)
+
+    def bpair(i, j, valid):
+        rij = i["pos"][:, None, :] - j["pos"]
+        dist2 = jnp.sum(rij * rij, axis=-1)
+        w = K.w_value(cfg.kernel_set, rij, params)
+        ok = valid & (dist2 < ir * ir)
+        return {"bdens": masked(ok, j["psi"] * w)}
+
+    bacc = boundary_reduce(ctx, boundary, bpair,
+                           {"bdens": jnp.zeros(pos.shape[0], cfg.dtype)},
+                           {"pos": pos}, cfg)
+
+    zero = jnp.zeros((1, 3), dtype=cfg.dtype)
+    w0 = K.w_value(cfg.kernel_set, zero, params)[0]
+    delta = acc["delta"] + w0
+    scale = st.rho0 / params.rest_density
+    rho = st.mass * delta + scale * bacc["bdens"]
+    return rho, delta
 
 
 # ---------------------------------------------------------------------------

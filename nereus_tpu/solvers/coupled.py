@@ -75,6 +75,10 @@ def wcsph_coupled_step(state: FluidState, params: SimParams,
     dispatches between the Pallas engine (TPU) and the jnp oracle by
     ``SimConfig.engine`` like every other solver.
     """
+    if state.multiphase:
+        raise NotImplementedError(
+            "multiphase (per-particle mass/rho0) is plain-WCSPH-only; "
+            "rigid coupling refuses rather than silently dropping the columns")
     single = isinstance(body, RigidBody)
     bodies = (body,) if single else tuple(body)
     if cfg.use_pallas():

@@ -182,6 +182,10 @@ def dfsph_step(state: FluidState, params: SimParams, grid: gridlib.Grid,
     (``SimConfig.dfsph_warm_start``; the divergence loop is not
     warm-started, it usually exits at its configured minimum).
     """
+    if state.multiphase:
+        raise NotImplementedError(
+            "multiphase (per-particle mass/rho0) is WCSPH-only; "
+            "dfsph refuses rather than silently dropping the columns")
     if cfg.use_pallas():
         from .dfsph_pallas import dfsph_step_pallas
         return dfsph_step_pallas(state, params, grid, cfg, boundary,

@@ -67,6 +67,10 @@ def dfsph_coupled_step(state: FluidState, params: SimParams,
     Returns ``(new_state, new_body_or_bodies, StepDiagnostics)``;
     tolerances as :func:`nereus_tpu.solvers.dfsph.dfsph_step`.
     """
+    if state.multiphase:
+        raise NotImplementedError(
+            "multiphase (per-particle mass/rho0) is plain-WCSPH-only; "
+            "rigid coupling refuses rather than silently dropping the columns")
     single = isinstance(body, RigidBody)
     bodies = (body,) if single else tuple(body)
     if cfg.use_pallas():

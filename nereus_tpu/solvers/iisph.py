@@ -285,6 +285,10 @@ def iisph_step(state: FluidState, params: SimParams, grid: gridlib.Grid,
     Returns ``(new_state, StepDiagnostics)`` with the solver iteration count.
     Dispatches to the Pallas engine on TPU (``SimConfig.engine``).
     """
+    if state.multiphase:
+        raise NotImplementedError(
+            "multiphase (per-particle mass/rho0) is WCSPH-only; "
+            "iisph refuses rather than silently dropping the columns")
     if cfg.use_pallas():
         from .iisph_pallas import iisph_step_pallas
         return iisph_step_pallas(state, params, grid, cfg, boundary,

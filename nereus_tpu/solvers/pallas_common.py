@@ -77,6 +77,8 @@ class PallasCtx:
                                            # columns (moving boundaries);
                                            # None = static fast path
     anchors_f: Optional[jax.Array] = None  # fluid-only plan
+    mass: Optional[jax.Array] = None       # (cb,) multiphase per-particle
+    rho0: Optional[jax.Array] = None       # mass / rest density columns
 
     @property
     def dtype(self):
@@ -228,8 +230,12 @@ def build_pallas_ctx(state: FluidState, params: SimParams,
     px, py, pz = (state.pos[:, k] for k in range(3))
     vx, vy, vz = (state.vel[:, k] for k in range(3))
     h = gridlib.hash_positions(grid, state.pos, mask)
-    sorted_hash, _, (px, py, pz, vx, vy, vz, pres_prev) = \
-        gridlib.sort_by_hash(h, px, py, pz, vx, vy, vz, state.pressure)
+    phase_cols = (state.mass, state.rho0) if state.multiphase else ()
+    sorted_hash, _, (px, py, pz, vx, vy, vz, pres_prev, *phase_s) = \
+        gridlib.sort_by_hash(h, px, py, pz, vx, vy, vz, state.pressure,
+                             *phase_cols)
+    mass_s = phase_s[0] if phase_s else None
+    rho0_s = phase_s[1] if phase_s else None
     if cb != c:
         pad = cb - c
         dt_ = px.dtype
@@ -240,6 +246,10 @@ def build_pallas_ctx(state: FluidState, params: SimParams,
         px, py, pz = padc(px, 1e9), padc(py, 1e9), padc(pz, 1e9)
         vx, vy, vz = padc(vx, 0.0), padc(vy, 0.0), padc(vz, 0.0)
         pres_prev = padc(pres_prev, 0.0)
+        if mass_s is not None:
+            # finite phase values in pad slots keep pair math NaN-free
+            # (pads are parked at 1e9 and never pass the r² cutoff)
+            mass_s, rho0_s = padc(mass_s, 1.0), padc(rho0_s, 1.0)
     active = jnp.arange(cb, dtype=jnp.int32) < state.num_active
     coords = gridlib.cell_coords_cols(grid, px, py, pz)
     win = cfg.resolve_win(rows_local == 3)
@@ -280,4 +290,4 @@ def build_pallas_ctx(state: FluidState, params: SimParams,
         hash_f32=hash_payload(sorted_hash, px.dtype, grid.size),
         anchors=anchors, pvec=PS.build_pvec(params, cfg, grid), miss=miss,
         c=c, cb=cb, gsize=grid.size, n_rows=n_rows, win=win,
-        interp=interp, **kwargs)
+        interp=interp, mass=mass_s, rho0=rho0_s, **kwargs)

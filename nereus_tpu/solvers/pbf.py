@@ -62,6 +62,10 @@ def pbf_step(state: FluidState, params: SimParams, grid: gridlib.Grid,
     Returns ``(new_state, StepDiagnostics)``; ``solver_iters`` reports
     the fixed ``cfg.pbf_iters``, ``pressure`` carries the final λ
     (diagnostic)."""
+    if state.multiphase:
+        raise NotImplementedError(
+            "multiphase (per-particle mass/rho0) is WCSPH-only; "
+            "pbf refuses rather than silently dropping the columns")
     if cfg.use_pallas():
         from .pbf_pallas import pbf_step_pallas
         return pbf_step_pallas(state, params, grid, cfg, boundary,

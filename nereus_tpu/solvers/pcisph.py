@@ -194,6 +194,10 @@ def pcisph_step(state: FluidState, params: SimParams, grid: gridlib.Grid,
     count in ``solver_iters``. Dispatches to the Pallas engine on TPU
     (``SimConfig.engine``).
     """
+    if state.multiphase:
+        raise NotImplementedError(
+            "multiphase (per-particle mass/rho0) is WCSPH-only; "
+            "pcisph refuses rather than silently dropping the columns")
     if cfg.use_pallas():
         from .pcisph_pallas import pcisph_step_pallas
         return pcisph_step_pallas(state, params, grid, cfg, boundary,

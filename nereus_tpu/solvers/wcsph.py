@@ -43,19 +43,24 @@ class StepDiagnostics:
 
 
 def density_errors(dens, active, nact, rest):
-    """(mean |ρ−ρ₀|/ρ₀, mean max(ρ−ρ₀,0)/ρ₀) over active particles."""
-    dev = dens - rest
-    mae = jnp.sum(jnp.where(active, jnp.abs(dev), 0.0)) / (nact * rest)
-    mc = jnp.sum(jnp.where(active, jnp.maximum(dev, 0.0), 0.0)) / (nact * rest)
+    """(mean |ρ−ρ₀|/ρ₀, mean max(ρ−ρ₀,0)/ρ₀) over active particles.
+
+    ``rest`` may be a per-particle (N,) array (multiphase): each particle's
+    deviation is normalized by ITS OWN rest density."""
+    dev = (dens - rest) / rest
+    mae = jnp.sum(jnp.where(active, jnp.abs(dev), 0.0)) / nact
+    mc = jnp.sum(jnp.where(active, jnp.maximum(dev, 0.0), 0.0)) / nact
     return mae, mc
 
 
-def tait_pressure(dens, params: SimParams):
+def tait_pressure(dens, params: SimParams, rho0=None):
     """Tait EOS p = k((ρ/ρ₀)⁷ − 1) (``sph_kernel_impl.cuh:426``).
 
     Like the reference, negative pressures are *not* clamped here.
+    ``rho0`` (optional, (N,)) — per-particle rest densities (multiphase);
+    each phase is weakly-compressible about ITS OWN rest density.
     """
-    ratio = dens / params.rest_density
+    ratio = dens / (params.rest_density if rho0 is None else rho0)
     r2 = ratio * ratio
     return params.gas_stiffness * (r2 * r2 * r2 * ratio - 1.0)
 
@@ -113,6 +118,97 @@ def compute_pressure_force(ctx: common.NeighborCtx, params: SimParams,
     return -pm * acc["fp"]
 
 
+def multiphase_accels(ctx: common.NeighborCtx, params: SimParams,
+                      cfg: SimConfig, boundary: Optional[BoundaryData],
+                      dens, delta, pres):
+    """Per-particle ACCELERATION (N, 3) for the multiphase WCSPH step,
+    gravity excluded (beyond-reference — upstream is strictly
+    single-phase).
+
+    Adapted-density volume form (Solenthaler & Pajarola 2008 densities,
+    Hu & Adams 2006 pressure symmetrization) with V_i = 1/δ_i the
+    number-density volume — mass never appears inside a pair sum, so a
+    sharp density interface exerts no spurious pressure (the mixture
+    form blows up at ratios ≳2, measured):
+
+      a_p = −(1/m_i) Σ_j (p_i V_i² + p_j V_j²) ∇W_press
+            (pairwise antisymmetric force — exact momentum conservation;
+             reduces to the reference's symmetric form at equal ρ)
+      a_v =  2μ Σ_j V_j (r·∇W_visc)/(|r|²+0.01h²) (v_i − v_j)
+            (the reference's Müller viscosity with V_j = m_j/ρ_j → 1/δ_j;
+             identical at uniform phase)
+      a_β =  (β/m_i) Σ_b ψ_b W r                      (wall penalty)
+      a_f =  2μ m_i Σ_b ψ_b ν̂ max((v_i−v_b)·r, 0)/(1+0.01h²) ∇W_dflt,
+             ν̂ = ν_wall/ρ̃_i²   (same scalings as the single-phase path)
+
+    Every per-pair quantity is expressible from the source pair
+    (V_j, p_j·V_j²) — two scalars, shipped in the Pallas engine's wide
+    source (see ``_wcsph_pallas_multiphase``).
+
+    The reference's boundary pd2 pressure term is dropped: it points
+    ALONG ∇W (attractive for p>0) and is measured negligible next to the
+    β penalty (CLAUDE.md physics notes); the wall-holding physics is a_β.
+    Surface tension and XSPH are single-phase-only (gated at the step).
+    """
+    st = ctx.state
+    pos, vel = st.pos, st.vel
+    n = pos.shape[0]
+    ir = params.interaction_radius
+    dtype = cfg.dtype
+    dens_safe = jnp.maximum(dens, 1e-12)
+    vol = 1.0 / jnp.maximum(delta, 1e-12)
+    pv2 = pres * vol * vol
+
+    def pair(i, j, valid):
+        rij = i["pos"][:, None, :] - j["pos"]
+        dist2 = jnp.sum(rij * rij, axis=-1)
+        ok = valid & (dist2 < ir * ir)
+        gp = K.w_pressure_grad(cfg.kernel_set, rij, params)
+        fp = (i["inv_m"][:, None]
+              * (i["pv2"][:, None] + j["pv2"]))[..., None] * gp
+        gv = K.w_viscosity_grad_set(cfg.kernel_set, rij, params)
+        a = jnp.sum(rij * gv, axis=-1)
+        b = dist2 + 0.01 * ir * ir
+        fv = (j["V"] * a / b)[..., None] * (i["vel"][:, None, :] - j["vel"])
+        return {"fp": masked(ok, fp), "fv": masked(ok, fv)}
+
+    src = {"pos": ctx.source_pos, "vel": ctx.source_vel,
+           "V": vol, "pv2": pv2}
+    acc = common.fluid_reduce(
+        ctx, pair,
+        {"fp": jnp.zeros((n, 3), dtype), "fv": jnp.zeros((n, 3), dtype)},
+        src, {"pos": pos, "vel": vel, "pv2": pv2,
+              "inv_m": 1.0 / st.mass}, cfg)
+
+    def bpair(i, j, valid):
+        rij = i["pos"][:, None, :] - j["pos"]
+        dist2 = jnp.sum(rij * rij, axis=-1)
+        ok = valid & (dist2 < ir * ir)
+        w = K.w_value(cfg.kernel_set, rij, params)
+        grad = K.w_default_grad(cfg.kernel_set, rij, params)
+        fadh = (params.beta * j["psi"] * w)[..., None] * rij
+        nu = (params.viscosity * ir * params.sound_speed) / \
+            jnp.maximum(i["dens"][:, None] ** 2, 1e-12)
+        dv = (i["vel"][:, None, :] - j["vel"] if "vel" in j
+              else i["vel"][:, None, :])
+        nom = jnp.maximum(jnp.sum(dv * rij, axis=-1), 0.0)
+        denom = 1.0 + 0.01 * ir * ir
+        pij = -nu * (nom / denom)
+        ffric = -(j["psi"] * pij)[..., None] * grad
+        return {"fbound": masked(ok, fadh), "ffric": masked(ok, ffric)}
+
+    binit = {"fbound": jnp.zeros((n, 3), dtype),
+             "ffric": jnp.zeros((n, 3), dtype)}
+    bacc = common.boundary_reduce(
+        ctx, boundary, bpair, binit,
+        {"pos": pos, "vel": vel, "dens": dens}, cfg)
+
+    a_fluid = -acc["fp"] + (2.0 * params.viscosity) * acc["fv"]
+    a_bound = bacc["fbound"] / st.mass[:, None] \
+        + (2.0 * params.viscosity) * st.mass[:, None] * bacc["ffric"]
+    return a_fluid + a_bound
+
+
 def xsph_velocity(ctx: common.NeighborCtx, params: SimParams,
                   cfg: SimConfig, vel, dens, eps):
     """Monaghan XSPH velocity smoothing (beyond-reference; the classic
@@ -165,6 +261,10 @@ def wcsph_step(state: FluidState, params: SimParams, grid: gridlib.Grid,
     pos, vel = ctx.state.pos, ctx.state.vel
     active = ctx.active
 
+    if state.multiphase:
+        return _wcsph_step_multiphase(state, ctx, params, cfg, boundary,
+                                      xsph_eps)
+
     dens = common.compute_density(ctx, params, cfg, boundary)
     pres = tait_pressure(dens, params)
 
@@ -200,6 +300,55 @@ def wcsph_step(state: FluidState, params: SimParams, grid: gridlib.Grid,
                            num_active=state.num_active)
     nact = jnp.maximum(state.num_active.astype(cfg.dtype), 1.0)
     mae, mc = density_errors(dens, active, nact, params.rest_density)
+    diag = StepDiagnostics(
+        max_density=jnp.max(jnp.where(active, dens, 0.0)),
+        mean_density_error=mae,
+        mean_compression=mc,
+        seg_overflow=ctx.overflow,
+        solver_iters=jnp.asarray(0, jnp.int32),
+    )
+    return new_state, diag
+
+
+def _wcsph_step_multiphase(state: FluidState, ctx, params: SimParams,
+                           cfg: SimConfig,
+                           boundary: Optional[BoundaryData],
+                           xsph_eps):
+    """Multiphase WCSPH step body (jnp oracle): per-particle mass/ρ₀
+    through density, EOS and the volume-form forces. See
+    :func:`multiphase_accels` for the discretization."""
+    if xsph_eps is not None:
+        raise NotImplementedError("XSPH is single-phase-only")
+    if cfg.viscosity_model == "implicit":
+        raise NotImplementedError("implicit viscosity is single-phase-only")
+    from ..params import SurfaceTensionModel
+    if cfg.surface_tension_model != SurfaceTensionModel.NONE:
+        raise NotImplementedError(
+            "surface tension is single-phase-only (multiphase interface "
+            "tension is a different model class)")
+    st = ctx.state
+    pos, vel = st.pos, st.vel
+    active = ctx.active
+
+    dens, delta = common.compute_density_multiphase(ctx, params, cfg,
+                                                    boundary)
+    pres = tait_pressure(dens, params, st.rho0)
+    accel = multiphase_accels(ctx, params, cfg, boundary, dens, delta,
+                              pres)
+
+    dt = params.dt
+    g = jnp.asarray(params.gravity, cfg.dtype)
+    new_vel = vel + dt * (accel + g[None, :])
+    new_pos = pos + dt * new_vel
+    new_vel = jnp.where(active[:, None], new_vel, vel)
+    new_pos = jnp.where(active[:, None], new_pos, pos)
+
+    new_state = FluidState(pos=new_pos, vel=new_vel,
+                           pressure=jnp.where(active, pres, 0.0),
+                           num_active=state.num_active,
+                           mass=st.mass, rho0=st.rho0)
+    nact = jnp.maximum(state.num_active.astype(cfg.dtype), 1.0)
+    mae, mc = density_errors(dens, active, nact, st.rho0)
     diag = StepDiagnostics(
         max_density=jnp.max(jnp.where(active, dens, 0.0)),
         mean_density_error=mae,

@@ -31,6 +31,9 @@ def wcsph_step_pallas(state: FluidState, params: SimParams,
     ``seg_overflow`` in the diagnostics reports Pallas window-coverage
     misses (0 in healthy runs) rather than segment-window truncation.
     """
+    if state.multiphase:
+        return _wcsph_pallas_multiphase(state, params, grid, cfg,
+                                        boundary, xsph_eps)
     ctx = build_pallas_ctx(state, params, grid, cfg, boundary)
     vel = (ctx.vx, ctx.vy, ctx.vz)
     c, cb = ctx.c, ctx.cb
@@ -106,6 +109,96 @@ def wcsph_step_pallas(state: FluidState, params: SimParams,
         num_active=state.num_active)
     nact = jnp.maximum(state.num_active.astype(cfg.dtype), 1.0)
     mae, mc = density_errors(dens, active, nact, params.rest_density)
+    diag = StepDiagnostics(
+        max_density=jnp.max(jnp.where(active, dens, 0.0)),
+        mean_density_error=mae,
+        mean_compression=mc,
+        seg_overflow=ctx.miss,
+        solver_iters=jnp.asarray(0, jnp.int32),
+    )
+    return new_state, diag
+
+
+def _wcsph_pallas_multiphase(state: FluidState, params: SimParams,
+                             grid: gridlib.Grid, cfg: SimConfig,
+                             boundary: Optional[BoundaryData],
+                             xsph_eps):
+    """Multiphase WCSPH step on the Pallas engine: per-particle mass/ρ₀
+    through density, EOS and the volume-form forces — the same
+    discretization as the oracle's ``_wcsph_step_multiphase``
+    (equivalence-tested). Two ``generic_sweep`` launches: the density
+    sweep keeps the boundary sum in a separate output column (rescaled
+    per query phase outside), the force sweep returns ACCELERATION with
+    the β wall penalty and friction folded in-kernel (query columns
+    carry inv_ρ_i, p_i, m_i, 1/m_i)."""
+    if xsph_eps is not None:
+        raise NotImplementedError("XSPH is single-phase-only")
+    if cfg.viscosity_model == "implicit":
+        raise NotImplementedError("implicit viscosity is single-phase-only")
+    from ..params import SurfaceTensionModel
+    if cfg.surface_tension_model != SurfaceTensionModel.NONE:
+        raise NotImplementedError(
+            "surface tension is single-phase-only (multiphase interface "
+            "tension is a different model class)")
+    from .wcsph import density_errors, tait_pressure
+
+    ctx = build_pallas_ctx(state, params, grid, cfg, boundary)
+    vel = (ctx.vx, ctx.vy, ctx.vz)
+    c = ctx.c
+    active = ctx.active
+    interp = ctx.interp
+    pvec, gsize, n_rows = ctx.pvec, ctx.gsize, ctx.n_rows
+    mass, rho0 = ctx.mass, ctx.rho0
+
+    # -- adapted density: fluid δ = Σ W (col 0) + boundary Σ ψ W (col 1)
+    q4 = ctx.queries(width=4)
+    src_d = ctx.pack(vel=vel)
+    dout = PS.generic_sweep(
+        cfg, PS.multiphase_density_pair, q4, src_d, ctx.anchors, pvec,
+        gsize, out_width=4, pair_fn_b=PS.multiphase_density_bpair,
+        n_rows=n_rows, interpret=interp)
+    delta = dout[:, 0]
+    dens = mass * delta + (rho0 / params.rest_density) * dout[:, 1]
+    pres = tait_pressure(dens, params, rho0)
+
+    # -- forces (acceleration; adapted volume form + walls) -------------
+    # The 8-row pack has exactly ONE free scalar slot (row 7 is the hash
+    # row — the reason the single-phase force pair recomputes pd2_j
+    # in-kernel instead of shipping it). The multiphase pair needs TWO
+    # per-source scalars (V_j, p_j·V_j²), so this sweep ships a 16-row
+    # wide source (hash in row 15); the doubled window fetch is the
+    # documented price of the wide format.
+    inv_rho = 1.0 / jnp.maximum(dens, 1e-12)
+    vol = 1.0 / jnp.maximum(delta, 1e-12)
+    pv2 = pres * vol * vol
+    q10 = ctx.queries(*vel, pv2, 1.0 / mass, mass, inv_rho)
+    src_f = ctx.pack_wide([vel[0], vel[1], vel[2], vol, pv2], rows=16)
+    acc = PS.generic_sweep(
+        cfg, PS.multiphase_force_pair, q10, src_f, ctx.anchors, pvec,
+        gsize, out_width=4, pair_fn_b=PS.multiphase_boundary_pair,
+        pair_b_kw={"moving": ctx.moving_boundary},
+        n_rows=n_rows, interpret=interp)
+
+    dt = params.dt
+    g = params.gravity
+    nv = tuple(v + dt * (acc[:, k] + gk) for k, (v, gk) in
+               enumerate(((ctx.vx, g[0]), (ctx.vy, g[1]),
+                          (ctx.vz, g[2]))))
+    npx = jnp.where(active, ctx.px + dt * nv[0], ctx.px)
+    npy = jnp.where(active, ctx.py + dt * nv[1], ctx.py)
+    npz = jnp.where(active, ctx.pz + dt * nv[2], ctx.pz)
+    nvx = jnp.where(active, nv[0], ctx.vx)
+    nvy = jnp.where(active, nv[1], ctx.vy)
+    nvz = jnp.where(active, nv[2], ctx.vz)
+
+    new_state = FluidState(
+        pos=jnp.stack([npx[:c], npy[:c], npz[:c]], axis=1),
+        vel=jnp.stack([nvx[:c], nvy[:c], nvz[:c]], axis=1),
+        pressure=jnp.where(active, pres, 0.0)[:c],
+        num_active=state.num_active,
+        mass=mass[:c], rho0=rho0[:c])
+    nact = jnp.maximum(state.num_active.astype(cfg.dtype), 1.0)
+    mae, mc = density_errors(dens, active, nact, rho0)
     diag = StepDiagnostics(
         max_density=jnp.max(jnp.where(active, dens, 0.0)),
         mean_density_error=mae,

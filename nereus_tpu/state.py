@@ -25,16 +25,33 @@ import numpy as np
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class FluidState:
-    """Dynamic fluid-particle state. Arrays are (capacity, ...)."""
+    """Dynamic fluid-particle state. Arrays are (capacity, ...).
+
+    ``mass``/``rho0`` (optional, beyond-reference) carry per-particle
+    masses and rest densities for MULTIPHASE scenes (oil on water —
+    several fluids with different densities in one solve). ``None`` (the
+    default) is a trace-time switch: the solvers compile the single-phase
+    fast path with the scalar ``SimParams.particle_mass``/``rest_density``
+    and zero extra work. Both are set together (``make_fluid_state``
+    enforces it); multiphase is supported by the WCSPH solver (both
+    engines) — the other solvers refuse it explicitly.
+    """
 
     pos: jax.Array        # (C, 3)
     vel: jax.Array        # (C, 3)
     pressure: jax.Array   # (C,)  carried across steps: IISPH seeds p0 = p_prev/2
     num_active: jax.Array # () int32
+    mass: jax.Array | None = None   # (C,) per-particle mass (multiphase)
+    rho0: jax.Array | None = None   # (C,) per-particle rest density
 
     @property
     def capacity(self) -> int:
         return self.pos.shape[0]
+
+    @property
+    def multiphase(self) -> bool:
+        """Static trace-time switch: per-particle mass/ρ₀ present."""
+        return self.mass is not None
 
     def active_mask(self):
         return jnp.arange(self.capacity) < self.num_active
@@ -70,8 +87,25 @@ class BoundaryData:
         return self.pos.shape[0]
 
 
-def add_particles(state: FluidState, positions, velocities=None
-                  ) -> FluidState:
+def _append_phase_cols(state: FluidState, k: int, start, masses, rho0s):
+    """New (mass, rho0) columns with k entries written at ``start``;
+    defaults to the first live particle's values (same-phase emission)."""
+    if state.mass is None:
+        if masses is not None or rho0s is not None:
+            raise ValueError(
+                "per-particle masses on a single-phase state — build the "
+                "state with make_fluid_state(..., masses=, rest_densities=)")
+        return None, None
+    m_new = jnp.full((k,), masses if masses is not None else state.mass[0],
+                     state.mass.dtype)
+    r_new = jnp.full((k,), rho0s if rho0s is not None else state.rho0[0],
+                     state.rho0.dtype)
+    return (jax.lax.dynamic_update_slice(state.mass, m_new, (start,)),
+            jax.lax.dynamic_update_slice(state.rho0, r_new, (start,)))
+
+
+def add_particles(state: FluidState, positions, velocities=None,
+                  masses=None, rest_densities=None) -> FluidState:
     """Append live particles into free capacity slots.
 
     The analogue of the demo's particle dropping
@@ -91,11 +125,13 @@ def add_particles(state: FluidState, positions, velocities=None
         velocities = jnp.zeros_like(positions)
     velocities = jnp.broadcast_to(
         jnp.asarray(velocities, dtype=state.vel.dtype), positions.shape)
+    m2, r2 = _append_phase_cols(state, k, n, masses, rest_densities)
     return FluidState(
         pos=jax.lax.dynamic_update_slice(state.pos, positions, (n, 0)),
         vel=jax.lax.dynamic_update_slice(state.vel, velocities, (n, 0)),
         pressure=state.pressure,
         num_active=state.num_active + k,
+        mass=m2, rho0=r2,
     )
 
 
@@ -124,11 +160,14 @@ def add_particles_traced(state: FluidState, positions, velocities=None):
     start = jnp.minimum(n, state.capacity - k).astype(jnp.int32)
     pos2 = jax.lax.dynamic_update_slice(state.pos, positions, (start, 0))
     vel2 = jax.lax.dynamic_update_slice(state.vel, velocities, (start, 0))
+    m2, r2 = _append_phase_cols(state, k, start, None, None)
     new = FluidState(
         pos=jnp.where(ok, pos2, state.pos),
         vel=jnp.where(ok, vel2, state.vel),
         pressure=state.pressure,
         num_active=jnp.where(ok, n + k, n).astype(n.dtype),
+        mass=jnp.where(ok, m2, state.mass) if m2 is not None else None,
+        rho0=jnp.where(ok, r2, state.rho0) if r2 is not None else None,
     )
     overflow = jnp.where(ok, 0, k).astype(jnp.int32)
     return new, overflow
@@ -155,6 +194,8 @@ def remove_particles(state: FluidState, keep) -> FluidState:
            state.pos[:, 0], state.pos[:, 1], state.pos[:, 2],
            state.vel[:, 0], state.vel[:, 1], state.vel[:, 2],
            state.pressure)
+    if state.mass is not None:
+        ops += (state.mass, state.rho0)
     out = jax.lax.sort(ops, num_keys=1, is_stable=True)
     new_n = _jnp.sum(keep).astype(state.num_active.dtype)
     live = _jnp.arange(state.capacity) < new_n
@@ -164,15 +205,25 @@ def remove_particles(state: FluidState, keep) -> FluidState:
     return FluidState(pos=pos.astype(state.pos.dtype),
                       vel=vel.astype(state.vel.dtype),
                       pressure=pres.astype(state.pressure.dtype),
-                      num_active=new_n)
+                      num_active=new_n,
+                      mass=out[8] if state.mass is not None else None,
+                      rho0=out[9] if state.mass is not None else None)
 
 
 def make_fluid_state(positions, velocities=None, capacity=None,
-                     dtype=jnp.float32) -> FluidState:
+                     dtype=jnp.float32, masses=None,
+                     rest_densities=None) -> FluidState:
     """Build a FluidState from host arrays, padding to ``capacity``.
 
     Pad slots are parked at a large coordinate so they also stay out of the
     way of any brute-force reference computation in tests.
+
+    ``masses``/``rest_densities`` (both together, scalar or (n,)) build a
+    MULTIPHASE state: per-particle mass and rest density enter the WCSPH
+    density/EOS/force discretization (see ``solvers/wcsph.py``). Seed each
+    phase at ITS OWN rest spacing (m = ρ₀·spacing³ per the same mass
+    calibration single-phase scenes use) or the initial imbalance is real
+    compression the solver will eject.
     """
     positions = np.asarray(positions, dtype=np.float64)
     n = positions.shape[0]
@@ -183,13 +234,28 @@ def make_fluid_state(positions, velocities=None, capacity=None,
     if capacity is None:
         capacity = n
     assert capacity >= n, "capacity smaller than particle count"
+    if (masses is None) != (rest_densities is None):
+        raise ValueError("masses and rest_densities must be set together")
     pos = np.full((capacity, 3), 1e9, dtype=np.float64)
     vel = np.zeros((capacity, 3), dtype=np.float64)
     pos[:n] = positions
     vel[:n] = velocities
+    mass = rho0 = None
+    if masses is not None:
+        m = np.broadcast_to(np.asarray(masses, np.float64), (n,))
+        r0 = np.broadcast_to(np.asarray(rest_densities, np.float64), (n,))
+        # pad slots take the first particle's phase (they never enter any
+        # sum; a finite value keeps pair math NaN-free by construction)
+        mass = np.full((capacity,), m[0] if n else 1.0)
+        rho0 = np.full((capacity,), r0[0] if n else 1.0)
+        mass[:n] = m
+        rho0[:n] = r0
+        mass = jnp.asarray(mass, dtype=dtype)
+        rho0 = jnp.asarray(rho0, dtype=dtype)
     return FluidState(
         pos=jnp.asarray(pos, dtype=dtype),
         vel=jnp.asarray(vel, dtype=dtype),
         pressure=jnp.zeros((capacity,), dtype=dtype),
         num_active=jnp.asarray(n, dtype=jnp.int32),
+        mass=mass, rho0=rho0,
     )

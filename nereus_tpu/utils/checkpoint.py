@@ -61,6 +61,11 @@ def save_checkpoint(path: str, state: FluidState, *, step: int = 0,
         "__header__": np.frombuffer(
             json.dumps(header).encode(), dtype=np.uint8),
     }
+    if state.multiphase:
+        # multiphase phase columns — additive like the bodies (readers
+        # that don't know them never touch the keys)
+        arrays["mass"] = np.asarray(state.mass)
+        arrays["rho0"] = np.asarray(state.rho0)
     for i, b in enumerate(bodies):
         for f in _BODY_FIELDS:
             arrays[f"body{i}_{f}"] = np.asarray(getattr(b, f))
@@ -112,6 +117,8 @@ def load_checkpoint(path: str, *, return_bodies: bool = False):
             vel=jnp.asarray(z["vel"]),
             pressure=jnp.asarray(z["pressure"]),
             num_active=jnp.asarray(z["num_active"]),
+            mass=jnp.asarray(z["mass"]) if "mass" in z else None,
+            rho0=jnp.asarray(z["rho0"]) if "rho0" in z else None,
         )
         if not return_bodies:
             return state, header

@@ -1,0 +1,255 @@
+"""Multiphase WCSPH (beyond-reference — upstream is strictly
+single-phase): per-particle mass/ρ₀ columns, Solenthaler adapted
+(number-density) densities, Hu–Adams volume-form pressure. Oracle ↔
+Pallas lockstep, stratification physics, state plumbing, solver gates.
+
+Scene notes: phases seed on ONE lattice at spacing s with m = m_cal·ρ₀/ρ₀_ref
+(the same calibration factor as single-phase), so every particle starts at
+exactly its own rest density — the adapted density's defining property.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import nereus_tpu as nt
+from nereus_tpu.boundary import box_boundary
+from nereus_tpu.params import SurfaceTensionModel, calibrate_mass
+from nereus_tpu.scene import particle_cube
+
+ST_NONE = dict(surface_tension_model=SurfaceTensionModel.NONE)
+
+
+def two_layer(ratio_bottom=1.0, ratio_top=0.4, jitter=0.05, seed=7,
+              vel_y=0.0, side_cells=6):
+    """Two stacked fluid layers in a tank (two-spacing wall standoff)."""
+    base = nt.make_params()
+    spacing = 0.8 * float(base.interaction_radius)
+    cfg = nt.SimConfig(engine="segments", **ST_NONE)
+    params = calibrate_mass(base, cfg, spacing=spacing)
+    pm = float(params.particle_mass)
+    rd = float(params.rest_density)
+    h = float(params.interaction_radius)
+    side = side_cells * spacing
+    bot = particle_cube((side / 2 + 2 * spacing,) * 3, (side,) * 3, spacing)
+    pos = np.concatenate([bot, bot + np.array([0.0, side + spacing, 0.0])])
+    rng = np.random.default_rng(seed)
+    pos = pos + rng.uniform(-jitter, jitter, pos.shape) * spacing
+    n1 = len(bot)
+    rho0 = np.concatenate([np.full(n1, rd * ratio_bottom),
+                           np.full(len(pos) - n1, rd * ratio_top)])
+    mass = pm * rho0 / rd
+    lo = np.zeros(3)
+    hi = np.array([side + 4 * spacing, 3 * side, side + 4 * spacing])
+    grid = nt.fit_grid(lo - h, hi + h, h)
+    walls = box_boundary(grid, lo, hi, float(params.particle_radius), params)
+    vels = np.tile([0.0, vel_y, 0.0], (len(pos), 1))
+    state = nt.make_fluid_state(pos, velocities=vels, masses=mass,
+                                rest_densities=rho0)
+    return state, params, grid, walls, pm
+
+
+def canon(state, n):
+    p = np.asarray(state.pos)[:n]
+    order = np.lexsort((p[:, 2], p[:, 1], p[:, 0]))
+    return (p[order], np.asarray(state.vel)[:n][order],
+            np.asarray(state.mass)[:n][order])
+
+
+def test_multiphase_engines_match():
+    """Oracle ↔ Pallas lockstep from a wall-contacting state: settle with
+    the oracle until the floor is inside h of the lowest particle (the
+    boundary density column, β and friction all live), then one step per
+    engine from the SAME state."""
+    state, params, grid, walls, pm = two_layer(vel_y=-1.0)
+    n = int(state.num_active)
+    h = float(params.interaction_radius)
+    cfg_o = nt.SimConfig(engine="segments", **ST_NONE)
+    cfg_p = nt.SimConfig(engine="pallas", **ST_NONE)
+    step_o = jax.jit(lambda s: nt.wcsph_step(s, params, grid, cfg_o, walls))
+    step_p = jax.jit(lambda s: nt.wcsph_step(s, params, grid, cfg_p, walls))
+    for i in range(40):
+        state, _ = step_o(state)
+        if float(np.asarray(state.pos)[:n, 1].min()) < 0.85 * h:
+            break
+    assert float(np.asarray(state.pos)[:n, 1].min()) < h, \
+        "scene never reached wall contact — test setup broken"
+    so, do = step_o(state)
+    sp, dp = step_p(state)
+    po, vo, mo = canon(so, n)
+    pp, vp, mp = canon(sp, n)
+    np.testing.assert_allclose(po, pp, atol=1e-6)
+    np.testing.assert_allclose(vo, vp, atol=1e-4)
+    np.testing.assert_array_equal(mo, mp)   # phase columns ride the sorts
+    np.testing.assert_allclose(float(do.mean_density_error),
+                               float(dp.mean_density_error), rtol=1e-5)
+    np.testing.assert_allclose(float(do.max_density),
+                               float(dp.max_density), rtol=1e-5)
+    assert int(do.seg_overflow) == 0 and int(dp.seg_overflow) == 0
+
+
+def test_multiphase_stratified_stays_stratified():
+    """Light-on-heavy is a STABLE configuration: 400 steps of settling
+    keep the phases ordered, in the tank, and each phase near its own
+    rest density (per-particle-normalized diagnostics)."""
+    state, params, grid, walls, pm = two_layer()
+    n = int(state.num_active)
+    cfg = nt.SimConfig(engine="segments", **ST_NONE)
+    step = jax.jit(lambda s: nt.wcsph_step(s, params, grid, cfg, walls))
+    for i in range(400):
+        state, diag = step(state)
+        assert int(diag.seg_overflow) == 0, i
+    p = np.asarray(state.pos)[:n]
+    m = np.asarray(state.mass)[:n]
+    heavy = m > 0.5 * pm
+    assert np.isfinite(p).all()
+    assert p[:, 1].min() > 0.0, "fluid fell through the floor"
+    assert p[heavy, 1].mean() < p[~heavy, 1].mean(), \
+        "stable stratification overturned"
+    # the compression-side error settles to a few percent (WCSPH under
+    # its own weight), identically normalized for both phases
+    assert float(diag.mean_compression) < 0.2
+
+
+def test_multiphase_inverted_overturns():
+    """Heavy-on-light is UNSTABLE (Rayleigh–Taylor): the phase means must
+    SWAP. The ratio-4 breakthrough is violent at the reference's fixed dt
+    (interface jets exceed CFL and some particles eject) — this test
+    asserts the physics discriminator (order swap + finiteness), not
+    containment; the stable-configuration test above asserts containment.
+    """
+    state, params, grid, walls, pm = two_layer(ratio_bottom=0.25,
+                                               ratio_top=1.0, seed=3)
+    n = int(state.num_active)
+    cfg = nt.SimConfig(engine="segments", **ST_NONE)
+    step = jax.jit(lambda s: nt.wcsph_step(s, params, grid, cfg, walls))
+    for i in range(250):
+        state, diag = step(state)
+    p = np.asarray(state.pos)[:n]
+    m = np.asarray(state.mass)[:n]
+    heavy = m > 0.5 * pm
+    assert np.isfinite(p).all()
+    assert p[heavy, 1].mean() < p[~heavy, 1].mean(), \
+        "heavy phase failed to sink below the light phase"
+
+
+def test_multiphase_state_plumbing():
+    """mass/rho0 ride every state operation: build, add (traced and
+    host), remove (variadic sort), checkpoint roundtrip."""
+    rng = np.random.default_rng(0)
+    pos = rng.uniform(0, 1, (40, 3))
+    mass = np.linspace(0.01, 0.02, 40)
+    rho0 = np.linspace(500, 1000, 40)
+    s = nt.make_fluid_state(pos, capacity=64, masses=mass,
+                            rest_densities=rho0)
+    assert s.multiphase
+    np.testing.assert_allclose(np.asarray(s.mass)[:40], mass, rtol=1e-6)
+
+    s2 = nt.add_particles(s, rng.uniform(0, 1, (4, 3)),
+                          masses=0.03, rest_densities=1500.0)
+    assert int(s2.num_active) == 44
+    np.testing.assert_allclose(np.asarray(s2.mass)[40:44], 0.03)
+    np.testing.assert_allclose(np.asarray(s2.rho0)[40:44], 1500.0)
+
+    # traced add inherits the first particle's phase
+    s3, ovf = nt.add_particles_traced(s2, rng.uniform(0, 1, (3, 3)))
+    assert int(ovf) == 0
+    np.testing.assert_allclose(np.asarray(s3.mass)[44:47],
+                               float(mass[0]), rtol=1e-6)
+
+    # remove keeps each survivor's own phase
+    keep = np.asarray(s2.pos)[:, 0] < 0.5
+    s4 = nt.remove_particles(s2, keep)
+    nkeep = int(s4.num_active)
+    m_expect = np.sort(np.asarray(s2.mass)[np.nonzero(
+        keep & np.asarray(s2.active_mask()))[0]])
+    np.testing.assert_allclose(np.sort(np.asarray(s4.mass)[:nkeep]),
+                               m_expect, rtol=1e-6)
+
+    # mixed usage refuses cleanly
+    s_single = nt.make_fluid_state(pos, capacity=64)
+    with pytest.raises(ValueError):
+        nt.add_particles(s_single, pos[:2], masses=0.01,
+                         rest_densities=500.0)
+    with pytest.raises(ValueError):
+        nt.make_fluid_state(pos, masses=mass)   # rho0 missing
+
+
+def test_multiphase_checkpoint_roundtrip(tmp_path):
+    from nereus_tpu.utils import load_checkpoint, save_checkpoint
+
+    rng = np.random.default_rng(1)
+    s = nt.make_fluid_state(rng.uniform(0, 1, (30, 3)), capacity=32,
+                            masses=np.full(30, 0.02),
+                            rest_densities=np.full(30, 800.0))
+    path = str(tmp_path / "mp.npz")
+    save_checkpoint(path, s, step=5)
+    loaded, header = load_checkpoint(path)
+    assert loaded.multiphase
+    np.testing.assert_array_equal(np.asarray(loaded.mass),
+                                  np.asarray(s.mass))
+    np.testing.assert_array_equal(np.asarray(loaded.rho0),
+                                  np.asarray(s.rho0))
+
+
+def test_cli_second_phase(capsys):
+    """--second-phase drives a two-phase dam-break end to end."""
+    import json
+
+    from nereus_tpu.app.cli import main as cli_main
+
+    rc = cli_main(["run", "--solver", "wcsph", "--steps", "5",
+                   "--neighbor-engine", "pallas",
+                   "--surface-tension", "none",
+                   "--second-phase", "0.4"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["seg_overflow"] == 0
+    # refuses without --surface-tension none (Becker ST default)
+    assert cli_main(["run", "--solver", "wcsph", "--steps", "2",
+                     "--second-phase", "0.4"]) == 2
+    capsys.readouterr()
+    # refuses composition with a rigid body
+    assert cli_main(["run", "--solver", "wcsph", "--steps", "2",
+                     "--surface-tension", "none", "--second-phase", "0.4",
+                     "--rigid-box", "0.2,0.2,0.2:0.1,0.1,0.1:200"]) == 2
+    capsys.readouterr()
+
+
+def test_multiphase_gates():
+    """Every non-WCSPH solver (and the single-phase-only WCSPH extras)
+    refuses multiphase states explicitly instead of silently dropping
+    the phase columns."""
+    state, params, grid, walls, pm = two_layer(side_cells=4)
+    cfg = nt.SimConfig(engine="segments", **ST_NONE)
+
+    for fn in (nt.iisph_step, nt.dfsph_step, nt.pbf_step):
+        with pytest.raises(NotImplementedError):
+            fn(state, params, grid, cfg, walls)
+    with pytest.raises(NotImplementedError):
+        nt.pcisph_step(state, params, grid, cfg, walls,
+                       delta=nt.pcisph_delta(params, cfg))
+    body = nt.make_rigid_box((0.1, 0.5, 0.1), (0.05,) * 3,
+                             float(params.particle_radius), 300.0, params)
+    with pytest.raises(NotImplementedError):
+        nt.wcsph_coupled_step(state, params, grid, cfg, body, walls)
+    with pytest.raises(NotImplementedError):
+        nt.dfsph_coupled_step(state, params, grid, cfg, body, walls)
+    with pytest.raises(NotImplementedError):
+        nt.wcsph_step(state, params, grid, cfg, walls, xsph_eps=0.1)
+    cfg_st = nt.SimConfig(engine="segments")    # Becker ST default
+    with pytest.raises(NotImplementedError):
+        nt.wcsph_step(state, params, grid, cfg_st, walls)
+    cfg_iv = nt.SimConfig(engine="segments", viscosity_model="implicit",
+                          **ST_NONE)
+    with pytest.raises(NotImplementedError):
+        nt.wcsph_step(state, params, grid, cfg_iv, walls)
+    from jax.sharding import Mesh
+    from nereus_tpu.parallel import ShardConfig, shard_state
+    mesh = Mesh(np.array(jax.devices()[:1]), ("shards",))
+    with pytest.raises(NotImplementedError):
+        shard_state(state, grid,
+                    ShardConfig(n_shards=1, local_capacity=4096), mesh)
