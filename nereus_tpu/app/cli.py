@@ -128,8 +128,8 @@ def _build_parser():
                      metavar="RATIO[:FRACTION]",
                      help="multiphase: mark the top FRACTION (default "
                      "0.5) of the fluid as a second phase with rest "
-                     "density RATIO*rho0 (WCSPH single-chip; requires "
-                     "--surface-tension none)")
+                     "density RATIO*rho0 (WCSPH, incl. --shards; "
+                     "requires --surface-tension none)")
     run.add_argument("--xsph", type=float, default=None, metavar="EPS",
                      help="Monaghan XSPH velocity smoothing (WCSPH: "
                           "position update only, typical 0.3-0.5; PBF: "
@@ -449,7 +449,6 @@ def cmd_run(args):
                       args.second_phase)
             return 2
         bad = [n for f, n in ((args.solver != "wcsph", "--solver wcsph"),
-                              (args.shards > 1, "--shards 1"),
                               (args.surface_tension != "none",
                                "--surface-tension none"),
                               (args.xsph is not None, "no --xsph"),
@@ -600,7 +599,8 @@ def cmd_run(args):
             if args.solver == "wcsph":
                 step = make_sharded_wcsph_step(
                     mesh, params, grid, cfg, scfg, boundary,
-                    adaptive_dt_lambda=lam)
+                    adaptive_dt_lambda=lam,
+                    multiphase=host_state.multiphase)
             elif args.solver == "iisph":
                 step = make_sharded_iisph_step(
                     mesh, params, grid, cfg, scfg, boundary,

@@ -231,10 +231,6 @@ def shard_state(state: FluidState, grid: gridlib.Grid, scfg: ShardConfig,
                 mesh: Mesh) -> FluidState:
     """Distribute a host FluidState into per-slab blocks of a (D·Cl) global
     array laid out shard-major, and device_put it with the slab sharding."""
-    if state.multiphase:
-        raise NotImplementedError(
-            "multiphase (per-particle mass/rho0) is single-chip-only: "
-            "the sharded packs do not carry the phase columns yet")
     d, cl = scfg.n_shards, scfg.local_capacity
     pos = np.asarray(state.pos)
     vel = np.asarray(state.vel)
@@ -252,6 +248,15 @@ def shard_state(state: FluidState, grid: gridlib.Grid, scfg: ShardConfig,
     gpos = np.full((d * cl, 3), PARK, dtype=pos.dtype)
     gvel = np.zeros((d * cl, 3), dtype=vel.dtype)
     gpres = np.zeros((d * cl,), dtype=pres.dtype)
+    gmass = grho0 = None
+    if state.multiphase:
+        mass = np.asarray(state.mass)
+        rho0 = np.asarray(state.rho0)
+        # inactive slots carry finite phase values (1.0) — they never
+        # enter any pair sum, but the Pallas engine's finite-by-
+        # construction pair math needs every source field NaN-free
+        gmass = np.full((d * cl,), 1.0, dtype=mass.dtype)
+        grho0 = np.full((d * cl,), 1.0, dtype=rho0.dtype)
     counts = np.zeros((d,), dtype=np.int32)
     for s in range(d):
         sel = np.nonzero(owner == s)[0]
@@ -261,6 +266,9 @@ def shard_state(state: FluidState, grid: gridlib.Grid, scfg: ShardConfig,
         gpos[s * cl: s * cl + len(sel)] = pos[sel]
         gvel[s * cl: s * cl + len(sel)] = vel[sel]
         gpres[s * cl: s * cl + len(sel)] = pres[sel]
+        if gmass is not None:
+            gmass[s * cl: s * cl + len(sel)] = mass[sel]
+            grho0[s * cl: s * cl + len(sel)] = rho0[sel]
         counts[s] = len(sel)
 
     sh = NamedSharding(mesh, P(scfg.axis_name))
@@ -269,6 +277,10 @@ def shard_state(state: FluidState, grid: gridlib.Grid, scfg: ShardConfig,
         vel=jax.device_put(jnp.asarray(gvel), sh),
         pressure=jax.device_put(jnp.asarray(gpres), sh),
         num_active=jax.device_put(jnp.asarray(counts), sh),
+        mass=(jax.device_put(jnp.asarray(gmass), sh)
+              if gmass is not None else None),
+        rho0=(jax.device_put(jnp.asarray(grho0), sh)
+              if grho0 is not None else None),
     )
 
 
@@ -285,7 +297,11 @@ def unshard_state(state: FluidState) -> FluidState:
     return FluidState(
         pos=jnp.asarray(pos[keep]), vel=jnp.asarray(vel[keep]),
         pressure=jnp.asarray(pres[keep]),
-        num_active=jnp.asarray(len(keep), jnp.int32))
+        num_active=jnp.asarray(len(keep), jnp.int32),
+        mass=(jnp.asarray(np.asarray(state.mass)[keep])
+              if state.multiphase else None),
+        rho0=(jnp.asarray(np.asarray(state.rho0)[keep])
+              if state.multiphase else None))
 
 
 # ---------------------------------------------------------------------------
@@ -313,13 +329,25 @@ class _ShardCtx:
     mig_overflow: jax.Array
     halo_overflow: jax.Array
     cap_overflow: jax.Array
+    # extra per-particle (cl,) columns that migrated with the particles
+    # (multiphase mass/rho0); same keys as the ``extra`` input
+    extra: dict = dataclasses.field(default_factory=dict)
 
 
-def _migrate_and_halo(pos, vel, pres, n_loc, *, grid, scfg) -> _ShardCtx:
+def _migrate_and_halo(pos, vel, pres, n_loc, *, grid, scfg,
+                      extra=None) -> _ShardCtx:
     """Local sort → neighbor-slab migration → ghost-halo exchange.
 
     Runs inside ``shard_map``; see the module docstring for the scheme.
+    ``extra`` (optional) is a dict of additional per-particle (cl,)
+    columns (multiphase mass/rho0) that ride the migration sorts and
+    buffers with the particles; they come back in ``_ShardCtx.extra``.
+    They do NOT enter the ghost-halo exchange — halo slots only ever
+    need fields the force sweeps read from the source pack, and the
+    multiphase sweeps ship derived (V, p·V²) ghosts via the second hop.
     """
+    extra = dict(extra or {})
+    ekeys = list(extra)
     ax, d = scfg.axis_name, scfg.n_shards
     cl, kh, km = (scfg.local_capacity, scfg.halo_capacity,
                   scfg.migration_capacity)
@@ -334,7 +362,9 @@ def _migrate_and_halo(pos, vel, pres, n_loc, *, grid, scfg) -> _ShardCtx:
     h = gridlib.hash_positions(grid, pos, active)
     # variadic sort carrying all fields — no permutation gathers (see
     # gridlib.sort_by_hash; ~100x below HBM bandwidth on TPU)
-    h, _, (pos, vel, pres) = gridlib.sort_by_hash(h, pos, vel, pres)
+    h, _, (pos, vel, pres, *ecols) = gridlib.sort_by_hash(
+        h, pos, vel, pres, *(extra[k] for k in ekeys))
+    extra = dict(zip(ekeys, ecols))
 
     # -- migration accounting ------------------------------------------
     coords = gridlib.cell_coords(grid, pos)
@@ -347,7 +377,7 @@ def _migrate_and_halo(pos, vel, pres, n_loc, *, grid, scfg) -> _ShardCtx:
     end_own = jnp.searchsorted(h, slab_hi_h, side="left").astype(jnp.int32)
     n_act = jnp.searchsorted(h, I32_MAX, side="left").astype(jnp.int32)
 
-    fields = {"pos": pos, "vel": vel, "pres": pres}
+    fields = {"pos": pos, "vel": vel, "pres": pres, **extra}
 
     # leavers → left neighbor: indices [0, start_own)
     lh, lbuf, _, lvalid, lover = _extract_edge(
@@ -378,12 +408,14 @@ def _migrate_and_halo(pos, vel, pres, n_loc, *, grid, scfg) -> _ShardCtx:
     mh = jnp.concatenate([kh_hash, rl_h, rr_h])
     mfields = {k: jnp.concatenate([kfields[k], rl_buf[k], rr_buf[k]])
                for k in fields}
-    mh_sorted, _, (pos_s, vel_s, pres_s) = gridlib.sort_by_hash(
-        mh, mfields["pos"], mfields["vel"], mfields["pres"])
+    mh_sorted, _, (pos_s, vel_s, pres_s, *ecols_s) = gridlib.sort_by_hash(
+        mh, mfields["pos"], mfields["vel"], mfields["pres"],
+        *(mfields[k] for k in ekeys))
     h = mh_sorted[:cl]
     pos = pos_s[:cl]
     vel = vel_s[:cl]
     pres = pres_s[:cl]
+    extra = {k: c[:cl] for k, c in zip(ekeys, ecols_s)}
     total_valid = jnp.searchsorted(mh_sorted, I32_MAX,
                                    side="left").astype(jnp.int32)
     cap_overflow = jnp.maximum(total_valid - cl, 0)
@@ -431,7 +463,8 @@ def _migrate_and_halo(pos, vel, pres, n_loc, *, grid, scfg) -> _ShardCtx:
         src_hash=src_hash, src_pos=src_pos, src_vel=src_vel,
         t_idx=t_idx, t_valid=t_valid, b_idx=b_idx, b_valid=b_valid,
         mig_violation=mig_violation, mig_overflow=mig_overflow,
-        halo_overflow=halo_overflow, cap_overflow=cap_overflow)
+        halo_overflow=halo_overflow, cap_overflow=cap_overflow,
+        extra=extra)
 
 
 def _halo_hop(fields: dict, sctx: _ShardCtx, scfg: ShardConfig, n_own):
@@ -463,13 +496,23 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
                             grid: gridlib.Grid, cfg: SimConfig,
                             scfg: ShardConfig,
                             boundary: Optional[BoundaryData] = None,
-                            adaptive_dt_lambda: Optional[float] = None):
+                            adaptive_dt_lambda: Optional[float] = None,
+                            multiphase: bool = False):
     """Build the jitted multi-chip WCSPH step.
 
     Returns ``step(state) -> (state, ShardedDiagnostics)`` where ``state``
     arrays are (D·Cl, ...) sharded over ``scfg.axis_name`` and
     ``state.num_active`` is the (D,) per-shard live count.
     ``adaptive_dt_lambda`` enables the global CFL dt (:func:`_adapt_dt`).
+
+    ``multiphase=True`` builds the per-particle mass/ρ₀ step (adapted
+    densities + volume-form forces, the single-chip
+    ``wcsph.multiphase_accels`` discretization): the phase columns ride
+    the migration sorts/buffers, and the second halo hop ships the
+    derived (V_j, p_j·V_j²) source scalars the force sweep needs — ghost
+    phase state itself never crosses ICI. States from
+    :func:`shard_state` keep their phase columns; surface tension /
+    XSPH / implicit viscosity are single-phase-only (build-time error).
     """
     ax = scfg.axis_name
     d = scfg.n_shards
@@ -480,11 +523,27 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
     if cfg.use_pallas():
         from ..solvers.pallas_common import check_pallas_dtype
         check_pallas_dtype(cfg, grid)
+    if multiphase:
+        from ..params import SurfaceTensionModel
+        if cfg.surface_tension_model != SurfaceTensionModel.NONE:
+            raise NotImplementedError(
+                "surface tension is single-phase-only (multiphase "
+                "interface tension is a different model class)")
+        if cfg.viscosity_model == "implicit":
+            raise NotImplementedError(
+                "implicit viscosity is single-phase-only")
     cl = scfg.local_capacity
     kh = scfg.halo_capacity
 
-    def local_step(pos, vel, pres, n_loc, params=params):
-        sctx = _migrate_and_halo(pos, vel, pres, n_loc, grid=grid, scfg=scfg)
+    def local_step(pos, vel, pres, *rest, params=params):
+        if multiphase:
+            mass0, rho00, n_loc = rest
+            phase_in = {"mass": mass0, "rho0": rho00}
+        else:
+            (n_loc,) = rest
+            phase_in = {}
+        sctx = _migrate_and_halo(pos, vel, pres, n_loc, grid=grid,
+                                 scfg=scfg, extra=phase_in)
         h, pos, vel, pres = sctx.h, sctx.pos, sctx.vel, sctx.pres
         n_own = sctx.n_own
         if adaptive_dt_lambda is not None:
@@ -498,12 +557,19 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
         halo_overflow, cap_overflow = sctx.halo_overflow, sctx.cap_overflow
 
         own_active = sctx.own_active
+        if multiphase:
+            # re-finite the inactive slots: the migration buffers zero
+            # invalid fields, and 1/mass / tait(·, rho0=0) would mint the
+            # NaNs the finite-by-construction pair math cannot mask
+            mass = jnp.where(own_active, sctx.extra["mass"], 1.0)
+            rho0 = jnp.where(own_active, sctx.extra["rho0"], 1.0)
         if cfg.use_pallas():
             # ---- Pallas window-sweep physics over the spliced source ----
             from ..ops import pallas_sph as PSs
             from ..ops.pallas_neighbors import (DEF_BLOCK, fuse_plans,
                                                 hash_payload, pack_source,
                                                 pack_source_fused,
+                                                pack_source_wide,
                                                 plan_windows, round_up,
                                                 rows3_supported)
             from ..solvers.pallas_common import interpret_mode, padded_len
@@ -588,28 +654,82 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
             src_vel_cols = tuple(src_vel[:, k] for k in range(3))
             q4 = queries(width=4)
             zc = jnp.zeros((src_len,), pos.dtype)
-            # self term ψ·W(0) included by the sweep (no self-exclusion)
-            dens = PSs.density_sweep(cfg, q4, pack((zc, zc, zc), psi_fluid),
-                                     anchors, pvec, grid.size,
-                                     n_rows=n_rows, interpret=interp)
-            dens = dens[:cl]
-            prs = wcsph_mod.tait_pressure(dens, params)
+            if multiphase:
+                # adapted density: fluid δ = Σ W (col 0), boundary Σ ψW
+                # (col 1, rescaled per query phase) — same sweeps as the
+                # single-chip _wcsph_pallas_multiphase
+                dout = PSs.generic_sweep(
+                    cfg, PSs.multiphase_density_pair, q4,
+                    pack((zc, zc, zc), zc), anchors, pvec, grid.size,
+                    out_width=4, pair_fn_b=PSs.multiphase_density_bpair,
+                    n_rows=n_rows, interpret=interp)
+                delta = dout[:cl, 0]
+                dens = mass * delta \
+                    + (rho0 / params.rest_density) * dout[:cl, 1]
+                prs = wcsph_mod.tait_pressure(dens, params, rho0)
+                vol = 1.0 / jnp.maximum(delta, 1e-12)
+                pv2 = prs * vol * vol
 
-            # second halo hop: neighbor densities for the ghost slots
-            l_d = _exchange_saved({"dens": dens}, t_idx, t_valid, ax, d, +1)
-            r_d = _exchange_saved({"dens": dens}, b_idx, b_valid, ax, d, -1)
-            (src_dens,) = _splice_right_halo(
-                (l_d["dens"],), (dens,), (r_d["dens"],), n_own, kh)
+                # second halo hop: the DERIVED source scalars (V, p·V²)
+                # for the ghost slots — ghost mass/ρ₀ never ship
+                vp = {"vol": vol, "pv2": pv2}
+                l_vp = _exchange_saved(vp, t_idx, t_valid, ax, d, +1)
+                r_vp = _exchange_saved(vp, b_idx, b_valid, ax, d, -1)
+                src_vol, src_pv2 = _splice_right_halo(
+                    (l_vp["vol"], l_vp["pv2"]), (vol, pv2),
+                    (r_vp["vol"], r_vp["pv2"]), n_own, kh)
 
-            dens_safe = jnp.maximum(dens, 1e-12)
-            pd2 = prs / (dens_safe * dens_safe)
-            q8 = queries(*vq, padq(dens, 0.0), padq(pd2, 0.0), width=8)
-            force = PSs.fluid_force_sweep(
-                cfg, q8, pack(src_vel_cols, src_dens), anchors,
-                pvec, grid.size, n_rows=n_rows,
-                moving_boundary=_moving_b(boundary),
-                interpret=interp)
-            force = force[:cl] + pm * params.gravity
+                inv_rho = 1.0 / jnp.maximum(dens, 1e-12)
+                inv_m = jnp.where(own_active,
+                                  1.0 / jnp.maximum(mass, 1e-30), 0.0)
+                q10 = queries(*vq, padq(pv2, 0.0), padq(inv_m, 0.0),
+                              padq(mass, 1.0), padq(inv_rho, 0.0),
+                              width=10)
+                # two per-source scalars need the wide 16-row source
+                # (row 7 of the 8-row pack is the hash row)
+                wide_cols = [*src_vel_cols, src_vol, src_pv2]
+                if has_b:
+                    src_w = pack_source_fused(
+                        src_pos, hash_f32, wide_cols,
+                        boundary.pos, b_hash_f32, [*bvel, boundary.psi],
+                        rows=16, win=swin)
+                else:
+                    src_w = pack_source_wide(src_pos, hash_f32, wide_cols,
+                                             rows=16, win=swin)
+                acc4 = PSs.generic_sweep(
+                    cfg, PSs.multiphase_force_pair, q10, src_w, anchors,
+                    pvec, grid.size, out_width=4,
+                    pair_fn_b=PSs.multiphase_boundary_pair,
+                    pair_b_kw={"moving": _moving_b(boundary)},
+                    n_rows=n_rows, interpret=interp)
+                accel = acc4[:cl, :3]
+            else:
+                # self term ψ·W(0) included by the sweep (no
+                # self-exclusion)
+                dens = PSs.density_sweep(
+                    cfg, q4, pack((zc, zc, zc), psi_fluid),
+                    anchors, pvec, grid.size,
+                    n_rows=n_rows, interpret=interp)
+                dens = dens[:cl]
+                prs = wcsph_mod.tait_pressure(dens, params)
+
+                # second halo hop: neighbor densities for the ghost slots
+                l_d = _exchange_saved({"dens": dens}, t_idx, t_valid,
+                                      ax, d, +1)
+                r_d = _exchange_saved({"dens": dens}, b_idx, b_valid,
+                                      ax, d, -1)
+                (src_dens,) = _splice_right_halo(
+                    (l_d["dens"],), (dens,), (r_d["dens"],), n_own, kh)
+
+                dens_safe = jnp.maximum(dens, 1e-12)
+                pd2 = prs / (dens_safe * dens_safe)
+                q8 = queries(*vq, padq(dens, 0.0), padq(pd2, 0.0), width=8)
+                force = PSs.fluid_force_sweep(
+                    cfg, q8, pack(src_vel_cols, src_dens), anchors,
+                    pvec, grid.size, n_rows=n_rows,
+                    moving_boundary=_moving_b(boundary),
+                    interpret=interp)
+                force = force[:cl] + pm * params.gravity
             seg_overflow = miss
         else:
             # ---- jnp segment-engine physics ------------------------------
@@ -626,7 +746,9 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
                 bs = be = None
 
             qstate = FluidState(pos=pos, vel=vel, pressure=pres,
-                                num_active=n_own)
+                                num_active=n_own,
+                                mass=mass if multiphase else None,
+                                rho0=rho0 if multiphase else None)
             ctx = common.NeighborCtx(
                 state=qstate, sorted_hash=src_hash,
                 self_idx=kh + jnp.arange(cl, dtype=jnp.int32),
@@ -634,28 +756,52 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
                 active=own_active, overflow=seg_overflow,
                 src_pos=src_pos, src_vel=src_vel)
 
-            dens = common.compute_density(ctx, params, cfg, boundary)
-            prs = wcsph_mod.tait_pressure(dens, params)
+            if multiphase:
+                dens, delta = common.compute_density_multiphase(
+                    ctx, params, cfg, boundary)
+                prs = wcsph_mod.tait_pressure(dens, params, rho0)
+                vol = 1.0 / jnp.maximum(delta, 1e-12)
+                pv2 = prs * vol * vol
 
-            # second halo hop: density+pressure of the same ghost slots
-            dp = {"dens": dens, "pres": prs}
-            l_dp = _exchange_saved(dp, t_idx, t_valid, ax, d, +1)
-            r_dp = _exchange_saved(dp, b_idx, b_valid, ax, d, -1)
-            src_dens, src_pres = _splice_right_halo(
-                (l_dp["dens"], l_dp["pres"]),
-                (dens, prs),
-                (r_dp["dens"], r_dp["pres"]),
-                n_own, kh)
+                # second halo hop: derived (V, p·V²) for the ghost slots
+                vp = {"vol": vol, "pv2": pv2}
+                l_vp = _exchange_saved(vp, t_idx, t_valid, ax, d, +1)
+                r_vp = _exchange_saved(vp, b_idx, b_valid, ax, d, -1)
+                src_vol, src_pv2 = _splice_right_halo(
+                    (l_vp["vol"], l_vp["pv2"]), (vol, pv2),
+                    (r_vp["vol"], r_vp["pv2"]), n_own, kh)
 
-            f_np = common.compute_nonpressure_forces(
-                ctx, params, cfg, boundary, dens, src_dens=src_dens)
-            f_p = wcsph_mod.compute_pressure_force(
-                ctx, params, cfg, boundary, dens, prs,
-                src_dens=src_dens, src_pres=src_pres)
-            force = f_np + f_p
+                accel = wcsph_mod.multiphase_accels(
+                    ctx, params, cfg, boundary, dens, delta, prs,
+                    src_vol=src_vol, src_pv2=src_pv2)
+            else:
+                dens = common.compute_density(ctx, params, cfg, boundary)
+                prs = wcsph_mod.tait_pressure(dens, params)
+
+                # second halo hop: density+pressure of the same ghost
+                # slots
+                dp = {"dens": dens, "pres": prs}
+                l_dp = _exchange_saved(dp, t_idx, t_valid, ax, d, +1)
+                r_dp = _exchange_saved(dp, b_idx, b_valid, ax, d, -1)
+                src_dens, src_pres = _splice_right_halo(
+                    (l_dp["dens"], l_dp["pres"]),
+                    (dens, prs),
+                    (r_dp["dens"], r_dp["pres"]),
+                    n_own, kh)
+
+                f_np = common.compute_nonpressure_forces(
+                    ctx, params, cfg, boundary, dens, src_dens=src_dens)
+                f_p = wcsph_mod.compute_pressure_force(
+                    ctx, params, cfg, boundary, dens, prs,
+                    src_dens=src_dens, src_pres=src_pres)
+                force = f_np + f_p
 
         dt = params.dt
-        new_vel = vel + (dt / params.particle_mass) * force
+        if multiphase:
+            g = jnp.asarray(params.gravity, pos.dtype)
+            new_vel = vel + dt * (accel + g[None, :])
+        else:
+            new_vel = vel + (dt / params.particle_mass) * force
         new_pos = pos + dt * new_vel
         new_vel = jnp.where(own_active[:, None], new_vel, jnp.zeros_like(vel))
         new_pos = jnp.where(own_active[:, None], new_pos,
@@ -665,16 +811,21 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
         # -- global diagnostics --------------------------------------------
         nact_f = jnp.maximum(
             jax.lax.psum(n_own.astype(cfg.dtype), ax), 1.0)
+        if multiphase:
+            # per-particle rest densities: normalize each deviation by
+            # the particle's OWN rho0 (wcsph.density_errors convention)
+            relerr = jnp.where(own_active, (dens - rho0) / rho0, 0.0)
+        else:
+            relerr = jnp.where(
+                own_active,
+                (dens - params.rest_density) / params.rest_density, 0.0)
         diag = ShardedDiagnostics(
             max_density=jax.lax.pmax(
                 jnp.max(jnp.where(own_active, dens, 0.0)), ax),
-            mean_density_error=jax.lax.psum(jnp.sum(jnp.where(
-                own_active, jnp.abs(dens - params.rest_density), 0.0)), ax)
-            / (nact_f * params.rest_density),
-            mean_compression=jax.lax.psum(jnp.sum(jnp.where(
-                own_active,
-                jnp.maximum(dens - params.rest_density, 0.0), 0.0)), ax)
-            / (nact_f * params.rest_density),
+            mean_density_error=jax.lax.psum(
+                jnp.sum(jnp.abs(relerr)), ax) / nact_f,
+            mean_compression=jax.lax.psum(
+                jnp.sum(jnp.maximum(relerr, 0.0)), ax) / nact_f,
             seg_overflow=jax.lax.pmax(seg_overflow, ax),
             halo_overflow=jax.lax.pmax(halo_overflow, ax),
             migration_overflow=jax.lax.pmax(mig_overflow, ax),
@@ -683,26 +834,54 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
             num_active=jax.lax.psum(n_own, ax),
             solver_iters=jnp.asarray(0, jnp.int32),
         )
-        return new_pos, new_vel, new_pres, n_own[None], diag
+        outs = (new_pos, new_vel, new_pres)
+        if multiphase:
+            outs += (mass, rho0)
+        return (*outs, n_own[None], diag)
 
     pspec = P(ax)
     rep = P()
+    nargs = 6 if multiphase else 4
     sharded = jax.shard_map(
         local_step, mesh=mesh,
-        in_specs=(pspec, pspec, pspec, pspec),
-        out_specs=(pspec, pspec, pspec, pspec,
-                   jax.tree_util.tree_map(lambda _: rep,
-                                          _diag_struct())),
+        in_specs=(pspec,) * nargs,
+        out_specs=(pspec,) * nargs
+        + (jax.tree_util.tree_map(lambda _: rep, _diag_struct()),),
         check_vma=False)
 
     @jax.jit
     def step(state: FluidState):
+        if multiphase:
+            if not state.multiphase:
+                raise ValueError(
+                    "multiphase sharded step needs state.mass/rho0 "
+                    "(build the host state with make_fluid_state(..., "
+                    "masses=, rest_densities=) before shard_state)")
+            pos, vel, pres, mass, rho0, n_loc, diag = sharded(
+                state.pos, state.vel, state.pressure,
+                state.mass, state.rho0, state.num_active)
+            return FluidState(pos=pos, vel=vel, pressure=pres,
+                              num_active=n_loc, mass=mass,
+                              rho0=rho0), diag
+        if state.multiphase:
+            raise ValueError(
+                "state carries multiphase mass/rho0 columns but the "
+                "step was built single-phase — pass multiphase=True to "
+                "make_sharded_wcsph_step")
         pos, vel, pres, n_loc, diag = sharded(
             state.pos, state.vel, state.pressure, state.num_active)
         return FluidState(pos=pos, vel=vel, pressure=pres,
                           num_active=n_loc), diag
 
     return step
+
+
+def _refuse_multiphase(state: FluidState, what: str):
+    if state.multiphase:
+        raise NotImplementedError(
+            f"multiphase (per-particle mass/rho0) is WCSPH-only; the "
+            f"sharded {what} step refuses rather than silently dropping "
+            f"the phase columns")
 
 
 def _moving_b(boundary) -> bool:
@@ -1004,6 +1183,7 @@ def make_sharded_iisph_step(mesh: Mesh, params: SimParams,
 
     @jax.jit
     def step(state: FluidState):
+        _refuse_multiphase(state, "solver")
         pos, vel, pres, n_loc, diag = sharded(
             state.pos, state.vel, state.pressure, state.num_active)
         return FluidState(pos=pos, vel=vel, pressure=pres,
@@ -1242,6 +1422,7 @@ def make_sharded_pcisph_step(mesh: Mesh, params: SimParams,
 
     @jax.jit
     def step(state: FluidState):
+        _refuse_multiphase(state, "solver")
         pos, vel, pres, n_loc, diag = sharded(
             state.pos, state.vel, state.pressure, state.num_active)
         return FluidState(pos=pos, vel=vel, pressure=pres,
@@ -1548,6 +1729,7 @@ def make_sharded_dfsph_step(mesh: Mesh, params: SimParams,
 
     @jax.jit
     def step(state: FluidState):
+        _refuse_multiphase(state, "solver")
         pos, vel, pres, n_loc, diag = sharded(
             state.pos, state.vel, state.pressure, state.num_active)
         return FluidState(pos=pos, vel=vel, pressure=pres,
@@ -1928,6 +2110,7 @@ def make_sharded_dfsph_coupled_step(mesh: Mesh, params: SimParams,
 
     @jax.jit
     def step(state: FluidState, body):
+        _refuse_multiphase(state, "rigid-coupled")
         single = isinstance(body, RigidBody)
         bodies = (body,) if single else tuple(body)
         pos, vel, pres, n_loc, new_bodies, diag = sharded(
@@ -2137,6 +2320,7 @@ def make_sharded_pbf_step(mesh: Mesh, params: SimParams,
 
     @jax.jit
     def step(state: FluidState):
+        _refuse_multiphase(state, "solver")
         pos, vel, pres, n_loc, diag = sharded(
             state.pos, state.vel, state.pressure, state.num_active)
         return FluidState(pos=pos, vel=vel, pressure=pres,

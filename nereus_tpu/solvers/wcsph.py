@@ -120,7 +120,7 @@ def compute_pressure_force(ctx: common.NeighborCtx, params: SimParams,
 
 def multiphase_accels(ctx: common.NeighborCtx, params: SimParams,
                       cfg: SimConfig, boundary: Optional[BoundaryData],
-                      dens, delta, pres):
+                      dens, delta, pres, src_vol=None, src_pv2=None):
     """Per-particle ACCELERATION (N, 3) for the multiphase WCSPH step,
     gravity excluded (beyond-reference — upstream is strictly
     single-phase).
@@ -143,7 +143,11 @@ def multiphase_accels(ctx: common.NeighborCtx, params: SimParams,
 
     Every per-pair quantity is expressible from the source pair
     (V_j, p_j·V_j²) — two scalars, shipped in the Pallas engine's wide
-    source (see ``_wcsph_pallas_multiphase``).
+    source (see ``_wcsph_pallas_multiphase``). ``src_vol``/``src_pv2``
+    (optional, source-span arrays) override the source-side V/p·V² when
+    the source array is longer than the query array (the sharded step's
+    spliced ghost halos, ``parallel.domain``); default = the query-side
+    values (single-chip: queries ARE the sources).
 
     The reference's boundary pd2 pressure term is dropped: it points
     ALONG ∇W (attractive for p>0) and is measured negligible next to the
@@ -173,7 +177,8 @@ def multiphase_accels(ctx: common.NeighborCtx, params: SimParams,
         return {"fp": masked(ok, fp), "fv": masked(ok, fv)}
 
     src = {"pos": ctx.source_pos, "vel": ctx.source_vel,
-           "V": vol, "pv2": pv2}
+           "V": vol if src_vol is None else src_vol,
+           "pv2": pv2 if src_pv2 is None else src_pv2}
     acc = common.fluid_reduce(
         ctx, pair,
         {"fp": jnp.zeros((n, 3), dtype), "fv": jnp.zeros((n, 3), dtype)},

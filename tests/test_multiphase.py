@@ -195,6 +195,52 @@ def test_multiphase_checkpoint_roundtrip(tmp_path):
                                   np.asarray(s.rho0))
 
 
+def test_sharded_multiphase_matches_single_chip():
+    """2-slab sharded multiphase (Pallas interpret) ↔ single-chip oracle:
+    the phase columns must ride the migration sorts/buffers and the
+    derived (V, p·V²) ghost hop must reproduce the single-chip forces
+    bit-closely across slab boundaries."""
+    from jax.sharding import Mesh
+
+    from nereus_tpu.parallel import (ShardConfig, make_sharded_wcsph_step,
+                                     shard_state, unshard_state)
+
+    state, params, grid, walls, pm = two_layer(vel_y=-0.5)
+    # push the fluid across the z slab boundary too so phase columns
+    # actually migrate between shards during the test
+    vel = np.array(state.vel)
+    vel[: int(state.num_active), 2] = -0.4
+    state = dataclasses.replace(state, vel=jnp.asarray(vel))
+    n = int(state.num_active)
+
+    cfg_o = nt.SimConfig(engine="segments", **ST_NONE)
+    cfg_p = nt.SimConfig(engine="pallas", **ST_NONE)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("shards",))
+    scfg = ShardConfig(n_shards=2, local_capacity=n + 64,
+                       halo_capacity=256, migration_capacity=128)
+    sstate = shard_state(state, grid, scfg, mesh)
+    step_sh = make_sharded_wcsph_step(mesh, params, grid, cfg_p, scfg,
+                                      walls, multiphase=True)
+    step_1 = jax.jit(lambda s: nt.wcsph_step(s, params, grid, cfg_o,
+                                             walls))
+    for it in range(4):
+        state, d1 = step_1(state)
+        sstate, dN = step_sh(sstate)
+        assert int(dN.num_active) == n, it
+        assert int(dN.seg_overflow) == 0, it
+        assert int(dN.migration_overflow) == 0, it
+        merged = unshard_state(sstate)
+        po, vo, mo = canon(state, n)
+        ps, vs, ms = canon(merged, int(merged.num_active))
+        np.testing.assert_allclose(ps, po, atol=1e-5, err_msg=f"step {it}")
+        np.testing.assert_allclose(vs, vo, atol=1e-4, err_msg=f"step {it}")
+        np.testing.assert_array_equal(ms, mo)
+    # particles crossed the slab boundary at least once
+    # (counts change ⇒ migration really ran with the phase columns)
+    np.testing.assert_allclose(float(dN.mean_density_error),
+                               float(d1.mean_density_error), rtol=1e-4)
+
+
 def test_cli_second_phase(capsys):
     """--second-phase drives a two-phase dam-break end to end."""
     import json
@@ -205,6 +251,14 @@ def test_cli_second_phase(capsys):
                    "--neighbor-engine", "pallas",
                    "--surface-tension", "none",
                    "--second-phase", "0.4"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["seg_overflow"] == 0
+    # composes with --shards (sharded multiphase step)
+    rc = cli_main(["run", "--solver", "wcsph", "--steps", "3",
+                   "--neighbor-engine", "pallas",
+                   "--surface-tension", "none",
+                   "--second-phase", "0.4", "--shards", "2"])
     assert rc == 0
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["seg_overflow"] == 0
@@ -248,8 +302,20 @@ def test_multiphase_gates():
     with pytest.raises(NotImplementedError):
         nt.wcsph_step(state, params, grid, cfg_iv, walls)
     from jax.sharding import Mesh
-    from nereus_tpu.parallel import ShardConfig, shard_state
+    from nereus_tpu.parallel import (ShardConfig, make_sharded_iisph_step,
+                                     make_sharded_wcsph_step, shard_state)
     mesh = Mesh(np.array(jax.devices()[:1]), ("shards",))
-    with pytest.raises(NotImplementedError):
-        shard_state(state, grid,
-                    ShardConfig(n_shards=1, local_capacity=4096), mesh)
+    scfg = ShardConfig(n_shards=1, local_capacity=4096)
+    sstate = shard_state(state, grid, scfg, mesh)
+    assert sstate.multiphase          # columns ride the distribution
+    cfg_pal = nt.SimConfig(engine="pallas", **ST_NONE)
+    with pytest.raises(NotImplementedError):   # non-WCSPH sharded refuses
+        make_sharded_iisph_step(mesh, params, grid, cfg_pal, scfg,
+                                walls)(sstate)
+    with pytest.raises(ValueError):   # single-phase-built step refuses
+        make_sharded_wcsph_step(mesh, params, grid, cfg, scfg,
+                                walls)(sstate)
+    cfg_st = nt.SimConfig(engine="segments")   # Becker ST default
+    with pytest.raises(NotImplementedError):   # ST is single-phase-only
+        make_sharded_wcsph_step(mesh, params, grid, cfg_st, scfg, walls,
+                                multiphase=True)
