@@ -128,8 +128,9 @@ def _build_parser():
                      metavar="RATIO[:FRACTION]",
                      help="multiphase: mark the top FRACTION (default "
                      "0.5) of the fluid as a second phase with rest "
-                     "density RATIO*rho0 (WCSPH, incl. --shards; "
-                     "requires --surface-tension none)")
+                     "density RATIO*rho0 (WCSPH incl. --shards, or "
+                     "DFSPH single-chip; requires --surface-tension "
+                     "none)")
     run.add_argument("--xsph", type=float, default=None, metavar="EPS",
                      help="Monaghan XSPH velocity smoothing (WCSPH: "
                           "position update only, typical 0.3-0.5; PBF: "
@@ -448,7 +449,11 @@ def cmd_run(args):
             log.error("--second-phase expects RATIO[:FRACTION], got %r",
                       args.second_phase)
             return 2
-        bad = [n for f, n in ((args.solver != "wcsph", "--solver wcsph"),
+        bad = [n for f, n in ((args.solver not in ("wcsph", "dfsph"),
+                               "--solver wcsph|dfsph"),
+                              (args.shards > 1 and args.solver != "wcsph",
+                               "--shards 1 (sharded multiphase is "
+                               "WCSPH-only)"),
                               (args.surface_tension != "none",
                                "--surface-tension none"),
                               (args.xsph is not None, "no --xsph"),

@@ -663,6 +663,110 @@ def multiphase_boundary_pair(q_ref, src_ref, valid, pv, *, kernel_set,
          jnp.sum(c * dz, axis=1, keepdims=True), zero], axis=1)
 
 
+def multiphase_alpha_pair(q_ref, src_ref, valid, pv, *, kernel_set):
+    """Fluid rows of the multiphase DFSPH factor sweep
+    (``solvers.dfsph.alpha_parts_multiphase``): the UNWEIGHTED gradient
+    sum G = Σ ∇W and the mass-weighted square sum S = Σ |∇W|²/m_j.
+    q: x y z. src slot 6 = 1/m_j. Out (B, 8): [Gx Gy Gz S 0 0 0 0] —
+    cols 4-6 belong to the boundary rows (B⃗, scaled by the query's
+    s_i/m_i OUTSIDE — the reason it cannot share G's columns)."""
+    dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv)
+    rl, invrl = _maybe_rl(kernel_set, r2)
+    okf = (valid & (r2 < pv[PV_H2])).astype(q_ref.dtype)
+    s = _w_grad_scale_default(kernel_set, r2, rl, pv, invrl)
+    c = s * okf
+    sq = jnp.sum(src_ref[6:7, :] * c * c * r2, axis=1, keepdims=True)
+    zero = jnp.zeros_like(sq)
+    return jnp.concatenate(
+        [jnp.sum(c * dx, axis=1, keepdims=True),
+         jnp.sum(c * dy, axis=1, keepdims=True),
+         jnp.sum(c * dz, axis=1, keepdims=True), sq,
+         zero, zero, zero, zero], axis=1)
+
+
+def multiphase_alpha_bpair(q_ref, src_ref, valid, pv, *, kernel_set):
+    """Boundary rows of the multiphase DFSPH factor sweep:
+    B⃗ = Σ ψ_b ∇W into cols 4-6 (src slot 6 = ψ)."""
+    dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv)
+    rl, invrl = _maybe_rl(kernel_set, r2)
+    okf = (valid & (r2 < pv[PV_H2])).astype(q_ref.dtype)
+    s = _w_grad_scale_default(kernel_set, r2, rl, pv, invrl)
+    c = src_ref[6:7, :] * s * okf
+    zero = jnp.zeros_like(dx[:, :1])
+    return jnp.concatenate(
+        [zero, zero, zero, zero,
+         jnp.sum(c * dx, axis=1, keepdims=True),
+         jnp.sum(c * dy, axis=1, keepdims=True),
+         jnp.sum(c * dz, axis=1, keepdims=True), zero], axis=1)
+
+
+def multiphase_drho_pair(q_ref, src_ref, valid, pv, *, kernel_set):
+    """Fluid rows of the adapted number-density rate dδ̂/dt:
+    Σ (v_q − v_j)·∇W — NO mass weight (the adapted δ never smooths over
+    neighbor masses). q: x y z vx vy vz. Out (B, 4): [Σ, 0, 0, 0];
+    col 1 belongs to the boundary rows (scaled by s_i/m_i outside)."""
+    dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv)
+    rl, invrl = _maybe_rl(kernel_set, r2)
+    okf = (valid & (r2 < pv[PV_H2])).astype(q_ref.dtype)
+    s = _w_grad_scale_default(kernel_set, r2, rl, pv, invrl)
+    dvx = q_ref[:, 3:4] - src_ref[3:4, :]
+    dvy = q_ref[:, 4:5] - src_ref[4:5, :]
+    dvz = q_ref[:, 5:6] - src_ref[5:6, :]
+    c = s * (dvx * dx + dvy * dy + dvz * dz) * okf
+    d = jnp.sum(c, axis=1, keepdims=True)
+    zero = jnp.zeros_like(d)
+    return jnp.concatenate([d, zero, zero, zero], axis=1)
+
+
+def multiphase_drho_bpair(q_ref, src_ref, valid, pv, *, kernel_set):
+    """Boundary rows of dδ̂/dt: Σ ψ_b (v_q − v_b)·∇W into col 1 (the
+    source vel slots carry the prescribed rigid-motion velocities when
+    present, zeros otherwise — same contract as ``drho_pair``)."""
+    dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv)
+    rl, invrl = _maybe_rl(kernel_set, r2)
+    okf = (valid & (r2 < pv[PV_H2])).astype(q_ref.dtype)
+    s = _w_grad_scale_default(kernel_set, r2, rl, pv, invrl)
+    dvx = q_ref[:, 3:4] - src_ref[3:4, :]
+    dvy = q_ref[:, 4:5] - src_ref[4:5, :]
+    dvz = q_ref[:, 5:6] - src_ref[5:6, :]
+    c = src_ref[6:7, :] * s * (dvx * dx + dvy * dy + dvz * dz) * okf
+    d = jnp.sum(c, axis=1, keepdims=True)
+    zero = jnp.zeros_like(d)
+    return jnp.concatenate([zero, d, zero, zero], axis=1)
+
+
+def multiphase_kappa_pair(q_ref, src_ref, valid, pv, *, kernel_set):
+    """Fluid rows of the multiphase stiffness correction: the POSITIVE
+    sum Σ (κV̂²_i + κV̂²_j) ∇W (the caller applies v −= dt/m_i · out).
+    q: x y z kv2_i qc_i. src slot 6 = κV̂²_j. Out (B, 4): vector + pad."""
+    dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv)
+    rl, invrl = _maybe_rl(kernel_set, r2)
+    okf = (valid & (r2 < pv[PV_H2])).astype(q_ref.dtype)
+    s = _w_grad_scale_default(kernel_set, r2, rl, pv, invrl)
+    c = (q_ref[:, 3:4] + src_ref[6:7, :]) * s * okf
+    zero = jnp.zeros_like(dx[:, :1])
+    return jnp.concatenate(
+        [jnp.sum(c * dx, axis=1, keepdims=True),
+         jnp.sum(c * dy, axis=1, keepdims=True),
+         jnp.sum(c * dz, axis=1, keepdims=True), zero], axis=1)
+
+
+def multiphase_kappa_bpair(q_ref, src_ref, valid, pv, *, kernel_set):
+    """Boundary rows of the multiphase stiffness correction:
+    qc_i Σ ψ_b ∇W with qc_i = (s_i/m_i)·κV̂²_i (q col 4), summed into
+    the same vector columns as the fluid rows. src slot 6 = ψ."""
+    dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv)
+    rl, invrl = _maybe_rl(kernel_set, r2)
+    okf = (valid & (r2 < pv[PV_H2])).astype(q_ref.dtype)
+    s = _w_grad_scale_default(kernel_set, r2, rl, pv, invrl)
+    c = q_ref[:, 4:5] * src_ref[6:7, :] * s * okf
+    zero = jnp.zeros_like(dx[:, :1])
+    return jnp.concatenate(
+        [jnp.sum(c * dx, axis=1, keepdims=True),
+         jnp.sum(c * dy, axis=1, keepdims=True),
+         jnp.sum(c * dz, axis=1, keepdims=True), zero], axis=1)
+
+
 def drho_pair(q_ref, src_ref, valid, pv, *, kernel_set):
     """DFSPH velocity-divergence term: Σ ψ_j (v_q − v_j)·∇W.
 

@@ -24,9 +24,9 @@ ST_NONE = dict(surface_tension_model=SurfaceTensionModel.NONE)
 
 
 def two_layer(ratio_bottom=1.0, ratio_top=0.4, jitter=0.05, seed=7,
-              vel_y=0.0, side_cells=6):
+              vel_y=0.0, side_cells=6, base_params=None):
     """Two stacked fluid layers in a tank (two-spacing wall standoff)."""
-    base = nt.make_params()
+    base = base_params if base_params is not None else nt.make_params()
     spacing = 0.8 * float(base.interaction_radius)
     cfg = nt.SimConfig(engine="segments", **ST_NONE)
     params = calibrate_mass(base, cfg, spacing=spacing)
@@ -195,6 +195,100 @@ def test_multiphase_checkpoint_roundtrip(tmp_path):
                                   np.asarray(s.rho0))
 
 
+def two_layer_dfsph(**kw):
+    """two_layer with DFSPH-calibrated params (same scene geometry)."""
+    return two_layer(base_params=nt.dfsph_params(), **kw)
+
+
+def test_dfsph_multiphase_reduces_to_single_phase():
+    """Uniform phase columns (m_i = m, ρ0_i = ρ₀) must reproduce the
+    single-phase DFSPH step: the adapted-domain formulation reduces
+    EXACTLY (the carried κ̂ differs by the factor ρ, the applied velocity
+    changes are identical — see the derivation block in solvers/dfsph.py).
+    10 free-fall + contact steps, same iteration counts, same
+    trajectories to f32 op-order noise."""
+    base = nt.dfsph_params()
+    sp = 0.8 * float(base.interaction_radius)
+    cfg = nt.SimConfig(engine="segments", **ST_NONE)
+    params = calibrate_mass(base, cfg, spacing=sp)
+    pm = float(params.particle_mass)
+    rd = float(params.rest_density)
+    h = float(params.interaction_radius)
+    side = 5 * sp
+    pos = particle_cube((side / 2 + 2 * sp,) * 3, (side,) * 3, sp)
+    n = len(pos)
+    lo = np.zeros(3)
+    hi = np.array([side + 4 * sp, 2.5 * side, side + 4 * sp])
+    grid = nt.fit_grid(lo - h, hi + h, h)
+    walls = box_boundary(grid, lo, hi, float(params.particle_radius),
+                         params)
+    s1 = nt.make_fluid_state(pos)
+    s2 = nt.make_fluid_state(pos, masses=pm, rest_densities=rd)
+    step = jax.jit(lambda s: nt.dfsph_step(s, params, grid, cfg, walls))
+    for i in range(10):
+        s1, d1 = step(s1)
+        s2, d2 = step(s2)
+        assert int(d1.solver_iters) == int(d2.solver_iters), i
+    np.testing.assert_allclose(np.asarray(s2.pos)[:n],
+                               np.asarray(s1.pos)[:n], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s2.vel)[:n],
+                               np.asarray(s1.vel)[:n], atol=1e-4)
+    np.testing.assert_allclose(float(d2.mean_density_error),
+                               float(d1.mean_density_error), atol=1e-6)
+
+
+def test_dfsph_multiphase_engines_match():
+    """Oracle ↔ Pallas lockstep for the multiphase DFSPH step from a
+    wall-contacting two-phase state."""
+    state, params, grid, walls, pm = two_layer_dfsph(vel_y=-1.0)
+    cfg_o = nt.SimConfig(engine="segments", **ST_NONE)
+    cfg_p = nt.SimConfig(engine="pallas", **ST_NONE)
+    n = int(state.num_active)
+    h = float(params.interaction_radius)
+    step_o = jax.jit(lambda s: nt.dfsph_step(s, params, grid, cfg_o, walls))
+    step_p = jax.jit(lambda s: nt.dfsph_step(s, params, grid, cfg_p, walls))
+    for i in range(40):
+        state, _ = step_o(state)
+        if float(np.asarray(state.pos)[:n, 1].min()) < 0.85 * h:
+            break
+    assert float(np.asarray(state.pos)[:n, 1].min()) < h, \
+        "scene never reached wall contact — test setup broken"
+    so, do = step_o(state)
+    sp_, dp = step_p(state)
+    po, vo, mo = canon(so, n)
+    pp, vp, mp = canon(sp_, n)
+    np.testing.assert_allclose(po, pp, atol=1e-6)
+    np.testing.assert_allclose(vo, vp, atol=1e-4)
+    np.testing.assert_array_equal(mo, mp)
+    assert int(do.solver_iters) == int(dp.solver_iters)
+    np.testing.assert_allclose(float(do.mean_density_error),
+                               float(dp.mean_density_error), atol=1e-5)
+    assert int(do.seg_overflow) == 0 and int(dp.seg_overflow) == 0
+
+
+def test_dfsph_multiphase_stratified_incompressible():
+    """Two-phase DFSPH: light-on-heavy stays ordered AND incompressible —
+    the solver holds each phase at its OWN rest density (clamped mean
+    error ≤ 0.1%), where weakly-compressible multiphase reads percent-
+    level compression under the same load."""
+    state, params, grid, walls, pm = two_layer_dfsph()
+    n = int(state.num_active)
+    cfg = nt.SimConfig(engine="segments", **ST_NONE)
+    step = jax.jit(lambda s: nt.dfsph_step(s, params, grid, cfg, walls))
+    for i in range(300):
+        state, diag = step(state)
+        assert int(diag.seg_overflow) == 0, i
+    p = np.asarray(state.pos)[:n]
+    m = np.asarray(state.mass)[:n]
+    heavy = m > 0.5 * pm
+    assert np.isfinite(p).all()
+    assert p[:, 1].min() > 0.0, "fluid fell through the floor"
+    assert p[heavy, 1].mean() < p[~heavy, 1].mean(), \
+        "stable stratification overturned"
+    assert float(diag.mean_density_error) < 1e-3, \
+        "incompressibility lost (clamped mean error above 0.1%)"
+
+
 def test_sharded_multiphase_matches_single_chip():
     """2-slab sharded multiphase (Pallas interpret) ↔ single-chip oracle:
     the phase columns must ride the migration sorts/buffers and the
@@ -262,6 +356,19 @@ def test_cli_second_phase(capsys):
     assert rc == 0
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["seg_overflow"] == 0
+    # DFSPH multiphase (incompressible two-phase), single-chip
+    rc = cli_main(["run", "--solver", "dfsph", "--steps", "3",
+                   "--neighbor-engine", "pallas",
+                   "--surface-tension", "none",
+                   "--second-phase", "0.4"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["seg_overflow"] == 0
+    # sharded multiphase is WCSPH-only
+    assert cli_main(["run", "--solver", "dfsph", "--steps", "2",
+                     "--surface-tension", "none", "--second-phase", "0.4",
+                     "--shards", "2"]) == 2
+    capsys.readouterr()
     # refuses without --surface-tension none (Becker ST default)
     assert cli_main(["run", "--solver", "wcsph", "--steps", "2",
                      "--second-phase", "0.4"]) == 2
@@ -280,9 +387,19 @@ def test_multiphase_gates():
     state, params, grid, walls, pm = two_layer(side_cells=4)
     cfg = nt.SimConfig(engine="segments", **ST_NONE)
 
-    for fn in (nt.iisph_step, nt.dfsph_step, nt.pbf_step):
+    for fn in (nt.iisph_step, nt.pbf_step):
         with pytest.raises(NotImplementedError):
             fn(state, params, grid, cfg, walls)
+    # DFSPH *supports* multiphase — but not with the single-phase-only
+    # extras (surface tension / implicit viscosity)
+    with pytest.raises(NotImplementedError):
+        nt.dfsph_step(state, params, grid,
+                      nt.SimConfig(engine="segments"), walls)
+    with pytest.raises(NotImplementedError):
+        nt.dfsph_step(state, params, grid,
+                      nt.SimConfig(engine="segments",
+                                   viscosity_model="implicit", **ST_NONE),
+                      walls)
     with pytest.raises(NotImplementedError):
         nt.pcisph_step(state, params, grid, cfg, walls,
                        delta=nt.pcisph_delta(params, cfg))
