@@ -156,6 +156,10 @@ def run_case(name, n_steps=10):
         # row is honest (every step costs the same 2*pbf_iters sweeps)
         "pbf_1M": ("pbf", 2 ** 20, False),
         "pbf_256k_settled": ("pbf", 256_000, "settled"),
+        # beyond-reference: two-phase WCSPH (adapted-density multiphase,
+        # ratio 0.3 on the top half = stable oil-on-water) — prices the
+        # 16-row wide source pack the multiphase force sweep ships
+        "multiphase_1M": ("multiphase", 2 ** 20, False),
         "sharded_wcsph_1M": ("sharded_wcsph", 2 ** 20, False),
         "sharded_iisph_256k": ("sharded_iisph", 256_000, False),
         "sharded_dfsph_256k": ("sharded_dfsph", 256_000, False),
@@ -195,7 +199,24 @@ def run_case(name, n_steps=10):
                                    with_boundary, settle_spacing)
     n = int(np.asarray(state.num_active).sum())
 
-    if solver == "wcsph":
+    if solver == "multiphase":
+        # top half of the fluid (by y) at rest density 0.3*rho0 — same
+        # construction as the CLI's --second-phase 0.3:0.5 (cli.py)
+        import jax.numpy as jnp
+        n0 = int(np.asarray(state.num_active))
+        pos_h = np.asarray(state.pos)[:n0]
+        y_cut = np.quantile(pos_h[:, 1], 0.5)
+        rd = float(np.asarray(params.rest_density))
+        pm = float(np.asarray(params.particle_mass))
+        rho0_full = np.full(state.capacity, rd)
+        rho0_full[:n0] = np.where(pos_h[:, 1] >= y_cut, rd * 0.3, rd)
+        state = nt.FluidState(
+            pos=state.pos, vel=state.vel, pressure=state.pressure,
+            num_active=state.num_active,
+            mass=jnp.asarray(rho0_full * (pm / rd), cfg.dtype),
+            rho0=jnp.asarray(rho0_full, cfg.dtype))
+
+    if solver in ("wcsph", "multiphase"):
         step = lambda s: nt.wcsph_step(s, params, grid, cfg, boundary)  # noqa: E731
     elif solver == "iisph":
         step = lambda s: nt.iisph_step(s, params, grid, cfg, boundary)  # noqa: E731
@@ -268,7 +289,7 @@ def main():
                  "wcsph_4M", "wcsph_8M", "wcsph_10M", "iisph_1M",
                  "iisph_1M_settled", "dfsph_256k_settled",
                  "dfsph_visc_256k_settled",
-                 "pbf_1M", "pbf_256k_settled"]
+                 "pbf_1M", "pbf_256k_settled", "multiphase_1M"]
     if args.cases:
         cases = args.cases.split(",")
     elif args.all:

@@ -128,9 +128,8 @@ def _build_parser():
                      metavar="RATIO[:FRACTION]",
                      help="multiphase: mark the top FRACTION (default "
                      "0.5) of the fluid as a second phase with rest "
-                     "density RATIO*rho0 (WCSPH incl. --shards, or "
-                     "DFSPH single-chip; requires --surface-tension "
-                     "none)")
+                     "density RATIO*rho0 (WCSPH or DFSPH, both incl. "
+                     "--shards; requires --surface-tension none)")
     run.add_argument("--xsph", type=float, default=None, metavar="EPS",
                      help="Monaghan XSPH velocity smoothing (WCSPH: "
                           "position update only, typical 0.3-0.5; PBF: "
@@ -451,9 +450,10 @@ def cmd_run(args):
             return 2
         bad = [n for f, n in ((args.solver not in ("wcsph", "dfsph"),
                                "--solver wcsph|dfsph"),
-                              (args.shards > 1 and args.solver != "wcsph",
+                              (args.shards > 1
+                               and args.solver not in ("wcsph", "dfsph"),
                                "--shards 1 (sharded multiphase is "
-                               "WCSPH-only)"),
+                               "WCSPH/DFSPH-only)"),
                               (args.surface_tension != "none",
                                "--surface-tension none"),
                               (args.xsph is not None, "no --xsph"),
@@ -613,7 +613,8 @@ def cmd_run(args):
             elif args.solver == "dfsph":
                 step = make_sharded_dfsph_step(
                     mesh, params, grid, cfg, scfg, boundary,
-                    adaptive_dt_lambda=lam)
+                    adaptive_dt_lambda=lam,
+                    multiphase=host_state.multiphase)
             elif args.solver == "pbf":
                 step = make_sharded_pbf_step(
                     mesh, params, grid, cfg, scfg, boundary,

@@ -879,9 +879,9 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
 def _refuse_multiphase(state: FluidState, what: str):
     if state.multiphase:
         raise NotImplementedError(
-            f"multiphase (per-particle mass/rho0) is WCSPH-only; the "
-            f"sharded {what} step refuses rather than silently dropping "
-            f"the phase columns")
+            f"multiphase (per-particle mass/rho0) is WCSPH/DFSPH-only; "
+            f"the sharded {what} step refuses rather than silently "
+            f"dropping the phase columns")
 
 
 def _moving_b(boundary) -> bool:
@@ -1436,7 +1436,8 @@ def make_sharded_dfsph_step(mesh: Mesh, params: SimParams,
                             scfg: ShardConfig,
                             boundary: Optional[BoundaryData] = None,
                             tol: float = 1.0, tol_v: float = 1.0,
-                            adaptive_dt_lambda: Optional[float] = None):
+                            adaptive_dt_lambda: Optional[float] = None,
+                            multiphase: bool = False):
     """Build the jitted multi-chip DFSPH step (Pallas window sweeps;
     interpret mode off-TPU).
 
@@ -1446,10 +1447,19 @@ def make_sharded_dfsph_step(mesh: Mesh, params: SimParams,
     column for the symmetric correction sweep); convergence checks are
     global ``psum`` means, so all shards iterate in lockstep — matching
     the single-chip :func:`nereus_tpu.solvers.dfsph.dfsph_step` exactly.
+
+    ``multiphase=True`` builds the adapted number-density formulation
+    (single-chip ``solvers.dfsph._dfsph_step_multiphase`` /
+    ``dfsph_multiphase_pallas``): the per-particle mass/ρ₀ columns ride
+    the migration sorts; ghost slots ship only DERIVED scalars — 1/m_j
+    once for the α̂ factor, (V_j, v_j) once for the non-pressure sweep,
+    and per iteration the same two hops as single-phase (v for dδ̂/dt,
+    κ_jV̂_j² for the correction). Raw ghost mass/ρ₀ never cross ICI.
     """
     from ..ops import pallas_sph as PSs
     from ..ops.pallas_neighbors import (fuse_plans, hash_payload,
                                         pack_source, pack_source_fused,
+                                        pack_source_wide,
                                         plan_windows, round_up,
                                         rows3_supported)
     from ..solvers.pallas_common import interpret_mode, padded_len
@@ -1461,6 +1471,9 @@ def make_sharded_dfsph_step(mesh: Mesh, params: SimParams,
             f"mesh axis {ax!r} has {mesh.shape[ax]} devices but "
             f"ShardConfig.n_shards={d}")
     _check_pallas_only(cfg, grid, "sharded DFSPH")
+    if multiphase:
+        from ..solvers.dfsph import _check_multiphase_cfg
+        _check_multiphase_cfg(cfg)
     cl = scfg.local_capacity
     kh = scfg.halo_capacity
     interp = interpret_mode()
@@ -1481,12 +1494,23 @@ def make_sharded_dfsph_step(mesh: Mesh, params: SimParams,
         fill = jnp.full((qpad,) + a.shape[1:], fillv, a.dtype)
         return jnp.concatenate([a, fill])
 
-    def local_step(pos0, vel0, pres0, n_loc, params=params):
+    def local_step(pos0, vel0, pres0, *rest, params=params):
+        if multiphase:
+            mass0, rho00, n_loc = rest
+            phase_in = {"mass": mass0, "rho0": rho00}
+        else:
+            (n_loc,) = rest
+            phase_in = {}
         sctx = _migrate_and_halo(pos0, vel0, pres0, n_loc,
-                                 grid=grid, scfg=scfg)
+                                 grid=grid, scfg=scfg, extra=phase_in)
         pos, vel = sctx.pos, sctx.vel
         n_own, own_active = sctx.n_own, sctx.own_active
         src_pos, src_vel = sctx.src_pos, sctx.src_vel
+        if multiphase:
+            # re-finite inactive slots: 1/mass and rho0-divides would mint
+            # NaNs the finite-by-construction pair math cannot mask
+            mp_mass = jnp.where(own_active, sctx.extra["mass"], 1.0)
+            mp_rho0 = jnp.where(own_active, sctx.extra["rho0"], 1.0)
         hash_f32 = hash_payload(sctx.src_hash, pos.dtype, grid.size)
         if adaptive_dt_lambda is not None:
             params = _adapt_dt(params, vel, own_active, ax,
@@ -1556,6 +1580,173 @@ def make_sharded_dfsph_step(mesh: Mesh, params: SimParams,
         def mean_active(x):
             return jax.lax.psum(
                 jnp.sum(jnp.where(own_active, x, 0.0)), ax) / nact_f
+
+        if multiphase:
+            # === adapted number-density DFSPH (single-chip:
+            # solvers.dfsph._dfsph_step_multiphase / the Pallas twin in
+            # solvers.dfsph_pallas.dfsph_multiphase_pallas) =============
+            rd = params.rest_density
+            q4 = queries(width=4)
+            dout = PSs.generic_sweep(
+                cfg, PSs.multiphase_density_pair, q4, pack8(), anchors,
+                pvec, grid.size, out_width=4, n_rows=n_rows,
+                interpret=interp,
+                pair_fn_b=(PSs.multiphase_density_bpair if has_b
+                           else None))
+            delta = dout[:cl, 0]
+            dens = mp_mass * delta + (mp_rho0 / rd) * dout[:cl, 1]
+            delta_hat = dens / mp_mass
+            delta0 = mp_rho0 / mp_mass
+            vhat2 = 1.0 / jnp.maximum(delta_hat * delta_hat, 1e-24)
+            sm = (mp_rho0 / rd) / mp_mass
+            to_kg = mp_mass * (rd / mp_rho0)
+            im_own = 1.0 / mp_mass
+
+            # α̂ needs the ghost 1/m_j source scalar — ONE derived hop,
+            # loop-invariant (raw ghost mass never ships)
+            (src_im,) = hop({"im": im_own})
+            al = PSs.generic_sweep(
+                cfg, PSs.multiphase_alpha_pair, q4, pack8(slot6=src_im),
+                anchors, pvec, grid.size, out_width=8, n_rows=n_rows,
+                interpret=interp,
+                pair_fn_b=(PSs.multiphase_alpha_bpair if has_b
+                           else None))
+            ghx = al[:cl, 0] + sm * al[:cl, 4]
+            ghy = al[:cl, 1] + sm * al[:cl, 5]
+            ghz = al[:cl, 2] + sm * al[:cl, 6]
+            denom = (ghx * ghx + ghy * ghy + ghz * ghz
+                     + mp_mass * al[:cl, 3])
+            alpha = (mp_mass * delta_hat * delta_hat
+                     / jnp.maximum(denom, _EPS_DENOM))
+
+            def drho_of(v):
+                """dδ̂/dt sweep; hops the current ghost velocities."""
+                (src_v,) = hop({"v": jnp.stack(v, axis=1)})
+                q8 = queries(*(padq(vk, 0.0) for vk in v), width=8)
+                dd = PSs.generic_sweep(
+                    cfg, PSs.multiphase_drho_pair, q8,
+                    pack8(vel3=src_v), anchors, pvec, grid.size,
+                    out_width=4, n_rows=n_rows, interpret=interp,
+                    pair_fn_b=(PSs.multiphase_drho_bpair if has_b
+                               else None))
+                return dd[:cl, 0] + sm * dd[:cl, 1]
+
+            def apply_kappa(kappa, v):
+                """v ← v − (dt/m)[Σ(κV̂²_i+κV̂²_j)∇W + qc_i Σψ∇W];
+                hops the fresh κ_jV̂_j² source scalar."""
+                kv2 = kappa * vhat2
+                (src_kv2,) = hop({"k": kv2})
+                qk = queries(padq(kv2, 0.0), padq(sm * kv2, 0.0),
+                             width=8)
+                f = PSs.generic_sweep(
+                    cfg, PSs.multiphase_kappa_pair, qk,
+                    pack8(slot6=src_kv2), anchors, pvec, grid.size,
+                    out_width=4, n_rows=n_rows, interpret=interp,
+                    pair_fn_b=(PSs.multiphase_kappa_bpair if has_b
+                               else None))
+                return tuple(v[k] - dt * im_own * f[:cl, k]
+                             for k in range(3))
+
+            # --- divergence-free solve --------------------------------
+            def vcond(carry):
+                v, err, it = carry
+                return (((err > tol_v) | (it < cfg.dfsph_min_iters_v))
+                        & (it < cfg.dfsph_max_iters_v))
+
+            def vbody(carry):
+                v, _, it = carry
+                dhat = jnp.maximum(drho_of(v), 0.0)
+                v = apply_kappa(dhat * alpha / dt, v)
+                return (v, dt * mean_active(dhat * to_kg), it + 1)
+
+            v0 = tuple(vel[:, k] for k in range(3))
+            init_v = (v0, jnp.asarray(2.0, cfg.dtype) * tol_v,
+                      jnp.asarray(0, jnp.int32))
+            vel_df, err_v, iters_v = jax.lax.while_loop(vcond, vbody,
+                                                        init_v)
+
+            # --- non-pressure forces: multiphase force sweep with
+            # pv2 = 0 (volume-form viscosity + β walls + friction) ------
+            vol = 1.0 / jnp.maximum(delta, 1e-12)
+            inv_rho = 1.0 / jnp.maximum(dens, 1e-12)
+            src_vdf, src_vol = hop({"v": jnp.stack(vel_df, axis=1),
+                                    "vol": vol})
+            zq = jnp.zeros((clb,), pos.dtype)
+            q10 = queries(*(padq(vk, 0.0) for vk in vel_df), zq,
+                          padq(im_own, 0.0), padq(mp_mass, 1.0),
+                          padq(inv_rho, 0.0), width=10)
+            wide_cols = [src_vdf[:, 0], src_vdf[:, 1], src_vdf[:, 2],
+                         src_vol, jnp.zeros_like(src_vol)]
+            if has_b:
+                src_w = pack_source_fused(
+                    src_pos, hash_f32, wide_cols,
+                    boundary.pos, b_hash_f32, [*bvel, boundary.psi],
+                    rows=16, win=swin)
+            else:
+                src_w = pack_source_wide(src_pos, hash_f32, wide_cols,
+                                         rows=16, win=swin)
+            acc4 = PSs.generic_sweep(
+                cfg, PSs.multiphase_force_pair, q10, src_w, anchors,
+                pvec, grid.size, out_width=4, n_rows=n_rows,
+                interpret=interp,
+                pair_fn_b=(PSs.multiphase_boundary_pair if has_b
+                           else None),
+                pair_b_kw={"moving": _moving_b(boundary)})
+            gvec = jnp.asarray(params.gravity, pos.dtype)
+            v_star = tuple(vel_df[k] + dt * (acc4[:cl, k] + gvec[k])
+                           for k in range(3))
+
+            # warm start: half the previous accumulated κ̂ (rides the
+            # migrated pressure column) — single-chip contract
+            kap0 = jnp.zeros_like(dens)
+            if cfg.dfsph_warm_start:
+                kap0 = 0.5 * jnp.maximum(
+                    jnp.where(own_active, sctx.pres, 0.0), 0.0)
+                v_star = apply_kappa(kap0, v_star)
+
+            # --- constant-density solve on v* -------------------------
+            def cond(carry):
+                v, kap, err, it = carry
+                return (((err > tol) | (it < cfg.dfsph_min_iters))
+                        & (it < cfg.dfsph_max_iters))
+
+            def body(carry):
+                v, kap, _, it = carry
+                dstar = delta_hat + dt * drho_of(v)
+                comp = jnp.maximum(dstar - delta0, 0.0)
+                kappa = comp * alpha / (dt * dt)
+                v = apply_kappa(kappa, v)
+                return (v, kap + kappa, mean_active(comp * to_kg),
+                        it + 1)
+
+            init = (v_star, kap0,
+                    jnp.asarray(2.0, cfg.dtype) * tol,
+                    jnp.asarray(0, jnp.int32))
+            v_new, kappa, rho_err, iters = jax.lax.while_loop(
+                cond, body, init)
+            vel_new = jnp.stack(v_new, axis=1)
+
+            new_pos = pos + dt * vel_new
+            new_vel = jnp.where(own_active[:, None], vel_new,
+                                jnp.zeros_like(vel))
+            new_pos = jnp.where(own_active[:, None], new_pos,
+                                jnp.full_like(pos, PARK))
+            new_pres = jnp.where(own_active, kappa, 0.0)
+            diag = ShardedDiagnostics(
+                max_density=jax.lax.pmax(
+                    jnp.max(jnp.where(own_active, dens, 0.0)), ax),
+                mean_density_error=rho_err / rd,
+                mean_compression=rho_err / rd,
+                seg_overflow=jax.lax.pmax(miss, ax),
+                halo_overflow=jax.lax.pmax(sctx.halo_overflow, ax),
+                migration_overflow=jax.lax.pmax(sctx.mig_overflow, ax),
+                capacity_overflow=jax.lax.pmax(sctx.cap_overflow, ax),
+                migration_violation=jax.lax.psum(sctx.mig_violation, ax),
+                num_active=jax.lax.psum(n_own, ax),
+                solver_iters=iters + iters_v,
+            )
+            return (new_pos, new_vel, new_pres, mp_mass, mp_rho0,
+                    n_own[None], diag)
 
         # --- density + DFSPH factor α ---------------------------------------
         q4 = queries(width=4)
@@ -1720,15 +1911,28 @@ def make_sharded_dfsph_step(mesh: Mesh, params: SimParams,
 
     pspec = P(ax)
     rep = P()
+    nargs = 6 if multiphase else 4
     sharded = jax.shard_map(
         local_step, mesh=mesh,
-        in_specs=(pspec, pspec, pspec, pspec),
-        out_specs=(pspec, pspec, pspec, pspec,
-                   jax.tree_util.tree_map(lambda _: rep, _diag_struct())),
+        in_specs=(pspec,) * nargs,
+        out_specs=(pspec,) * nargs
+        + (jax.tree_util.tree_map(lambda _: rep, _diag_struct()),),
         check_vma=False)
 
     @jax.jit
     def step(state: FluidState):
+        if multiphase:
+            if not state.multiphase:
+                raise ValueError(
+                    "multiphase sharded DFSPH step needs state.mass/rho0 "
+                    "(build the host state with make_fluid_state(..., "
+                    "masses=, rest_densities=) before shard_state)")
+            pos, vel, pres, mass, rho0, n_loc, diag = sharded(
+                state.pos, state.vel, state.pressure,
+                state.mass, state.rho0, state.num_active)
+            return FluidState(pos=pos, vel=vel, pressure=pres,
+                              num_active=n_loc, mass=mass,
+                              rho0=rho0), diag
         _refuse_multiphase(state, "solver")
         pos, vel, pres, n_loc, diag = sharded(
             state.pos, state.vel, state.pressure, state.num_active)

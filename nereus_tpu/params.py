@@ -135,6 +135,16 @@ class SimConfig:
     viscosity_model: str = "explicit"
     visc_cg_max_iters: int = 100
     visc_cg_tol: float = 1e-4   # relative residual ‖r‖/‖b‖
+    # Multiphase surface tension (beyond-reference): with BECKER + phase
+    # columns, the pairwise cohesion −κ·min(W, W_diam)·r⃗ applies at full
+    # strength within a phase and scaled by ``st_cross`` across phases
+    # (same-phase iff ρ0_i == ρ0_j — the columns are bit-identical
+    # copies, exact compare is sound). 0 = fully immiscible cohesion
+    # (sharp interfaces, beading); 1 = phase-blind (the single-phase
+    # term). Reduces EXACTLY to single-phase BECKER at uniform phase for
+    # any value. AKINCI stays single-phase-only (its 2ρ₀/(ρi+ρj)
+    # curvature correction has no per-phase meaning).
+    st_cross: float = 0.0
 
     def __post_init__(self):
         object.__setattr__(self, "dtype", jnp.dtype(self.dtype))
@@ -151,7 +161,8 @@ class SimConfig:
                      self.viscosity_model, self.visc_cg_max_iters,
                      self.visc_cg_tol, self.dfsph_strong_coupling,
                      self.engine, self.sweep_block, self.sweep_win,
-                     self.sweep_kfold, self.sweep_fused_rows))
+                     self.sweep_kfold, self.sweep_fused_rows,
+                     self.st_cross))
 
     def resolve_win(self, rows3: bool) -> int:
         """Effective window width: an explicit ``sweep_win`` wins; auto is

@@ -335,6 +335,48 @@ def test_sharded_multiphase_matches_single_chip():
                                float(d1.mean_density_error), rtol=1e-4)
 
 
+def test_sharded_dfsph_multiphase_matches_single_chip():
+    """2-slab sharded multiphase DFSPH ↔ single-chip (Pallas interpret):
+    both stiffness while_loops must iterate in lockstep (psum'd means)
+    and the derived ghost hops (1/m_j once, κ_jV̂_j² per iteration) must
+    reproduce the single-chip trajectories across slab boundaries."""
+    from jax.sharding import Mesh
+
+    from nereus_tpu.parallel import (ShardConfig, make_sharded_dfsph_step,
+                                     shard_state, unshard_state)
+
+    state, params, grid, walls, pm = two_layer_dfsph(vel_y=-0.5)
+    vel = np.array(state.vel)
+    vel[: int(state.num_active), 2] = -0.4
+    state = dataclasses.replace(state, vel=jnp.asarray(vel))
+    n = int(state.num_active)
+
+    cfg_p = nt.SimConfig(engine="pallas", **ST_NONE)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("shards",))
+    scfg = ShardConfig(n_shards=2, local_capacity=n + 64,
+                       halo_capacity=256, migration_capacity=128)
+    sstate = shard_state(state, grid, scfg, mesh)
+    step_sh = make_sharded_dfsph_step(mesh, params, grid, cfg_p, scfg,
+                                      walls, multiphase=True)
+    step_1 = jax.jit(lambda s: nt.dfsph_step(s, params, grid, cfg_p,
+                                             walls))
+    for it in range(4):
+        state, d1 = step_1(state)
+        sstate, dN = step_sh(sstate)
+        assert int(dN.num_active) == n, it
+        assert int(dN.seg_overflow) == 0, it
+        assert int(dN.migration_overflow) == 0, it
+        assert int(dN.solver_iters) == int(d1.solver_iters), it
+        merged = unshard_state(sstate)
+        po, vo, mo = canon(state, n)
+        ps, vs, ms = canon(merged, int(merged.num_active))
+        np.testing.assert_allclose(ps, po, atol=1e-5, err_msg=f"step {it}")
+        np.testing.assert_allclose(vs, vo, atol=1e-4, err_msg=f"step {it}")
+        np.testing.assert_array_equal(ms, mo)
+    np.testing.assert_allclose(float(dN.mean_density_error),
+                               float(d1.mean_density_error), rtol=1e-4)
+
+
 def test_cli_second_phase(capsys):
     """--second-phase drives a two-phase dam-break end to end."""
     import json
@@ -364,8 +406,16 @@ def test_cli_second_phase(capsys):
     assert rc == 0
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["seg_overflow"] == 0
-    # sharded multiphase is WCSPH-only
-    assert cli_main(["run", "--solver", "dfsph", "--steps", "2",
+    # sharded multiphase DFSPH (incompressible two-phase over slabs)
+    rc = cli_main(["run", "--solver", "dfsph", "--steps", "2",
+                   "--neighbor-engine", "pallas",
+                   "--surface-tension", "none", "--second-phase", "0.4",
+                   "--shards", "2"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["seg_overflow"] == 0
+    # sharded multiphase is WCSPH/DFSPH-only
+    assert cli_main(["run", "--solver", "pbf", "--steps", "2",
                      "--surface-tension", "none", "--second-phase", "0.4",
                      "--shards", "2"]) == 2
     capsys.readouterr()
