@@ -43,6 +43,11 @@ def _build_parser():
                      default="muller")
     run.add_argument("--surface-tension",
                      choices=["none", "becker", "akinci"], default="becker")
+    run.add_argument("--st-cross", type=float, default=0.0,
+                     metavar="FACTOR",
+                     help="multiphase: cross-phase cohesion factor for "
+                     "--surface-tension becker with --second-phase "
+                     "(0 = immiscible, 1 = phase-blind)")
     run.add_argument("--no-boundary", action="store_true")
     run.add_argument("--calibrate-mass", action="store_true",
                      help="set particle mass so a rest lattice sums to rho0 "
@@ -129,7 +134,9 @@ def _build_parser():
                      help="multiphase: mark the top FRACTION (default "
                      "0.5) of the fluid as a second phase with rest "
                      "density RATIO*rho0 (WCSPH or DFSPH, both incl. "
-                     "--shards; requires --surface-tension none)")
+                     "--shards; --surface-tension becker applies "
+                     "phase-pair cohesion scaled by --st-cross, "
+                     "akinci is refused)")
     run.add_argument("--xsph", type=float, default=None, metavar="EPS",
                      help="Monaghan XSPH velocity smoothing (WCSPH: "
                           "position update only, typical 0.3-0.5; PBF: "
@@ -200,7 +207,8 @@ def _make_setup(args):
         kw["viscosity_model"] = "implicit"
     cfg = nt.SimConfig(kernel_set=kernel_set, surface_tension_model=st,
                        seg_window=args.seg_window,
-                       engine=args.neighbor_engine, **kw)
+                       engine=args.neighbor_engine,
+                       st_cross=getattr(args, "st_cross", 0.0), **kw)
 
     overrides = {}
     if args.dt is not None:
@@ -454,8 +462,9 @@ def cmd_run(args):
                                and args.solver not in ("wcsph", "dfsph"),
                                "--shards 1 (sharded multiphase is "
                                "WCSPH/DFSPH-only)"),
-                              (args.surface_tension != "none",
-                               "--surface-tension none"),
+                              (args.surface_tension == "akinci",
+                               "--surface-tension none|becker (akinci "
+                               "is single-phase-only)"),
                               (args.xsph is not None, "no --xsph"),
                               (args.implicit_viscosity is not None,
                                "no --implicit-viscosity"),

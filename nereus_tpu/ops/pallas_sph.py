@@ -48,7 +48,8 @@ PV_INVCELL = 21
 PV_DT = 22
 PV_SCORR_S = 23    # PBF anti-clustering: scorr = −(W·s)⁴ with
                    # s = pbf_scorr_k^(1/4) / W(Δq·h) (0 disables)
-PV_LEN = 24
+PV_STX = 24        # multiphase cross-phase cohesion factor (cfg.st_cross)
+PV_LEN = 25
 
 
 def build_pvec(params: SimParams, cfg: SimConfig, grid):
@@ -89,6 +90,7 @@ def build_pvec(params: SimParams, cfg: SimConfig, grid):
             wdq, 1e-30)
     else:
         vals[PV_SCORR_S] = jnp.zeros_like(h)
+    vals[PV_STX] = jnp.full_like(h, cfg.st_cross)
     return jnp.stack([jnp.asarray(v, cfg.dtype) for v in vals])
 
 
@@ -576,18 +578,24 @@ def multiphase_density_bpair(q_ref, src_ref, valid, pv, *, kernel_set):
     return jnp.concatenate([zero, d, zero, zero], axis=1)
 
 
-def multiphase_force_pair(q_ref, src_ref, valid, pv, *, kernel_set):
+def multiphase_force_pair(q_ref, src_ref, valid, pv, *, kernel_set,
+                          st_becker=False):
     """Multiphase fluid ACCELERATION (adapted-density volume form — see
     ``solvers.wcsph.multiphase_accels`` for the discretization):
 
       a = −inv_m_i (p_i·V_i² + p_j·V_j²) ∇W_press
           + 2μ V_j (r·∇W_visc)/(|r|²+0.01h²) (v_i − v_j)
+          [st_becker] − (κ_eff·inv_m_i)·min(W, W_diam)·r⃗,
+                        κ_eff = κ·(ρ0_i == ρ0_j ? 1 : st_cross)
 
-    q fields: x y z vx vy vz p_iV_i² inv_m_i m_i inv_ρ̃_i (10 columns).
-    src slots: 6 = V_j = 1/δ_j, 7 = p_j·V_j² (wide 16-row source; the
-    8-row pack's row 7 is the hash row, so two source scalars need the
-    wide format).
-    Out (B, 4): a_x a_y a_z (pad). Self term exactly 0 (grad 0, dv 0).
+    q fields: x y z vx vy vz p_iV_i² inv_m_i m_i inv_ρ̃_i (10 columns;
+    with ``st_becker`` col 10 = ρ0_i). src slots: 6 = V_j = 1/δ_j,
+    7 = p_j·V_j² (wide 16-row source; the 8-row pack's row 7 is the hash
+    row, so two source scalars need the wide format; with ``st_becker``
+    row 8 = ρ0_j — an exact f32 copy of the phase column, so the
+    same-phase equality compare is sound).
+    Out (B, 4): a_x a_y a_z (pad). Self term exactly 0 (grad 0, dv 0;
+    Becker's r⃗ factor is 0 at self).
     """
     dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv)
     rl, invrl = _rl_invrl(r2)
@@ -602,6 +610,13 @@ def multiphase_force_pair(q_ref, src_ref, valid, pv, *, kernel_set):
 
     sp = _w_grad_scale_press(kernel_set, r2, rl, pv, invrl)
     cp = -q_ref[:, 7:8] * (q_ref[:, 6:7] + pv2j) * sp * okf
+
+    if st_becker:
+        w_eff = jnp.minimum(_w_value(kernel_set, r2, rl, pv),
+                            pv[PV_WDIAM])
+        same = (q_ref[:, 10:11] == src_ref[8:9, :]).astype(q_ref.dtype)
+        keff = pv[PV_KAPPA] * (same + (1.0 - same) * pv[PV_STX])
+        cp = cp - (keff * q_ref[:, 7:8]) * w_eff * okf
 
     dvx = q_ref[:, 3:4] - src_ref[3:4, :]
     dvy = q_ref[:, 4:5] - src_ref[4:5, :]

@@ -524,14 +524,11 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
         from ..solvers.pallas_common import check_pallas_dtype
         check_pallas_dtype(cfg, grid)
     if multiphase:
-        from ..params import SurfaceTensionModel
-        if cfg.surface_tension_model != SurfaceTensionModel.NONE:
-            raise NotImplementedError(
-                "surface tension is single-phase-only (multiphase "
-                "interface tension is a different model class)")
-        if cfg.viscosity_model == "implicit":
-            raise NotImplementedError(
-                "implicit viscosity is single-phase-only")
+        from ..solvers.dfsph import _check_multiphase_cfg
+        _check_multiphase_cfg(cfg)
+    from ..params import SurfaceTensionModel
+    mp_st = (multiphase and
+             cfg.surface_tension_model == SurfaceTensionModel.BECKER)
     cl = scfg.local_capacity
     kh = scfg.halo_capacity
 
@@ -671,23 +668,33 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
                 pv2 = prs * vol * vol
 
                 # second halo hop: the DERIVED source scalars (V, p·V²)
-                # for the ghost slots — ghost mass/ρ₀ never ship
+                # for the ghost slots — ghost mass never ships (with
+                # BECKER phase-pair cohesion the ρ₀ phase key rides
+                # this same hop as the pair-equality operand)
                 vp = {"vol": vol, "pv2": pv2}
+                if mp_st:
+                    vp["rho0"] = rho0
                 l_vp = _exchange_saved(vp, t_idx, t_valid, ax, d, +1)
                 r_vp = _exchange_saved(vp, b_idx, b_valid, ax, d, -1)
-                src_vol, src_pv2 = _splice_right_halo(
-                    (l_vp["vol"], l_vp["pv2"]), (vol, pv2),
-                    (r_vp["vol"], r_vp["pv2"]), n_own, kh)
+                keys = list(vp)
+                spliced = _splice_right_halo(
+                    tuple(l_vp[k] for k in keys),
+                    tuple(vp[k] for k in keys),
+                    tuple(r_vp[k] for k in keys), n_own, kh)
+                src_vol, src_pv2 = spliced[0], spliced[1]
 
                 inv_rho = 1.0 / jnp.maximum(dens, 1e-12)
                 inv_m = jnp.where(own_active,
                                   1.0 / jnp.maximum(mass, 1e-30), 0.0)
-                q10 = queries(*vq, padq(pv2, 0.0), padq(inv_m, 0.0),
-                              padq(mass, 1.0), padq(inv_rho, 0.0),
-                              width=10)
+                qcols = [*vq, padq(pv2, 0.0), padq(inv_m, 0.0),
+                         padq(mass, 1.0), padq(inv_rho, 0.0)]
                 # two per-source scalars need the wide 16-row source
                 # (row 7 of the 8-row pack is the hash row)
                 wide_cols = [*src_vel_cols, src_vol, src_pv2]
+                if mp_st:
+                    qcols.append(padq(rho0, 1.0))
+                    wide_cols.append(spliced[2])
+                q10 = queries(*qcols, width=len(qcols) + 3)
                 if has_b:
                     src_w = pack_source_fused(
                         src_pos, hash_f32, wide_cols,
@@ -701,6 +708,7 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
                     pvec, grid.size, out_width=4,
                     pair_fn_b=PSs.multiphase_boundary_pair,
                     pair_b_kw={"moving": _moving_b(boundary)},
+                    st_becker=mp_st,
                     n_rows=n_rows, interpret=interp)
                 accel = acc4[:cl, :3]
             else:
@@ -764,16 +772,22 @@ def make_sharded_wcsph_step(mesh: Mesh, params: SimParams,
                 pv2 = prs * vol * vol
 
                 # second halo hop: derived (V, p·V²) for the ghost slots
+                # (+ the ρ₀ phase key under BECKER phase-pair cohesion)
                 vp = {"vol": vol, "pv2": pv2}
+                if mp_st:
+                    vp["rho0"] = rho0
                 l_vp = _exchange_saved(vp, t_idx, t_valid, ax, d, +1)
                 r_vp = _exchange_saved(vp, b_idx, b_valid, ax, d, -1)
-                src_vol, src_pv2 = _splice_right_halo(
-                    (l_vp["vol"], l_vp["pv2"]), (vol, pv2),
-                    (r_vp["vol"], r_vp["pv2"]), n_own, kh)
+                keys = list(vp)
+                spliced = _splice_right_halo(
+                    tuple(l_vp[k] for k in keys),
+                    tuple(vp[k] for k in keys),
+                    tuple(r_vp[k] for k in keys), n_own, kh)
 
                 accel = wcsph_mod.multiphase_accels(
                     ctx, params, cfg, boundary, dens, delta, prs,
-                    src_vol=src_vol, src_pv2=src_pv2)
+                    src_vol=spliced[0], src_pv2=spliced[1],
+                    src_rho0=spliced[2] if mp_st else None)
             else:
                 dens = common.compute_density(ctx, params, cfg, boundary)
                 prs = wcsph_mod.tait_pressure(dens, params)
@@ -1474,6 +1488,9 @@ def make_sharded_dfsph_step(mesh: Mesh, params: SimParams,
     if multiphase:
         from ..solvers.dfsph import _check_multiphase_cfg
         _check_multiphase_cfg(cfg)
+    from ..params import SurfaceTensionModel
+    mp_st = (multiphase and
+             cfg.surface_tension_model == SurfaceTensionModel.BECKER)
     cl = scfg.local_capacity
     kh = scfg.halo_capacity
     interp = interpret_mode()
@@ -1669,14 +1686,21 @@ def make_sharded_dfsph_step(mesh: Mesh, params: SimParams,
             # pv2 = 0 (volume-form viscosity + β walls + friction) ------
             vol = 1.0 / jnp.maximum(delta, 1e-12)
             inv_rho = 1.0 / jnp.maximum(dens, 1e-12)
-            src_vdf, src_vol = hop({"v": jnp.stack(vel_df, axis=1),
-                                    "vol": vol})
+            adv_hop = {"v": jnp.stack(vel_df, axis=1), "vol": vol}
+            if mp_st:
+                adv_hop["r0"] = mp_rho0
+            hopped = hop(adv_hop)
+            src_vdf, src_vol = hopped[0], hopped[1]
             zq = jnp.zeros((clb,), pos.dtype)
-            q10 = queries(*(padq(vk, 0.0) for vk in vel_df), zq,
-                          padq(im_own, 0.0), padq(mp_mass, 1.0),
-                          padq(inv_rho, 0.0), width=10)
+            qcols = [*(padq(vk, 0.0) for vk in vel_df), zq,
+                     padq(im_own, 0.0), padq(mp_mass, 1.0),
+                     padq(inv_rho, 0.0)]
             wide_cols = [src_vdf[:, 0], src_vdf[:, 1], src_vdf[:, 2],
                          src_vol, jnp.zeros_like(src_vol)]
+            if mp_st:
+                qcols.append(padq(mp_rho0, 1.0))
+                wide_cols.append(hopped[2])
+            q10 = queries(*qcols, width=len(qcols) + 3)
             if has_b:
                 src_w = pack_source_fused(
                     src_pos, hash_f32, wide_cols,
@@ -1688,7 +1712,7 @@ def make_sharded_dfsph_step(mesh: Mesh, params: SimParams,
             acc4 = PSs.generic_sweep(
                 cfg, PSs.multiphase_force_pair, q10, src_w, anchors,
                 pvec, grid.size, out_width=4, n_rows=n_rows,
-                interpret=interp,
+                interpret=interp, st_becker=mp_st,
                 pair_fn_b=(PSs.multiphase_boundary_pair if has_b
                            else None),
                 pair_b_kw={"moving": _moving_b(boundary)})

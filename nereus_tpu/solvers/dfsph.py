@@ -194,10 +194,11 @@ def _mean_active(x, active, nact):
 
 def _check_multiphase_cfg(cfg: SimConfig):
     from ..params import SurfaceTensionModel
-    if cfg.surface_tension_model != SurfaceTensionModel.NONE:
+    if cfg.surface_tension_model == SurfaceTensionModel.AKINCI:
         raise NotImplementedError(
-            "surface tension is single-phase-only (multiphase interface "
-            "tension is a different model class)")
+            "AKINCI surface tension is single-phase-only (its curvature "
+            "correction has no per-phase meaning); multiphase supports "
+            "NONE or BECKER (phase-pair cohesion, SimConfig.st_cross)")
     if cfg.viscosity_model == "implicit":
         raise NotImplementedError("implicit viscosity is single-phase-only")
 

@@ -116,13 +116,20 @@ def dfsph_multiphase_pallas(state: FluidState, params: SimParams,
     vol = 1.0 / jnp.maximum(delta, 1e-12)
     inv_rho = 1.0 / jnp.maximum(dens, 1e-12)
     zcb = jnp.zeros((cb,), ctx.dtype)
-    q10 = ctx.queries(*vel_df, zcb, im, mass, inv_rho)
-    src_adv = ctx.pack_wide(
-        [vel_df[0], vel_df[1], vel_df[2], vol, zcb], rows=16)
+    from ..params import SurfaceTensionModel
+    st_becker = cfg.surface_tension_model == SurfaceTensionModel.BECKER
+    qcols = [*vel_df, zcb, im, mass, inv_rho]
+    wcols = [vel_df[0], vel_df[1], vel_df[2], vol, zcb]
+    if st_becker:
+        qcols.append(rho0)
+        wcols.append(rho0)
+    q10 = ctx.queries(*qcols)
+    src_adv = ctx.pack_wide(wcols, rows=16)
     acc = PS.generic_sweep(
         cfg, PS.multiphase_force_pair, q10, src_adv, ctx.anchors, pvec,
         gsize, out_width=4, pair_fn_b=PS.multiphase_boundary_pair,
         pair_b_kw={"moving": ctx.moving_boundary},
+        st_becker=st_becker,
         n_rows=n_rows, interpret=interp)
     g = params.gravity
     v_star = tuple(vel_df[k] + dt * (acc[:, k] + g[k]) for k in range(3))

@@ -120,7 +120,8 @@ def compute_pressure_force(ctx: common.NeighborCtx, params: SimParams,
 
 def multiphase_accels(ctx: common.NeighborCtx, params: SimParams,
                       cfg: SimConfig, boundary: Optional[BoundaryData],
-                      dens, delta, pres, src_vol=None, src_pv2=None):
+                      dens, delta, pres, src_vol=None, src_pv2=None,
+                      src_rho0=None):
     """Per-particle ACCELERATION (N, 3) for the multiphase WCSPH step,
     gravity excluded (beyond-reference — upstream is strictly
     single-phase).
@@ -152,8 +153,14 @@ def multiphase_accels(ctx: common.NeighborCtx, params: SimParams,
     The reference's boundary pd2 pressure term is dropped: it points
     ALONG ∇W (attractive for p>0) and is measured negligible next to the
     β penalty (CLAUDE.md physics notes); the wall-holding physics is a_β.
-    Surface tension and XSPH are single-phase-only (gated at the step).
+    XSPH is single-phase-only (gated at the step). BECKER surface
+    tension applies per PHASE PAIR: a_st = −(κ_eff/m_i)·min(W, W_diam)·r⃗
+    with κ_eff = κ within a phase and κ·``cfg.st_cross`` across phases
+    (0 = immiscible cohesion) — exact single-phase reduction at uniform
+    ρ₀. ``src_rho0`` (optional) overrides the source-side phase column
+    like ``src_vol``/``src_pv2``.
     """
+    from ..params import SurfaceTensionModel
     st = ctx.state
     pos, vel = st.pos, st.vel
     n = pos.shape[0]
@@ -162,6 +169,7 @@ def multiphase_accels(ctx: common.NeighborCtx, params: SimParams,
     dens_safe = jnp.maximum(dens, 1e-12)
     vol = 1.0 / jnp.maximum(delta, 1e-12)
     pv2 = pres * vol * vol
+    st_becker = cfg.surface_tension_model == SurfaceTensionModel.BECKER
 
     def pair(i, j, valid):
         rij = i["pos"][:, None, :] - j["pos"]
@@ -174,16 +182,31 @@ def multiphase_accels(ctx: common.NeighborCtx, params: SimParams,
         a = jnp.sum(rij * gv, axis=-1)
         b = dist2 + 0.01 * ir * ir
         fv = (j["V"] * a / b)[..., None] * (i["vel"][:, None, :] - j["vel"])
-        return {"fp": masked(ok, fp), "fv": masked(ok, fv)}
+        out = {"fp": masked(ok, fp), "fv": masked(ok, fv)}
+        if st_becker:
+            w = K.w_value(cfg.kernel_set, rij, params)
+            diameter = 2.0 * params.particle_radius
+            dvec = jnp.stack([diameter, jnp.zeros_like(diameter),
+                              jnp.zeros_like(diameter)])
+            w_diam = K.w_value(cfg.kernel_set, dvec[None, :], params)[0]
+            w_eff = jnp.minimum(w, w_diam)
+            same = (i["rho0"][:, None] == j["rho0"]).astype(dtype)
+            keff = params.surface_tension * (
+                same + (1.0 - same) * cfg.st_cross)
+            out["fst"] = masked(
+                ok, (keff * i["inv_m"][:, None] * w_eff)[..., None] * rij)
+        return out
 
     src = {"pos": ctx.source_pos, "vel": ctx.source_vel,
            "V": vol if src_vol is None else src_vol,
            "pv2": pv2 if src_pv2 is None else src_pv2}
-    acc = common.fluid_reduce(
-        ctx, pair,
-        {"fp": jnp.zeros((n, 3), dtype), "fv": jnp.zeros((n, 3), dtype)},
-        src, {"pos": pos, "vel": vel, "pv2": pv2,
-              "inv_m": 1.0 / st.mass}, cfg)
+    init = {"fp": jnp.zeros((n, 3), dtype), "fv": jnp.zeros((n, 3), dtype)}
+    qdata = {"pos": pos, "vel": vel, "pv2": pv2, "inv_m": 1.0 / st.mass}
+    if st_becker:
+        src["rho0"] = st.rho0 if src_rho0 is None else src_rho0
+        init["fst"] = jnp.zeros((n, 3), dtype)
+        qdata["rho0"] = st.rho0
+    acc = common.fluid_reduce(ctx, pair, init, src, qdata, cfg)
 
     def bpair(i, j, valid):
         rij = i["pos"][:, None, :] - j["pos"]
@@ -209,6 +232,8 @@ def multiphase_accels(ctx: common.NeighborCtx, params: SimParams,
         {"pos": pos, "vel": vel, "dens": dens}, cfg)
 
     a_fluid = -acc["fp"] + (2.0 * params.viscosity) * acc["fv"]
+    if st_becker:
+        a_fluid = a_fluid - acc["fst"]
     a_bound = bacc["fbound"] / st.mass[:, None] \
         + (2.0 * params.viscosity) * st.mass[:, None] * bacc["ffric"]
     return a_fluid + a_bound
@@ -327,10 +352,11 @@ def _wcsph_step_multiphase(state: FluidState, ctx, params: SimParams,
     if cfg.viscosity_model == "implicit":
         raise NotImplementedError("implicit viscosity is single-phase-only")
     from ..params import SurfaceTensionModel
-    if cfg.surface_tension_model != SurfaceTensionModel.NONE:
+    if cfg.surface_tension_model == SurfaceTensionModel.AKINCI:
         raise NotImplementedError(
-            "surface tension is single-phase-only (multiphase interface "
-            "tension is a different model class)")
+            "AKINCI surface tension is single-phase-only (its curvature "
+            "correction has no per-phase meaning); multiphase supports "
+            "NONE or BECKER (phase-pair cohesion, SimConfig.st_cross)")
     st = ctx.state
     pos, vel = st.pos, st.vel
     active = ctx.active

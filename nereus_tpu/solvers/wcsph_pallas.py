@@ -136,10 +136,12 @@ def _wcsph_pallas_multiphase(state: FluidState, params: SimParams,
     if cfg.viscosity_model == "implicit":
         raise NotImplementedError("implicit viscosity is single-phase-only")
     from ..params import SurfaceTensionModel
-    if cfg.surface_tension_model != SurfaceTensionModel.NONE:
+    if cfg.surface_tension_model == SurfaceTensionModel.AKINCI:
         raise NotImplementedError(
-            "surface tension is single-phase-only (multiphase interface "
-            "tension is a different model class)")
+            "AKINCI surface tension is single-phase-only (its curvature "
+            "correction has no per-phase meaning); multiphase supports "
+            "NONE or BECKER (phase-pair cohesion, SimConfig.st_cross)")
+    st_becker = cfg.surface_tension_model == SurfaceTensionModel.BECKER
     from .wcsph import density_errors, tait_pressure
 
     ctx = build_pallas_ctx(state, params, grid, cfg, boundary)
@@ -171,12 +173,19 @@ def _wcsph_pallas_multiphase(state: FluidState, params: SimParams,
     inv_rho = 1.0 / jnp.maximum(dens, 1e-12)
     vol = 1.0 / jnp.maximum(delta, 1e-12)
     pv2 = pres * vol * vol
-    q10 = ctx.queries(*vel, pv2, 1.0 / mass, mass, inv_rho)
-    src_f = ctx.pack_wide([vel[0], vel[1], vel[2], vol, pv2], rows=16)
+    qcols = [*vel, pv2, 1.0 / mass, mass, inv_rho]
+    wcols = [vel[0], vel[1], vel[2], vol, pv2]
+    if st_becker:
+        # phase-pair cohesion: ship the exact ρ₀ phase column both sides
+        qcols.append(rho0)
+        wcols.append(rho0)
+    q10 = ctx.queries(*qcols)
+    src_f = ctx.pack_wide(wcols, rows=16)
     acc = PS.generic_sweep(
         cfg, PS.multiphase_force_pair, q10, src_f, ctx.anchors, pvec,
         gsize, out_width=4, pair_fn_b=PS.multiphase_boundary_pair,
         pair_b_kw={"moving": ctx.moving_boundary},
+        st_becker=st_becker,
         n_rows=n_rows, interpret=interp)
 
     dt = params.dt

@@ -307,8 +307,10 @@ def test_sharded_multiphase_matches_single_chip():
     state = dataclasses.replace(state, vel=jnp.asarray(vel))
     n = int(state.num_active)
 
-    cfg_o = nt.SimConfig(engine="segments", **ST_NONE)
-    cfg_p = nt.SimConfig(engine="pallas", **ST_NONE)
+    # BECKER phase-pair cohesion ON: the ρ₀ phase key must ride the
+    # derived ghost hop and reproduce single-chip κ_eff across slabs
+    cfg_o = nt.SimConfig(engine="segments", st_cross=0.25, **ST_BECKER)
+    cfg_p = nt.SimConfig(engine="pallas", st_cross=0.25, **ST_BECKER)
     mesh = Mesh(np.array(jax.devices()[:2]), ("shards",))
     scfg = ShardConfig(n_shards=2, local_capacity=n + 64,
                        halo_capacity=256, migration_capacity=128)
@@ -335,6 +337,97 @@ def test_sharded_multiphase_matches_single_chip():
                                float(d1.mean_density_error), rtol=1e-4)
 
 
+ST_BECKER = dict(surface_tension_model=SurfaceTensionModel.BECKER)
+
+
+def test_multiphase_becker_reduces_to_single_phase():
+    """Uniform phase columns + BECKER must reproduce the single-phase
+    WCSPH BECKER step exactly (κ_eff = κ for every pair at any st_cross;
+    the volume-form pressure/viscosity reduction was already enforced) —
+    10 free-fall + contact steps."""
+    base = nt.make_params()
+    sp = 0.8 * float(base.interaction_radius)
+    cfg = nt.SimConfig(engine="segments", st_cross=0.3, **ST_BECKER)
+    params = calibrate_mass(base, cfg, spacing=sp)
+    pm = float(params.particle_mass)
+    rd = float(params.rest_density)
+    h = float(params.interaction_radius)
+    side = 5 * sp
+    pos = particle_cube((side / 2 + 2 * sp,) * 3, (side,) * 3, sp)
+    n = len(pos)
+    lo = np.zeros(3)
+    hi = np.array([side + 4 * sp, 2.5 * side, side + 4 * sp])
+    grid = nt.fit_grid(lo - h, hi + h, h)
+    walls = box_boundary(grid, lo, hi, float(params.particle_radius),
+                         params)
+    s1 = nt.make_fluid_state(pos)
+    s2 = nt.make_fluid_state(pos, masses=pm, rest_densities=rd)
+    step = jax.jit(lambda s: nt.wcsph_step(s, params, grid, cfg, walls))
+    for i in range(10):
+        s1, d1 = step(s1)
+        s2, d2 = step(s2)
+    np.testing.assert_allclose(np.asarray(s2.pos)[:n],
+                               np.asarray(s1.pos)[:n], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s2.vel)[:n],
+                               np.asarray(s1.vel)[:n], atol=1e-4)
+
+
+def test_multiphase_st_engines_match():
+    """Two-phase BECKER cohesion: oracle ↔ Pallas lockstep from a
+    wall-contacting state (the ρ₀ equality compare and the κ_eff blend
+    must agree across engines), st_cross strictly between 0 and 1."""
+    state, params, grid, walls, pm = two_layer(vel_y=-1.0)
+    n = int(state.num_active)
+    h = float(params.interaction_radius)
+    cfg_o = nt.SimConfig(engine="segments", st_cross=0.25, **ST_BECKER)
+    cfg_p = nt.SimConfig(engine="pallas", st_cross=0.25, **ST_BECKER)
+    step_o = jax.jit(lambda s: nt.wcsph_step(s, params, grid, cfg_o, walls))
+    step_p = jax.jit(lambda s: nt.wcsph_step(s, params, grid, cfg_p, walls))
+    for i in range(40):
+        state, _ = step_o(state)
+        if float(np.asarray(state.pos)[:n, 1].min()) < 0.85 * h:
+            break
+    so, do = step_o(state)
+    sp, dp = step_p(state)
+    po, vo, mo = canon(so, n)
+    pp, vp, mp = canon(sp, n)
+    np.testing.assert_allclose(po, pp, atol=1e-6)
+    np.testing.assert_allclose(vo, vp, atol=1e-4)
+    np.testing.assert_array_equal(mo, mp)
+    assert int(do.seg_overflow) == 0 and int(dp.seg_overflow) == 0
+
+
+def test_multiphase_st_cross_controls_mixing_force():
+    """st_cross really is the cross-phase knob: with a two-phase contact
+    interface, the net ST acceleration on interface particles must
+    differ between st_cross=0 and st_cross=1, and st_cross=1 must equal
+    a phase-blind (single-phase-κ) run of the same positions."""
+    state, params, grid, walls, pm = two_layer(jitter=0.0)
+    cfg0 = nt.SimConfig(engine="segments", st_cross=0.0, **ST_BECKER)
+    cfg1 = nt.SimConfig(engine="segments", st_cross=1.0, **ST_BECKER)
+    s0, _ = nt.wcsph_step(state, params, grid, cfg0, walls)
+    s1, _ = nt.wcsph_step(state, params, grid, cfg1, walls)
+    dv0 = np.asarray(s0.vel) - np.asarray(state.vel)
+    dv1 = np.asarray(s1.vel) - np.asarray(state.vel)
+    assert np.abs(dv0 - dv1).max() > 1e-9, \
+        "st_cross had no effect at a phase interface"
+    # phase-blind at st_cross=1: swap in uniform rho0 columns but keep
+    # masses — the ST term must match a (same-mass) single-κ pairing
+    rd = float(params.rest_density)
+    cap = state.capacity
+    blind = dataclasses.replace(
+        state, rho0=jnp.full((cap,), rd, np.asarray(state.rho0).dtype))
+    # NOTE: changing rho0 also changes pressure/EOS — compare ONLY the
+    # ST term by differencing against the ST_NONE step at each config
+    cfgn = nt.SimConfig(engine="segments", **ST_NONE)
+    sn, _ = nt.wcsph_step(state, params, grid, cfgn, walls)
+    sbn, _ = nt.wcsph_step(blind, params, grid, cfgn, walls)
+    sb1, _ = nt.wcsph_step(blind, params, grid, cfg1, walls)
+    st_two = np.asarray(s1.vel) - np.asarray(sn.vel)
+    st_blind = np.asarray(sb1.vel) - np.asarray(sbn.vel)
+    np.testing.assert_allclose(st_two, st_blind, atol=1e-6)
+
+
 def test_sharded_dfsph_multiphase_matches_single_chip():
     """2-slab sharded multiphase DFSPH ↔ single-chip (Pallas interpret):
     both stiffness while_loops must iterate in lockstep (psum'd means)
@@ -351,7 +444,8 @@ def test_sharded_dfsph_multiphase_matches_single_chip():
     state = dataclasses.replace(state, vel=jnp.asarray(vel))
     n = int(state.num_active)
 
-    cfg_p = nt.SimConfig(engine="pallas", **ST_NONE)
+    # BECKER phase-pair cohesion rides the DFSPH advection ghost hop too
+    cfg_p = nt.SimConfig(engine="pallas", st_cross=0.25, **ST_BECKER)
     mesh = Mesh(np.array(jax.devices()[:2]), ("shards",))
     scfg = ShardConfig(n_shards=2, local_capacity=n + 64,
                        halo_capacity=256, migration_capacity=128)
@@ -419,8 +513,16 @@ def test_cli_second_phase(capsys):
                      "--surface-tension", "none", "--second-phase", "0.4",
                      "--shards", "2"]) == 2
     capsys.readouterr()
-    # refuses without --surface-tension none (Becker ST default)
+    # the Becker ST default now composes (phase-pair cohesion); akinci
+    # stays refused
+    rc = cli_main(["run", "--solver", "wcsph", "--steps", "2",
+                   "--neighbor-engine", "pallas",
+                   "--second-phase", "0.4", "--st-cross", "0.25"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["seg_overflow"] == 0
     assert cli_main(["run", "--solver", "wcsph", "--steps", "2",
+                     "--surface-tension", "akinci",
                      "--second-phase", "0.4"]) == 2
     capsys.readouterr()
     # refuses composition with a rigid body
@@ -440,15 +542,24 @@ def test_multiphase_gates():
     for fn in (nt.iisph_step, nt.pbf_step):
         with pytest.raises(NotImplementedError):
             fn(state, params, grid, cfg, walls)
-    # DFSPH *supports* multiphase — but not with the single-phase-only
-    # extras (surface tension / implicit viscosity)
+    # DFSPH *supports* multiphase (incl. BECKER phase-pair cohesion) —
+    # but not the single-phase-only extras (AKINCI ST / implicit visc)
     with pytest.raises(NotImplementedError):
         nt.dfsph_step(state, params, grid,
-                      nt.SimConfig(engine="segments"), walls)
+                      nt.SimConfig(
+                          engine="segments",
+                          surface_tension_model=SurfaceTensionModel.AKINCI),
+                      walls)
     with pytest.raises(NotImplementedError):
         nt.dfsph_step(state, params, grid,
                       nt.SimConfig(engine="segments",
                                    viscosity_model="implicit", **ST_NONE),
+                      walls)
+    with pytest.raises(NotImplementedError):
+        nt.wcsph_step(state, params, grid,
+                      nt.SimConfig(
+                          engine="segments",
+                          surface_tension_model=SurfaceTensionModel.AKINCI),
                       walls)
     with pytest.raises(NotImplementedError):
         nt.pcisph_step(state, params, grid, cfg, walls,
@@ -461,9 +572,8 @@ def test_multiphase_gates():
         nt.dfsph_coupled_step(state, params, grid, cfg, body, walls)
     with pytest.raises(NotImplementedError):
         nt.wcsph_step(state, params, grid, cfg, walls, xsph_eps=0.1)
-    cfg_st = nt.SimConfig(engine="segments")    # Becker ST default
-    with pytest.raises(NotImplementedError):
-        nt.wcsph_step(state, params, grid, cfg_st, walls)
+    # Becker ST default now COMPOSES with multiphase (phase-pair
+    # cohesion); AKINCI stays refused — asserted in test_multiphase_gates
     cfg_iv = nt.SimConfig(engine="segments", viscosity_model="implicit",
                           **ST_NONE)
     with pytest.raises(NotImplementedError):
@@ -482,7 +592,9 @@ def test_multiphase_gates():
     with pytest.raises(ValueError):   # single-phase-built step refuses
         make_sharded_wcsph_step(mesh, params, grid, cfg, scfg,
                                 walls)(sstate)
-    cfg_st = nt.SimConfig(engine="segments")   # Becker ST default
-    with pytest.raises(NotImplementedError):   # ST is single-phase-only
-        make_sharded_wcsph_step(mesh, params, grid, cfg_st, scfg, walls,
+    cfg_ak = nt.SimConfig(
+        engine="segments",
+        surface_tension_model=SurfaceTensionModel.AKINCI)
+    with pytest.raises(NotImplementedError):   # AKINCI single-phase-only
+        make_sharded_wcsph_step(mesh, params, grid, cfg_ak, scfg, walls,
                                 multiphase=True)
