@@ -7,6 +7,11 @@ On a TPU host the step compiles for the TPU automatically.
 import jax
 import numpy as np
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))  # noqa: E402 — run from anywhere
+
 import nereus_tpu as nt
 from nereus_tpu import scene as scenelib
 

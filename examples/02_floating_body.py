@@ -7,6 +7,11 @@ Run:  python examples/02_floating_body.py
 import jax
 import numpy as np
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))  # noqa: E402 — run from anywhere
+
 import nereus_tpu as nt
 from nereus_tpu.params import calibrate_mass
 from nereus_tpu.scene import resting_block

@@ -19,6 +19,11 @@ except Exception:
 
 from jax.sharding import Mesh
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))  # noqa: E402 — run from anywhere
+
 import nereus_tpu as nt
 from nereus_tpu.boundary import box_boundary
 from nereus_tpu.parallel import (ShardConfig, make_sharded_wcsph_step,

@@ -13,6 +13,11 @@ Swap dfsph_step → wcsph_step for the weakly-compressible variant
 import jax
 import numpy as np
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))  # noqa: E402 — run from anywhere
+
 import nereus_tpu as nt
 from nereus_tpu.boundary import box_boundary
 from nereus_tpu.params import SurfaceTensionModel, calibrate_mass

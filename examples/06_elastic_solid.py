@@ -1,0 +1,56 @@
+"""Elastic solid: a rubber cantilever sags under gravity, beyond-reference.
+
+Total-Lagrangian corrected SPH (Ganzenmüller 2015): the neighbor problem
+is solved ONCE per body in the reference configuration — on TPU that
+means one hash sort + one window plan for the body's lifetime
+(``ElasticStatics``) and a per-step cost of three static-plan Pallas
+sweeps. Corrected kernel gradients make the deformation gradient exact
+for affine motion (rigid rotations produce exactly zero force), the
+St. Venant-Kirchhoff stress is rotation-invariant without a polar
+decomposition, and the hourglass penalty suppresses the zero-energy
+modes a per-particle F cannot see.
+
+Run anywhere (CPU included):  python examples/06_elastic_solid.py
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))  # noqa: E402 — run from anywhere
+
+import nereus_tpu as nt
+
+params = nt.make_params(dt=1e-4, gravity=(0.0, -9.81, 0.0))
+cfg = nt.SimConfig()
+h = float(np.asarray(params.interaction_radius))
+sp = 0.5 * h                       # lattice spacing (~33 reference neighbors)
+
+# a 16x4x4-particle bar, clamped at its x=0 face
+bar = nt.sample_box_solid((0, 0, 0), (15 * sp, 3 * sp, 3 * sp), sp)
+fixed = bar[:, 0] < 0.5 * sp
+ep = nt.elastic_params(young=5e4, poisson=0.3, hourglass=10.0, damping=30.0)
+state, statics, grid = nt.make_elastic_solid(bar, params, cfg, sp,
+                                             fixed=fixed)
+print(f"bar: {statics.n} particles, plan misses {int(statics.miss)} "
+      f"(static for the body's lifetime)")
+
+step = jax.jit(lambda s: nt.elastic_step(s, statics, params, ep, grid, cfg))
+
+x0 = np.asarray(statics.x0)
+tip = x0[:, 0] > x0[:, 0].max() - 0.4 * sp
+for k in range(2001):
+    state, diag = step(state)
+    if k % 400 == 0:
+        tip_y = float(np.asarray(state.pos)[tip, 1].mean())
+        print(f"step {k:5d}  tip sag {x0[tip, 1].mean() - tip_y:+.4f} m  "
+              f"strain energy {float(diag.elastic_energy):.3e} J  "
+              f"max|F-I| {float(diag.max_stretch):.3f}")
+
+assert np.isfinite(np.asarray(state.pos)).all()
+print("done: the tip droops, the root never moves, the bar holds.")

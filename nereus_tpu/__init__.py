@@ -21,6 +21,9 @@ from .rigid import (RigidBody, body_body_contact, body_boundary,
                     concat_boundaries, integrate_rigid,
                     make_rigid_box, wall_contact_force)
 from .solvers.coupled import wcsph_coupled_step
+from .solvers.elastic import (ElasticParams, ElasticState, ElasticStatics,
+                              elastic_params, elastic_step,
+                              make_elastic_solid, sample_box_solid)
 from .solvers.dfsph_coupled import dfsph_coupled_step
 from .solvers.wcsph import wcsph_step, tait_pressure, cfl_dt
 from .solvers.iisph import iisph_step
@@ -44,6 +47,8 @@ __all__ = [
     "concat_boundaries", "integrate_rigid", "make_rigid_box",
     "wall_contact_force",
     "wcsph_coupled_step", "dfsph_coupled_step",
+    "ElasticParams", "ElasticState", "ElasticStatics", "elastic_params",
+    "elastic_step", "make_elastic_solid", "sample_box_solid",
     "wcsph_step", "tait_pressure", "cfl_dt",
     "iisph_step", "dfsph_step", "pbf_step", "pcisph_step", "pcisph_delta",
     "pcisph_delta_from_denom", "pcisph_grad_denom",

@@ -959,6 +959,113 @@ def pbf_dp_pair(q_ref, src_ref, valid, pv, *, kernel_set,
 
 
 # ---------------------------------------------------------------------------
+# Elastic-solid pair functions (total-Lagrangian SPH, beyond-reference)
+#
+# All three sweep the REFERENCE configuration: pair geometry, the r² < h²
+# cutoff AND the in-kernel hash masks read reference positions (query cols
+# / src rows 0-2), so the window plan is built ONCE from the undeformed
+# body and stays exact for its whole lifetime — zero per-step sort/plan
+# cost, the TPU answer to per-step neighbor rebuilds. The reference
+# gradient g⃗_ij = s·(X_i − X_j) uses the pressure-gradient kernel scale;
+# the formulation is invariant under any consistent rescaling of g⃗ (the
+# correction matrix C_i = D_i⁻¹ absorbs it).
+# ---------------------------------------------------------------------------
+
+def elastic_f_pair(q_ref, src_ref, valid, pv, *, kernel_set):
+    """Deformation-gradient accumulator: Σ_j (x_j − x_i) ⊗ ∇W(X_ij).
+
+    q fields: X(0-2) x(3-5); src fields (8-row): X(0-2) x(3-5) hash(7).
+    Output (B, 9) row-major [3α+β]: α indexes the current-offset factor,
+    β the reference-gradient factor. The uniform V_j and the per-particle
+    correction C_i apply outside the sweep (F_i = V·raw_i · C_i).
+    Self-pairs contribute exactly 0 (both factors vanish)."""
+    dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv)
+    rl, invrl = _rl_invrl(r2)
+    okf = (valid & (r2 < pv[PV_H2])).astype(q_ref.dtype)
+    s = _w_grad_scale_press(kernel_set, r2, rl, pv, invrl) * okf
+    g = (s * dx, s * dy, s * dz)
+    dc = (src_ref[3:4, :] - q_ref[:, 3:4],
+          src_ref[4:5, :] - q_ref[:, 4:5],
+          src_ref[5:6, :] - q_ref[:, 5:6])
+    cols = [jnp.sum(dc[a] * g[b], axis=1, keepdims=True)
+            for a in range(3) for b in range(3)]
+    return jnp.concatenate(cols, axis=1)
+
+
+def elastic_force_pair(q_ref, src_ref, valid, pv, *, kernel_set):
+    """Variational total-Lagrangian elastic force pair:
+    (P_i C_iᵀ + P_j C_jᵀ) · ∇W(X_ij) — pairwise antisymmetric (swapping
+    i↔j flips the gradient and keeps the matrix sum), so momentum is
+    conserved exactly. V_i·V_j (uniform) applies outside.
+
+    q fields: X(0-2) PC_i(3-11, row-major); src (16-row): X(0-2)
+    PC_j(3-11) hash(15). Output (B, 4): fx fy fz pad."""
+    dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv)
+    rl, invrl = _rl_invrl(r2)
+    okf = (valid & (r2 < pv[PV_H2])).astype(q_ref.dtype)
+    s = _w_grad_scale_press(kernel_set, r2, rl, pv, invrl) * okf
+    g = (s * dx, s * dy, s * dz)
+    outs = []
+    for a in range(3):
+        acc = None
+        for b in range(3):
+            k = 3 * a + b
+            m = q_ref[:, 3 + k:4 + k] + src_ref[3 + k:4 + k, :]
+            t = m * g[b]
+            acc = t if acc is None else acc + t
+        outs.append(jnp.sum(acc, axis=1, keepdims=True))
+    outs.append(jnp.zeros_like(outs[0]))
+    return jnp.concatenate(outs, axis=1)
+
+
+def elastic_hourglass_pair(q_ref, src_ref, valid, pv, *, kernel_set):
+    """Ganzenmüller-2015 (§4) hourglass-control pair, without its α·V²
+    prefactor (applied outside):
+
+        f_i += −½ · W(X_ij)/|X_ij|² · (δ_i + δ_j) · x_ij/|x_ij|
+
+    with δ_k = (F_k X_ij − x_ij)·x_ij/|x_ij| the projected deviation of
+    the pair from particle k's locally-affine deformation — exactly 0 for
+    any affine motion (rigid or uniform-strain), so it never fights the
+    corrected-gradient force, only the zero-energy (hourglass) modes the
+    per-particle F cannot see.
+
+    q fields: X(0-2) x(3-5) F_i(6-14); src (16-row): X(0-2) x(3-5)
+    F_j(6-14) hash(15). Output (B, 4). Self-pairs are exactly 0: the
+    mask multiplies the singular 1/|X|² factor before anything large can
+    meet an inf (f32 overflow discipline — see _visc_rdotgrad)."""
+    dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv)
+    rl, invrl = _rl_invrl(r2)
+    okf = (valid & (r2 < pv[PV_H2]) & (r2 > 0)).astype(q_ref.dtype)
+    w = _w_value(kernel_set, r2, rl, pv)
+    inv_x2 = okf * w * _fast_recip(jnp.maximum(r2, _EPS * _EPS))
+    dc = (q_ref[:, 3:4] - src_ref[3:4, :],
+          q_ref[:, 4:5] - src_ref[4:5, :],
+          q_ref[:, 5:6] - src_ref[5:6, :])
+    rc2 = dc[0] * dc[0] + dc[1] * dc[1] + dc[2] * dc[2]
+    invrc = jax.lax.rsqrt(jnp.maximum(rc2, _EPS * _EPS))
+    dX = (dx, dy, dz)
+    raw = None
+    for a in range(3):
+        fi = (q_ref[:, 6 + 3 * a:7 + 3 * a] * dX[0]
+              + q_ref[:, 7 + 3 * a:8 + 3 * a] * dX[1]
+              + q_ref[:, 8 + 3 * a:9 + 3 * a] * dX[2])
+        fj = (src_ref[6 + 3 * a:7 + 3 * a, :] * dX[0]
+              + src_ref[7 + 3 * a:8 + 3 * a, :] * dX[1]
+              + src_ref[8 + 3 * a:9 + 3 * a, :] * dX[2])
+        t = (fi + fj - 2.0 * dc[a]) * dc[a]
+        raw = t if raw is None else raw + t
+    # coef = −½ W/|X|² (δi+δj)/|x| · 1/|x|; the masked W/|X|² factor is 0
+    # at every excluded slot BEFORE the (clamped, finite) invrc² joins
+    coef = (-0.5) * inv_x2 * raw * (invrc * invrc)
+    zero = jnp.zeros_like(coef[:, :1])
+    return jnp.concatenate(
+        [jnp.sum(coef * dc[0], axis=1, keepdims=True),
+         jnp.sum(coef * dc[1], axis=1, keepdims=True),
+         jnp.sum(coef * dc[2], axis=1, keepdims=True), zero], axis=1)
+
+
+# ---------------------------------------------------------------------------
 # Sweep drivers (anchors from pallas_neighbors.plan_windows)
 # ---------------------------------------------------------------------------
 
