@@ -27,7 +27,7 @@ _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))  # noqa: E4
 import nereus_tpu as nt
 
 params = nt.make_params(dt=1e-4, gravity=(0.0, -9.81, 0.0))
-cfg = nt.SimConfig()
+cfg = nt.SimConfig(seg_window=64)   # solid lattice (h/2) is denser than the fluid default
 h = float(np.asarray(params.interaction_radius))
 sp = 0.5 * h                       # lattice spacing (~33 reference neighbors)
 

@@ -1022,13 +1022,16 @@ def elastic_hourglass_pair(q_ref, src_ref, valid, pv, *, kernel_set):
     """Ganzenmüller-2015 (§4) hourglass-control pair, without its α·V²
     prefactor (applied outside):
 
-        f_i += −½ · W(X_ij)/|X_ij|² · (δ_i + δ_j) · x_ij/|x_ij|
+        f_i += +½ · W(X_ij)/|X_ij|² · (δ_i + δ_j) · x_ij/|x_ij|
 
     with δ_k = (F_k X_ij − x_ij)·x_ij/|x_ij| the projected deviation of
     the pair from particle k's locally-affine deformation — exactly 0 for
     any affine motion (rigid or uniform-strain), so it never fights the
     corrected-gradient force, only the zero-energy (hourglass) modes the
-    per-particle F cannot see.
+    per-particle F cannot see. Sign: the penalty energy ½k δ² gives
+    f_i = −k δ ∂δ/∂x_i = +k δ x̂_ij (a stretched pair, δ < 0, attracts —
+    the NEGATIVE variant anti-restores and detonates on the first
+    non-affine deformation, measured on the dropped-cube impact).
 
     q fields: X(0-2) x(3-5) F_i(6-14); src (16-row): X(0-2) x(3-5)
     F_j(6-14) hash(15). Output (B, 4). Self-pairs are exactly 0: the
@@ -1055,9 +1058,9 @@ def elastic_hourglass_pair(q_ref, src_ref, valid, pv, *, kernel_set):
               + src_ref[8 + 3 * a:9 + 3 * a, :] * dX[2])
         t = (fi + fj - 2.0 * dc[a]) * dc[a]
         raw = t if raw is None else raw + t
-    # coef = −½ W/|X|² (δi+δj)/|x| · 1/|x|; the masked W/|X|² factor is 0
+    # coef = +½ W/|X|² (δi+δj)/|x| · 1/|x|; the masked W/|X|² factor is 0
     # at every excluded slot BEFORE the (clamped, finite) invrc² joins
-    coef = (-0.5) * inv_x2 * raw * (invrc * invrc)
+    coef = 0.5 * inv_x2 * raw * (invrc * invrc)
     zero = jnp.zeros_like(coef[:, :1])
     return jnp.concatenate(
         [jnp.sum(coef * dc[0], axis=1, keepdims=True),

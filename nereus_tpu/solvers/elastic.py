@@ -62,10 +62,15 @@ class ElasticParams:
     lam: jax.Array        # second Lamé λ
     hourglass: jax.Array  # hourglass-control α
     damping: jax.Array    # mass-proportional damping (1/s)
+    floor_y: jax.Array    # ground plane (−inf = none): a conservative
+                          # penalty spring — the BOUNCE of a dropped body
+                          # is its own strain energy unloading, not a
+                          # restitution coefficient
 
 
 def elastic_params(young: float, poisson: float = 0.3, *,
                    hourglass: float = 10.0, damping: float = 0.0,
+                   floor_y: float = -jnp.inf,
                    dtype=jnp.float32) -> ElasticParams:
     """Lamé constants from Young's modulus / Poisson ratio."""
     e, nu = float(young), float(poisson)
@@ -73,7 +78,7 @@ def elastic_params(young: float, poisson: float = 0.3, *,
     lam = e * nu / ((1.0 + nu) * (1.0 - 2.0 * nu))
     s = lambda v: jnp.asarray(v, dtype)  # noqa: E731
     return ElasticParams(mu=s(mu), lam=s(lam), hourglass=s(hourglass),
-                         damping=s(damping))
+                         damping=s(damping), floor_y=s(floor_y))
 
 
 @jax.tree_util.register_dataclass
@@ -217,6 +222,21 @@ def make_elastic_solid(positions, params: SimParams, cfg: SimConfig,
         corr=jnp.broadcast_to(jnp.eye(3, dtype=cfg.dtype), (n, 3, 3)),
         fixed=fxs > 0.5, vol=vol, mass=mass)
 
+    if not cfg.use_pallas():
+        # The segment oracle's window is a STATIC capacity; solid lattices
+        # (spacing ~h/2) are denser than the fluid seeding the default 32
+        # assumes. Truncation would not just drop pairs — it breaks the
+        # force pairs' antisymmetry (i sees j, j's window misses i) and the
+        # resulting non-conservative ghost forces grow rest-state noise
+        # EXPONENTIALLY (measured: 1e-7 perturbation → joules in 0.05 s).
+        seg_s, seg_e = _segments(statics, grid)
+        need = int(jnp.max(seg_e - seg_s))
+        if need > cfg.seg_window:
+            raise ValueError(
+                f"elastic reference neighborhoods need seg_window >= "
+                f"{need} (cfg has {cfg.seg_window}): build with "
+                f"SimConfig(seg_window={need}) for the segment engine")
+
     # D_i via the same accumulator that computes F per step, evaluated at
     # x = X (identity correction) — then C = D⁻¹ makes F(rest) = I exactly.
     if cfg.use_pallas():
@@ -297,7 +317,7 @@ def _hourglass_oracle(statics, cur, f_mat, params, grid, cfg):
         fj = jnp.einsum("nkab,nkb->nka", j["f"], dX)
         raw = jnp.sum((fi + fj - 2.0 * dc) * dc, axis=-1)
         ok = valid & (r2 > 0)
-        coef = jnp.where(ok, -0.5 * w / jnp.maximum(r2, eps2) * raw
+        coef = jnp.where(ok, 0.5 * w / jnp.maximum(r2, eps2) * raw
                          * invrc * invrc, 0.0)
         return {"f": coef[..., None] * dc}
 
@@ -337,6 +357,16 @@ def _integrate(state, statics, params, ep, force, f_mat, e, seg_over):
     mass = statics.mass
     g = params.gravity
     acc = force / mass + g[None, :]
+    # ground plane as a conservative penalty spring with ω·dt = 0.2 (auto-
+    # stable under symplectic Euler; static penetration g·dt²/0.04 ≈ µm).
+    # A position PROJECTION here is an energy pump — each contact step it
+    # does work against the loaded contact layer (measured: a dropped cube
+    # gained 300× its potential energy) — while the spring is exactly
+    # conservative: the bounce is strain energy unloading, dissipation is
+    # the material damping's job.
+    depth = jnp.maximum(ep.floor_y - state.pos[:, 1], 0.0)
+    omega = 0.2 / dt
+    acc = acc.at[:, 1].add(omega * omega * depth)
     nv = (state.vel + dt * acc) / (1.0 + ep.damping * dt)
     nv = jnp.where(statics.fixed[:, None], 0.0, nv)
     np_ = state.pos + dt * nv

@@ -32,7 +32,7 @@ def _bar(cfg, nx=8, ny=4, nz=4, fixed_x0=False):
 
 @pytest.fixture(scope="module")
 def oracle_bar():
-    cfg = SimConfig(engine="segments")
+    cfg = SimConfig(engine="segments", seg_window=64)
     return cfg, _bar(cfg)
 
 
@@ -152,7 +152,7 @@ def test_damped_stretch_relaxes_to_rest(oracle_bar):
 
 
 def test_cantilever_sags_under_gravity():
-    cfg = SimConfig(engine="segments")
+    cfg = SimConfig(engine="segments", seg_window=64)
     state, statics, params, ep, grid = _bar(cfg, nx=10, ny=3, nz=3,
                                             fixed_x0=True)
     params = dataclasses.replace(
@@ -179,9 +179,61 @@ def test_cantilever_sags_under_gravity():
     assert np.abs(np.asarray(s.pos)[rooted] - x0[rooted]).max() == 0.0
 
 
+def test_dropped_cube_bounces_on_strain_energy():
+    """A soft cube dropped on the penalty-spring floor flattens, stores
+    strain energy, and rebounds — restitution emerges from elasticity
+    alone — with the total energy bounded by the initial potential (the
+    spring is conservative; a position-projection floor measurably pumped
+    energy, and an under-sized oracle seg_window grows rest noise
+    exponentially — both former bugs this test guards)."""
+    cfg = SimConfig(engine="segments", seg_window=64)
+    params = make_params(dt=1e-4, gravity=(0.0, -9.81, 0.0))
+    h = float(np.asarray(params.interaction_radius))
+    sp = 0.5 * h
+    drop = 0.05
+    pos = EL.sample_box_solid((0.0, drop, 0.0),
+                              (5 * sp, 5 * sp + drop, 5 * sp), sp)
+    ep = nt.elastic_params(2e5, 0.3, floor_y=0.0)
+    state, statics, grid = nt.make_elastic_solid(pos, params, cfg, sp)
+    step = jax.jit(lambda s: nt.elastic_step(s, statics, params, ep,
+                                             grid, cfg))
+    s = state
+    m = float(statics.mass)
+
+    def total_energy(s, diag):
+        v = np.asarray(s.vel, np.float64)
+        y = np.asarray(s.pos, np.float64)[:, 1]
+        return (0.5 * m * (v * v).sum() + m * 9.81 * y.sum()
+                + float(diag.elastic_energy))
+
+    min_y, max_u, rebound_v, e0 = 1e9, 0.0, 0.0, None
+    touched = False
+    for k in range(1200):
+        s, diag = step(s)
+        if e0 is None:
+            e0 = total_energy(s, diag)
+        y = float(jnp.min(s.pos[:, 1]))
+        min_y = min(min_y, y)
+        if y <= 1e-6:
+            touched = True
+        if touched:
+            max_u = max(max_u, float(diag.elastic_energy))
+            rebound_v = max(rebound_v,
+                            float(jnp.mean(s.vel[:, 1])))
+        assert np.isfinite(np.asarray(s.pos)).all()
+    assert touched
+    assert min_y >= -0.5 * sp, min_y       # at most shallow penetration
+    assert max_u > 0.0                     # impact stored strain energy
+    # the body as a whole moved back UP after contact (a real bounce:
+    # mean vertical velocity turns positive)
+    assert rebound_v > 0.05, rebound_v
+    # no energy injection: conservative spring + conservative elasticity
+    assert total_energy(s, diag) < 1.1 * e0, (total_energy(s, diag), e0)
+
+
 def test_oracle_pallas_lockstep():
-    cfg_o = SimConfig(engine="segments")
-    cfg_p = SimConfig(engine="pallas")
+    cfg_o = SimConfig(engine="segments", seg_window=64)
+    cfg_p = SimConfig(engine="pallas", seg_window=64)
     state, statics, params, ep, grid = _bar(cfg_o)
     state_p, statics_p, grid_p = nt.make_elastic_solid(
         np.asarray(statics.x0), params, cfg_p,
