@@ -130,6 +130,13 @@ def run_case(name, n_steps=10):
         # past ~2^24 grid cells (dam-break geometry crosses it near 20M
         # particles) the engine runs wide bitcast-int32 hashes
         "wcsph_20M": ("wcsph", 20_000_000, False),
+        # the wide-hash row that FITS one v5e's 16G HBM (wcsph_20M needs
+        # 19.95G — measured OOM): 12M particles with the domain stretched
+        # along z (the hash-major axis) past 2^24 cells, so the mod-2^24
+        # wide payloads run for real at scale (same fluid; the extra
+        # cells are empty and cost nothing — the engine has no dense
+        # cell arrays)
+        "wcsph_wide12M": ("wcsph", 12_000_000, False),
         "iisph_1M": ("iisph", 2 ** 20, False),
         "wcsph_boundary_274k": ("wcsph", 256_000, True),
         "iisph_256k": ("iisph", 256_000, False),
@@ -166,7 +173,7 @@ def run_case(name, n_steps=10):
     }[name]
 
     cfg_kw = {}
-    if name in ("wcsph_8M", "wcsph_10M", "wcsph_20M"):
+    if name in ("wcsph_8M", "wcsph_10M", "wcsph_20M", "wcsph_wide12M"):
         # fused dz-spans scale with the grid's x-extent; at 193^3+ grids
         # the default 3x512 coverage misses (47k/225k plan misses
         # measured at 8M/10M) — 3x640 covers both cleanly
@@ -198,6 +205,14 @@ def run_case(name, n_steps=10):
     state, grid, boundary = _scene(nt, scene, params, cfg, n_target,
                                    with_boundary, settle_spacing)
     n = int(np.asarray(state.num_active).sum())
+
+    if name == "wcsph_wide12M":
+        import math
+        gx, gy, gz = (int(v) for v in grid.size)
+        gz_wide = max(int(math.ceil((2 ** 24 * 1.05) / (gx * gy))), gz)
+        grid = nt.make_grid(np.asarray(grid.origin),
+                            (gx, gy, gz_wide), float(grid.cell[0]))
+        assert grid.num_cells > 2 ** 24, grid.size
 
     if solver == "multiphase":
         # top half of the fluid (by y) at rest density 0.3*rho0 — same
@@ -286,7 +301,7 @@ def main():
                  "pcisph_256k_settled", "wcsph_256k_settled",
                  "sharded_wcsph_1M", "sharded_iisph_256k",
                  "sharded_dfsph_256k", "wcsph_2M",
-                 "wcsph_4M", "wcsph_8M", "wcsph_10M", "iisph_1M",
+                 "wcsph_4M", "wcsph_8M", "wcsph_10M", "wcsph_wide12M", "iisph_1M",
                  "iisph_1M_settled", "dfsph_256k_settled",
                  "dfsph_visc_256k_settled",
                  "pbf_1M", "pbf_256k_settled", "multiphase_1M"]

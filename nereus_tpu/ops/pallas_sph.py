@@ -391,6 +391,56 @@ def boundary_force_pair(q_ref, src_ref, valid, pv, *, kernel_set,
          jnp.sum(c * dz, axis=1, keepdims=True), zero], axis=1)
 
 
+def fluid_reaction_pair(q_ref, src_ref, valid, pv, *, kernel_set):
+    """REVERSE Akinci contact: force ON a boundary-sample query FROM the
+    fluid source — the per-sample Newton-third-law reaction of
+    :func:`boundary_force_pair` (``moving=True, include_adhesion=False,
+    pressure_sign=-1``, the dynamic-body contact). Rigid bodies only need
+    the fluid-side sum (central forces → F = −Σf_i); DEFORMABLE bodies
+    need the reaction distributed per sample, hence this swapped sweep.
+
+    q fields: pos(0-2) vel(3-5) ψ(6); src: the standard 8-row FLUID
+    matrix (pos, vel, dens slot 6) — pd2_i is recomputed in-kernel from
+    the neighbor density via the Tait EOS like
+    :func:`fluid_force_pair` does. Output (B, 4): fx fy fz (pad).
+
+    Sign algebra: the forward force on fluid i is c·r_ib with
+    r_ib = x_i − x_b; the reaction is −c·r_ib = +c·d for this sweep's
+    d = x_b − x_i, and the coefficient c is invariant under the swap
+    (it reads (v_i − v_b)·r_ib = (v_b − v_i)·d) — so the body is the
+    forward formula verbatim on swapped roles.
+    """
+    dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv)
+    rl, invrl = _maybe_rl(kernel_set, r2)
+    okf = (valid & (r2 < pv[PV_H2])).astype(q_ref.dtype)
+    psi = q_ref[:, 6:7]                            # rank-1 (B, 1)
+    dens_i = jnp.maximum(src_ref[6:7, :], _EPS)    # rank-1 (1, WIN)
+    inv_dens = 1.0 / dens_i
+    sd = _w_grad_scale_default(kernel_set, r2, rl, pv, invrl)
+
+    # friction (forward `moving` branch verbatim: (v_b − v_i)·d ==
+    # (v_i − v_b)·r_ib), ν in the FLUID density
+    nu = ((2.0 * pv[PV_PM] * pv[PV_PM] * pv[PV_VISC] * pv[PV_VISC]
+           * pv[PV_H] * pv[PV_CS]) / (1.0 + 0.01 * pv[PV_H2])) \
+        * (inv_dens * inv_dens)
+    vdotr = ((q_ref[:, 3:4] - src_ref[3:4, :]) * dx
+             + (q_ref[:, 4:5] - src_ref[4:5, :]) * dy
+             + (q_ref[:, 5:6] - src_ref[5:6, :]) * dz)
+    cfric = nu * jnp.maximum(vdotr, 0.0) * psi * sd
+
+    # repulsive Akinci pressure, pd2_i from the fluid side's Tait EOS
+    ratio = dens_i * (1.0 / pv[PV_RD])
+    ratio2 = ratio * ratio
+    p_i = pv[PV_K] * (ratio2 * ratio2 * ratio2 * ratio - 1.0)
+    pd2_i = p_i * inv_dens * inv_dens
+    c = (cfric - (pv[PV_PM] * pv[PV_PM]) * psi * pd2_i * sd) * okf
+    zero = jnp.zeros_like(dx[:, :1])
+    return jnp.concatenate(
+        [jnp.sum(c * dx, axis=1, keepdims=True),
+         jnp.sum(c * dy, axis=1, keepdims=True),
+         jnp.sum(c * dz, axis=1, keepdims=True), zero], axis=1)
+
+
 # ---------------------------------------------------------------------------
 # Implicit-solver pair functions (IISPH / PCISPH; all use the default
 # (poly6/Monaghan) gradient, as the reference's implicit kernels do)

@@ -185,7 +185,7 @@ def strain_energy(e, ep: ElasticParams, vol):
 
 def make_elastic_solid(positions, params: SimParams, cfg: SimConfig,
                        spacing: float, *, grid: Optional[gridlib.Grid] = None,
-                       fixed=None):
+                       fixed=None, density=None):
     """Build an elastic body: hash-sort the reference configuration, plan
     its (lifetime-static) neighbor windows, and precompute the gradient
     corrections. Returns ``(state, statics, grid)``.
@@ -193,6 +193,8 @@ def make_elastic_solid(positions, params: SimParams, cfg: SimConfig,
     ``positions``: (N, 3) reference lattice (see :func:`sample_box_solid`);
     ``spacing``: its lattice constant (sets V = spacing³, m = ρ₀V);
     ``fixed``: optional (N,) bool of kinematically pinned particles;
+    ``density``: optional body density (defaults to the fluid ρ₀ —
+    neutrally buoyant under coupling);
     ``grid``: optional — default fits the reference AABB (the plan lives in
     reference space, so the body may MOVE arbitrarily far outside it)."""
     pos = jnp.asarray(positions, cfg.dtype)
@@ -210,7 +212,8 @@ def make_elastic_solid(positions, params: SimParams, cfg: SimConfig,
         hashes, px, py, pz, fx.astype(cfg.dtype))
     x0 = jnp.stack([px, py, pz], axis=1)
     vol = jnp.asarray(spacing, cfg.dtype) ** 3
-    mass = params.rest_density * vol
+    mass = (params.rest_density if density is None
+            else jnp.asarray(density, cfg.dtype)) * vol
 
     from ..ops.pallas_neighbors import hash_payload
     from .elastic_pallas import build_elastic_plan, f_gradient_sweep
@@ -330,14 +333,17 @@ def _hourglass_oracle(statics, cur, f_mat, params, grid, cfg):
 
 def elastic_step(state: ElasticState, statics: ElasticStatics,
                  params: SimParams, ep: ElasticParams,
-                 grid: gridlib.Grid, cfg: SimConfig):
+                 grid: gridlib.Grid, cfg: SimConfig, f_ext=None):
     """One symplectic-Euler elastic step; returns ``(state, diagnostics)``.
 
+    ``f_ext`` (optional (N, 3)): external per-particle forces held fixed
+    over the step — the fluid→solid reaction of the coupled step.
     Dispatches to the Pallas engine per ``SimConfig.engine`` (this jnp
     segment path is the everywhere-correct oracle)."""
     if cfg.use_pallas():
         from .elastic_pallas import elastic_step_pallas
-        return elastic_step_pallas(state, statics, params, ep, grid, cfg)
+        return elastic_step_pallas(state, statics, params, ep, grid, cfg,
+                                   f_ext=f_ext)
     n = statics.n
     vol = statics.vol
     raw = _f_gradient_oracle(statics, state.pos, params, grid, cfg)
@@ -348,8 +354,8 @@ def elastic_step(state: ElasticState, statics: ElasticStatics,
         statics, state.pos, f, params, grid, cfg)
     seg_s, seg_e = _segments(statics, grid)
     seg_over = gridlib.segment_overflow(seg_s, seg_e, cfg.seg_window)
-    return _integrate(state, statics, params, ep, f_el + f_hg, f, e,
-                      seg_over)
+    force = f_el + f_hg if f_ext is None else f_el + f_hg + f_ext
+    return _integrate(state, statics, params, ep, force, f, e, seg_over)
 
 
 def _integrate(state, statics, params, ep, force, f_mat, e, seg_over):

@@ -91,7 +91,7 @@ def f_gradient_sweep(statics, cur, params: SimParams, grid, cfg):
 
 
 def elastic_step_pallas(state, statics, params: SimParams, ep,
-                        grid, cfg: SimConfig):
+                        grid, cfg: SimConfig, f_ext=None):
     """One elastic step; see :func:`nereus_tpu.solvers.elastic.elastic_step`."""
     from .elastic import _integrate, stress_pc
     n = statics.n
@@ -123,5 +123,6 @@ def elastic_step_pallas(state, statics, params: SimParams, ep,
         statics, PS.elastic_hourglass_pair, q_h, src_h, pvec, grid, cfg,
         4)[:, :3]
 
-    return _integrate(state, statics, params, ep, f_el + f_hg, f, e,
+    force = f_el + f_hg if f_ext is None else f_el + f_hg + f_ext
+    return _integrate(state, statics, params, ep, force, f, e,
                       statics.miss)

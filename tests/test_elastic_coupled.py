@@ -1,0 +1,140 @@
+"""Two-way fluid–elastic coupling (beyond-reference): Newton's third law
+across the fluid↔body contact (total momentum conserved), buoyancy
+(light bodies float where heavy ones sink), and oracle↔Pallas lockstep."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import nereus_tpu as nt
+from nereus_tpu.boundary import box_boundary
+from nereus_tpu.params import SimConfig, calibrate_mass, make_params
+from nereus_tpu.scene import particle_cube
+from nereus_tpu.solvers import elastic as EL
+
+CFG = SimConfig(engine="segments", seg_window=64)
+
+
+def _free_space_scene(cfg):
+    """A fluid blob flying +x into a soft cube, no gravity, no walls —
+    every force is an internal pair force, so total momentum is exact."""
+    params = make_params(gravity=(0.0, 0.0, 0.0))
+    h = float(np.asarray(params.interaction_radius))
+    r = float(params.particle_radius)
+    blob = particle_cube((0.15, 0.2, 0.2), (0.1, 0.1, 0.1), 2 * r)
+    sp = 0.5 * h
+    cube = EL.sample_box_solid((0.27, 0.15, 0.15),
+                               (0.27 + 3 * sp, 0.15 + 3 * sp,
+                                0.15 + 3 * sp), sp)
+    lo = np.array((0.0, 0.0, 0.0))
+    hi = np.array((0.6, 0.4, 0.4))
+    grid = nt.fit_grid(lo - h, hi + h, h)
+    state = nt.make_fluid_state(blob)
+    state = dataclasses.replace(
+        state, vel=jnp.broadcast_to(jnp.array([1.5, 0.0, 0.0]),
+                                    state.vel.shape).astype(state.vel.dtype))
+    ep = nt.elastic_params(1e4, 0.3)
+    estate, statics, _ = nt.make_elastic_solid(np.asarray(cube), params,
+                                               cfg, sp, grid=grid)
+    psi = nt.elastic_psi(statics, params, cfg)
+    return params, grid, state, estate, statics, ep, psi
+
+
+def _momentum(state, estate, statics, params):
+    n = int(state.num_active)
+    pf = float(np.asarray(params.particle_mass)) * \
+        np.asarray(state.vel, np.float64)[:n].sum(0)
+    pb = float(np.asarray(statics.mass)) * \
+        np.asarray(estate.vel, np.float64).sum(0)
+    return pf + pb
+
+
+def test_total_momentum_conserved_across_contact():
+    params, grid, state, estate, statics, ep, psi = _free_space_scene(CFG)
+    step = jax.jit(lambda s, e: nt.wcsph_elastic_step(
+        s, params, grid, CFG, e, statics, ep, psi, None, substeps=2))
+    p0 = _momentum(state, estate, statics, params)
+    hit = False
+    for k in range(40):
+        state, estate, diag = step(state, estate)
+        assert np.isfinite(np.asarray(state.pos)).all()
+        assert np.isfinite(np.asarray(estate.pos)).all()
+        if float(jnp.max(jnp.abs(estate.vel))) > 1e-4:
+            hit = True
+    assert hit, "the blob never touched the body"
+    p1 = _momentum(state, estate, statics, params)
+    scale = abs(p0).max()
+    assert abs(p1 - p0).max() < 2e-3 * scale, (p0, p1)
+    # the body actually picked up momentum from the impact (+x push)
+    assert float(estate.vel[:, 0].mean()) > 0.0
+
+
+def _tank_scene(cfg, density):
+    params = calibrate_mass(make_params(), cfg)
+    h = float(np.asarray(params.interaction_radius))
+    r = float(params.particle_radius)
+    pool = particle_cube((0.25, 0.1, 0.25), (0.4, 0.16, 0.4), 2 * r)
+    lo, hi = np.zeros(3), np.array((0.5, 0.8, 0.5))
+    grid = nt.fit_grid(lo - h, hi + h, h)
+    walls = box_boundary(grid, lo, hi, r, params)
+    state = nt.make_fluid_state(pool)
+    # settle the pool before the body arrives
+    settle = jax.jit(lambda s: nt.wcsph_step(s, params, grid, cfg, walls))
+    for _ in range(120):
+        state, _d = settle(state)
+    sp = 0.5 * h
+    cube = EL.sample_box_solid((0.22, 0.24, 0.22),
+                               (0.22 + 3 * sp, 0.24 + 3 * sp,
+                                0.22 + 3 * sp), sp)
+    ep = nt.elastic_params(1e4, 0.3, damping=5.0, floor_y=0.0)
+    estate, statics, _ = nt.make_elastic_solid(
+        np.asarray(cube), params, cfg, sp, grid=grid, density=density)
+    psi = nt.elastic_psi(statics, params, cfg)
+    return params, grid, walls, state, estate, statics, ep, psi
+
+
+def _run_tank(density, steps=260):
+    params, grid, walls, state, estate, statics, ep, psi = \
+        _tank_scene(CFG, density)
+    step = jax.jit(lambda s, e: nt.wcsph_elastic_step(
+        s, params, grid, CFG, e, statics, ep, psi, walls, substeps=4))
+    for _ in range(steps):
+        state, estate, diag = step(state, estate)
+        assert np.isfinite(np.asarray(estate.pos)).all()
+        assert np.isfinite(np.asarray(state.pos)).all()
+    return float(estate.pos[:, 1].mean()), estate, diag
+
+
+def test_light_body_floats_heavy_body_sinks():
+    y_light, es_l, _ = _run_tank(density=200.0)
+    y_heavy, es_h, _ = _run_tank(density=4000.0)
+    # same start, same fluid: the heavy body ends well below the light one
+    assert y_heavy < y_light - 0.02, (y_light, y_heavy)
+    # and neither left the tank or blew up
+    for es in (es_l, es_h):
+        y = np.asarray(es.pos)[:, 1]
+        assert y.min() > -0.01 and y.max() < 0.6
+
+
+def test_oracle_pallas_lockstep():
+    cfg_p = SimConfig(engine="pallas", seg_window=64)
+    params, grid, state, estate, statics, ep, psi = _free_space_scene(CFG)
+    _, _, state_p, estate_p, statics_p, _, psi_p = _free_space_scene(cfg_p)
+    np.testing.assert_allclose(np.asarray(psi), np.asarray(psi_p),
+                               rtol=1e-6)
+    for _ in range(2):
+        state, estate, do = nt.wcsph_elastic_step(
+            state, params, grid, CFG, estate, statics, ep, psi, None,
+            substeps=2)
+        state_p, estate_p, dp = nt.wcsph_elastic_step(
+            state_p, params, grid, cfg_p, estate_p, statics_p, ep, psi_p,
+            None, substeps=2)
+    # fluid comes back hash-sorted in both engines — same order
+    np.testing.assert_allclose(np.asarray(state_p.pos),
+                               np.asarray(state.pos), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(estate_p.pos),
+                               np.asarray(estate.pos), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(estate_p.vel),
+                               np.asarray(estate.vel), atol=1e-3)
