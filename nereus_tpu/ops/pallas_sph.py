@@ -326,7 +326,7 @@ def fluid_force_pair(q_ref, src_ref, valid, pv, *, kernel_set, st_model,
 def boundary_force_pair(q_ref, src_ref, valid, pv, *, kernel_set,
                         include_pressure=True, moving=False,
                         include_adhesion=True, include_friction=True,
-                        pressure_sign=1.0):
+                        pressure_sign=1.0, consistent_pressure=False):
     """Fused boundary forces: Akinci adhesion + friction + boundary pressure
     (``computeCellForces`` boundary loop, ``sph_kernel_impl.cuh:552-602``;
     pressure term scaling per ``compute_pressure_force``).
@@ -346,6 +346,13 @@ def boundary_force_pair(q_ref, src_ref, valid, pv, *, kernel_set,
     positive pressure — and is dominated upstream by the β penalty; a
     dynamic body needs the honest sign (same flip the implicit solvers'
     ``grad_pressure_force_pair`` applies via ``boundary_sign``).
+    ``consistent_pressure=True`` drops the reference's spurious extra
+    mass factor: its m²·ψ·pd2 scale delivers only ~8.5% of the analytic
+    buoyancy on a submerged shell (measured; ψ = ρ₀V_b already plays the
+    neighbor-mass role, so the physically-consistent Akinci force is
+    m·ψ·pd2·∇W — the SPlisHSPlasH scale). Unnoticed upstream because its
+    walls are held by the β penalty, ~2000× this term. Walls here keep
+    the reference scale for parity; every dynamic body uses consistent.
     """
     dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv)
     rl, invrl = _maybe_rl(kernel_set, r2)
@@ -377,10 +384,18 @@ def boundary_force_pair(q_ref, src_ref, valid, pv, *, kernel_set,
                      + q_ref[:, 5:6] * dz)
         cfric = nu * jnp.maximum(vdotr, 0.0) * psi * sd
 
-    # boundary pressure: −m · (−m ψ pd2_i) · ∇W_dflt
+    # boundary pressure: −m · (−m ψ pd2_i) · ∇W_dflt (reference scale),
+    # or m·ψ·max(pd2_i, 0)·∇W (consistent scale — see docstring; the
+    # clamp kills the unphysical TENSION a negative free-surface Tait
+    # pressure exerts on a dynamic body — it sucked surfaced bodies back
+    # each bob, measured as sustained ±4 m/s oscillations)
     if include_pressure:
-        c = cadh + (cfric + (pressure_sign * pv[PV_PM] * pv[PV_PM])
-                    * psi * q_ref[:, 7:8] * sd)
+        if consistent_pressure:
+            c = cadh + (cfric + (pressure_sign * pv[PV_PM]) * psi
+                        * jnp.maximum(q_ref[:, 7:8], 0.0) * sd)
+        else:
+            c = cadh + (cfric + (pressure_sign * pv[PV_PM] * pv[PV_PM])
+                        * psi * q_ref[:, 7:8] * sd)
     else:
         c = cadh + cfric
     c = c * okf
@@ -428,12 +443,16 @@ def fluid_reaction_pair(q_ref, src_ref, valid, pv, *, kernel_set):
              + (q_ref[:, 5:6] - src_ref[5:6, :]) * dz)
     cfric = nu * jnp.maximum(vdotr, 0.0) * psi * sd
 
-    # repulsive Akinci pressure, pd2_i from the fluid side's Tait EOS
+    # repulsive Akinci pressure at the CONSISTENT m·ψ·pd2 scale (see
+    # boundary_force_pair's consistent_pressure note — the reference's
+    # m² form delivers ~8.5% of analytic buoyancy, measured), pd2_i from
+    # the fluid side's Tait EOS
     ratio = dens_i * (1.0 / pv[PV_RD])
     ratio2 = ratio * ratio
-    p_i = pv[PV_K] * (ratio2 * ratio2 * ratio2 * ratio - 1.0)
+    p_i = jnp.maximum(
+        pv[PV_K] * (ratio2 * ratio2 * ratio2 * ratio - 1.0), 0.0)
     pd2_i = p_i * inv_dens * inv_dens
-    c = (cfric - (pv[PV_PM] * pv[PV_PM]) * psi * pd2_i * sd) * okf
+    c = (cfric - pv[PV_PM] * psi * pd2_i * sd) * okf
     zero = jnp.zeros_like(dx[:, :1])
     return jnp.concatenate(
         [jnp.sum(c * dx, axis=1, keepdims=True),

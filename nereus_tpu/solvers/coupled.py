@@ -110,9 +110,11 @@ def _body_reduce_oracle(ctx, params, cfg, grid, bd_body, dens, pd2):
         nom = jnp.maximum(jnp.sum(dv * rij, axis=-1), 0.0)
         pij = -nu * (nom / (1.0 + 0.01 * ir * ir))
         ffric = -(pm * j["psi"] * pij)[..., None] * grad
-        # Akinci repulsive sign: −mψ pd2 ∇W (see boundary_force_pair
-        # pressure_sign note)
-        fp = -(pm * pm * j["psi"] * i["pd2"][:, None])[..., None] * grad
+        # Akinci repulsive sign at the CONSISTENT m·ψ·pd2 scale (see
+        # boundary_force_pair's pressure_sign/consistent_pressure notes —
+        # the reference's m² scale yields ~8.5% of analytic buoyancy)
+        fp = -(pm * j["psi"]
+               * jnp.maximum(i["pd2"], 0.0)[:, None])[..., None] * grad
         return {"fb": masked(
             ok, (2.0 * pm * params.viscosity) * ffric + fp)}
 
@@ -277,7 +279,8 @@ def _coupled_step_pallas(state, params, grid, cfg, bodies, boundary):
                               anchors_b, pvec, gsize, out_width=4,
                               n_rows=ctx.rows_local, interpret=interp,
                               include_pressure=True, moving=True,
-                              include_adhesion=False, pressure_sign=-1.0)
+                              include_adhesion=False, pressure_sign=-1.0,
+                              consistent_pressure=True)
         f_body = fb[:, :3]
         fx = fx + f_body[:, 0]
         fy = fy + f_body[:, 1]

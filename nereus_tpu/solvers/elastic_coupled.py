@@ -140,9 +140,10 @@ def _reaction_oracle(ctx, params, cfg, grid, bd, dens):
                * ir * params.sound_speed) / (1.0 + 0.01 * ir * ir)) \
             / (dens_i * dens_i)
         vdotr = jnp.sum((b["vel"][:, None, :] - i["vel"]) * d, axis=-1)
-        pd2_i = tait_pressure(dens_i, params) / (dens_i * dens_i)
+        pd2_i = jnp.maximum(tait_pressure(dens_i, params), 0.0) \
+            / (dens_i * dens_i)
         c = (nu * jnp.maximum(vdotr, 0.0)
-             - pm * pm * pd2_i) * b["psi"][:, None]
+             - pm * pd2_i) * b["psi"][:, None]
         return {"f": masked(ok, c[..., None] * grad)}
 
     coords = gridlib.cell_coords(grid, bd.pos)
@@ -254,7 +255,8 @@ def _estep_pallas(state, params, grid, cfg, estate, statics, ep, psi,
                           anchors_b, pvec, gsize, out_width=4,
                           n_rows=ctx.rows_local, interpret=interp,
                           include_pressure=True, moving=True,
-                          include_adhesion=False, pressure_sign=-1.0)
+                          include_adhesion=False, pressure_sign=-1.0,
+                          consistent_pressure=True)
     fx = force[:, 0] + fb[:, 0]
     fy = force[:, 1] + fb[:, 1]
     fz = force[:, 2] + fb[:, 2]

@@ -72,31 +72,42 @@ def test_total_momentum_conserved_across_contact():
 
 
 def _tank_scene(cfg, density):
-    params = calibrate_mass(make_params(), cfg)
-    h = float(np.asarray(params.interaction_radius))
-    r = float(params.particle_radius)
-    pool = particle_cube((0.25, 0.1, 0.25), (0.4, 0.16, 0.4), 2 * r)
-    lo, hi = np.zeros(3), np.array((0.5, 0.8, 0.5))
+    # pool on the resting-block recipe: 0.8h lattice, mass calibrated AT
+    # that spacing, two-spacing wall standoff (seeding against the wall
+    # reads ~2rho0 and ejects particles — a scene failure, not a solver
+    # property)
+    params0 = make_params()
+    h = float(np.asarray(params0.interaction_radius))
+    r = float(params0.particle_radius)
+    spf = 0.8 * h
+    params = calibrate_mass(params0, cfg, spacing=spf)
+    ext = np.array([0.35, 0.12, 0.35])
+    pool = particle_cube((2 * spf + ext[0] / 2, 2 * spf + ext[1] / 2,
+                          2 * spf + ext[2] / 2), ext, spf)
+    lo = np.zeros(3)
+    hi = np.array([ext[0] + 4 * spf, 0.8, ext[2] + 4 * spf])
     grid = nt.fit_grid(lo - h, hi + h, h)
     walls = box_boundary(grid, lo, hi, r, params)
     state = nt.make_fluid_state(pool)
-    # settle the pool before the body arrives
     settle = jax.jit(lambda s: nt.wcsph_step(s, params, grid, cfg, walls))
     for _ in range(120):
         state, _d = settle(state)
+    surf = float(np.quantile(np.asarray(state.pos)
+                             [:int(state.num_active), 1], 0.995))
     sp = 0.5 * h
-    cube = EL.sample_box_solid((0.22, 0.24, 0.22),
-                               (0.22 + 3 * sp, 0.24 + 3 * sp,
-                                0.22 + 3 * sp), sp)
+    y0 = surf + 1.0 * sp
+    cube = EL.sample_box_solid((0.16, y0, 0.16),
+                               (0.16 + 3 * sp, y0 + 3 * sp,
+                                0.16 + 3 * sp), sp)
     ep = nt.elastic_params(1e4, 0.3, damping=5.0, floor_y=0.0)
     estate, statics, _ = nt.make_elastic_solid(
         np.asarray(cube), params, cfg, sp, grid=grid, density=density)
     psi = nt.elastic_psi(statics, params, cfg)
-    return params, grid, walls, state, estate, statics, ep, psi
+    return params, grid, walls, state, estate, statics, ep, psi, surf
 
 
-def _run_tank(density, steps=260):
-    params, grid, walls, state, estate, statics, ep, psi = \
+def _run_tank(density, steps=300):
+    params, grid, walls, state, estate, statics, ep, psi, surf = \
         _tank_scene(CFG, density)
     step = jax.jit(lambda s, e: nt.wcsph_elastic_step(
         s, params, grid, CFG, e, statics, ep, psi, walls, substeps=4))
@@ -104,14 +115,16 @@ def _run_tank(density, steps=260):
         state, estate, diag = step(state, estate)
         assert np.isfinite(np.asarray(estate.pos)).all()
         assert np.isfinite(np.asarray(state.pos)).all()
-    return float(estate.pos[:, 1].mean()), estate, diag
+    return float(estate.pos[:, 1].mean()), estate, surf
 
 
 def test_light_body_floats_heavy_body_sinks():
-    y_light, es_l, _ = _run_tank(density=200.0)
+    y_light, es_l, surf = _run_tank(density=200.0)
     y_heavy, es_h, _ = _run_tank(density=4000.0)
-    # same start, same fluid: the heavy body ends well below the light one
+    # same start, same fluid: the heavy body ends well below the light
+    # one, and the light one is still riding near the surface
     assert y_heavy < y_light - 0.02, (y_light, y_heavy)
+    assert y_light > 0.6 * surf, (y_light, surf)
     # and neither left the tank or blew up
     for es in (es_l, es_h):
         y = np.asarray(es.pos)[:, 1]
