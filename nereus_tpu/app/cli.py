@@ -124,6 +124,14 @@ def _build_parser():
                      "triangle-mesh OBJ (exact polyhedral mass/inertia, "
                      "Akinci surface shell); same solver support as "
                      "--rigid-box")
+    run.add_argument("--elastic-box", default=None,
+                     metavar="CX,CY,CZ:SIDE:YOUNG:DENSITY",
+                     help="drop a deformable elastic cube (total-Lagrangian"
+                     " SPH, two-way coupled — it splashes, deforms, floats"
+                     " when DENSITY < rho0): side SIDE sampled at h/2,"
+                     " Young's modulus YOUNG. WCSPH single-chip; 4 elastic"
+                     " substeps per fluid step; body-wall contact is a"
+                     " floor-plane penalty at the tank floor (v1)")
     run.add_argument("--obstacle-obj", default=None,
                      metavar="PATH[:SCALE[:OX,OY,OZ]]",
                      help="static obstacle/terrain sampled from a "
@@ -209,6 +217,12 @@ def _make_setup(args):
                        seg_window=args.seg_window,
                        engine=args.neighbor_engine,
                        st_cross=getattr(args, "st_cross", 0.0), **kw)
+    if getattr(args, "elastic_box", None) and cfg.seg_window < 64:
+        # the elastic body's h/2 reference lattice overflows the segment
+        # oracle's default window (make_elastic_solid measures and
+        # refuses; pre-empt with the measured-safe value)
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, seg_window=64)
 
     overrides = {}
     if args.dt is not None:
@@ -295,6 +309,19 @@ def _parse_obstacle_obj(spec: str):
             f"--obstacle-obj expects PATH[:SCALE[:OX,OY,OZ]], got {spec!r}")
 
 
+def _parse_elastic_box(spec: str):
+    """'CX,CY,CZ:SIDE:YOUNG:DENSITY' → (center, side, young, density)."""
+    try:
+        c_s, side_s, e_s, d_s = spec.split(":")
+        center = tuple(float(v) for v in c_s.split(","))
+        assert len(center) == 3
+        return center, float(side_s), float(e_s), float(d_s)
+    except (ValueError, AssertionError):
+        raise SystemExit(
+            f"--elastic-box expects CX,CY,CZ:SIDE:YOUNG:DENSITY, "
+            f"got {spec!r}")
+
+
 def _parse_rigid_box(spec: str):
     """'CX,CY,CZ:SX,SY,SZ:DENSITY' → (center, size, density)."""
     try:
@@ -371,13 +398,15 @@ def _run_desc(args, params, grid):
         "rigid_obj": args.rigid_obj,
         "obstacle_obj": args.obstacle_obj,
         "second_phase": args.second_phase,
+        "elastic_box": getattr(args, "elastic_box", None),
     }
 
 
 # Header keys that must match between a checkpoint and the resuming run.
 _RESUME_KEYS = ("solver", "scene", "kernel_set", "surface_tension",
                 "boundary", "n_target", "dt", "particle_mass", "wavemaker",
-                "rigid_box", "rigid_obj", "obstacle_obj", "second_phase")
+                "rigid_box", "rigid_obj", "obstacle_obj", "second_phase",
+                "elastic_box")
 
 
 def cmd_run(args):
@@ -422,6 +451,26 @@ def cmd_run(args):
         if bad:
             log.error("--rigid-box/--rigid-obj requires: %s", ", ".join(bad))
             return 2
+    if args.elastic_box is not None:
+        _parse_elastic_box(args.elastic_box)  # validate early
+        bad = [n for f, n in (
+            (args.solver != "wcsph", "--solver wcsph"),
+            (args.shards > 1, "--shards 1"),
+            (args.rigid_box or args.rigid_obj, "no rigid bodies"),
+            (args.wavemaker, "no --wavemaker"),
+            (args.xsph is not None, "no --xsph"),
+            (args.adaptive_dt, "no --adaptive-dt"),
+            (args.outflow, "no --outflow"),
+            (args.emit, "no --emit"),
+            (args.drop_cube_every, "no --drop-cube-every"),
+            (args.refit_every, "no --refit-every"),
+            (args.second_phase is not None, "no --second-phase"),
+            (args.resume, "no --resume (elastic state is not "
+             "checkpointed yet)")) if f]
+        if bad:
+            log.error("--elastic-box requires: %s", ", ".join(bad))
+            return 2
+
     drain = None
     if args.outflow:
         if args.shards > 1:
@@ -659,6 +708,18 @@ def cmd_run(args):
 
             return _cstep, host_state, lambda s: s
 
+        if elastic_holder[0] is not None:
+            statics_e, ep_e, psi_e = elastic_ctx[0]
+            estep = jax.jit(lambda s, e: nt.wcsph_elastic_step(
+                s, params, grid, cfg, e, statics_e, ep_e, psi_e,
+                boundary, substeps=4))
+
+            def _estep(s, t=None):
+                s2, elastic_holder[0], d = estep(s, elastic_holder[0])
+                return s2, d
+
+            return _estep, host_state, lambda s: s
+
         wm = _parse_wavemaker(args.wavemaker) if args.wavemaker else None
 
         def bd_at(t):
@@ -729,6 +790,27 @@ def cmd_run(args):
             log.warning("checkpoint %s carries no rigid body — the "
                         "--rigid-box body restarts at its spawn pose",
                         args.resume)
+
+    elastic_holder = [None]
+    elastic_ctx = [None]
+    if args.elastic_box:
+        center, side, young, rho_e = _parse_elastic_box(args.elastic_box)
+        spe = 0.5 * float(np.asarray(params.interaction_radius))
+        npts = max(int(round(side / spe)), 1)
+        lo_e = np.asarray(center, np.float64) - (npts * spe) / 2.0
+        pts = nt.sample_box_solid(lo_e, lo_e + npts * spe, spe)
+        floor_y = (float(np.asarray(boundary.pos[:, 1]).min())
+                   if boundary is not None and boundary.num_boundaries > 0
+                   else -np.inf)
+        ep_e = nt.elastic_params(young, damping=5.0, floor_y=floor_y)
+        estate_e, statics_e, _g = nt.make_elastic_solid(
+            pts, params, cfg, spe, grid=grid, density=rho_e)
+        psi_e = nt.elastic_psi(statics_e, params, cfg)
+        elastic_holder[0] = estate_e
+        elastic_ctx[0] = (statics_e, ep_e, psi_e)
+        log.info("elastic box: center=%s side=%g young=%g density=%g "
+                 "particles=%d floor_y=%g", center, side, young, rho_e,
+                 statics_e.n, floor_y)
 
     try:
         step, run_state, to_host = build_stepper(grid, boundary, state)
@@ -888,6 +970,12 @@ def cmd_run(args):
     }
     if hasattr(diag, "solver_iters"):
         summary["solver_iters"] = int(np.asarray(diag.solver_iters))
+    if elastic_holder[0] is not None:
+        e_pos = np.asarray(elastic_holder[0].pos)
+        summary["elastic_ycom"] = round(float(e_pos[:, 1].mean()), 4)
+        if not np.isfinite(e_pos).all():
+            log.warning("elastic body state is non-finite")
+            bad = True
     log.info("done: %s", json.dumps(summary))
     print(json.dumps(summary))
     return 3 if bad else 0

@@ -465,3 +465,22 @@ def test_cli_rigid_box_dfsph(capsys):
     assert rc == 0
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["seg_overflow"] == 0
+
+
+def test_cli_elastic_box(capsys):
+    """--elastic-box: a light deformable cube coupled into the dam-break
+    tank — runs, stays finite, reports its height in the summary."""
+    rc = cli_main(["run", "--solver", "wcsph", "--steps", "5",
+                   "--neighbor-engine", "pallas",
+                   "--elastic-box", "0.25,0.45,0.25:0.09:1e4:300"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    summary = json.loads(out)
+    assert "elastic_ycom" in summary
+    assert 0.0 < summary["elastic_ycom"] < 1.0
+    assert summary["seg_overflow"] == 0
+
+    # gating: refuses composition it does not support
+    rc = cli_main(["run", "--solver", "iisph", "--steps", "1",
+                   "--elastic-box", "0.25,0.45,0.25:0.09:1e4:300"])
+    assert rc == 2
