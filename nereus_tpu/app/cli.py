@@ -129,9 +129,10 @@ def _build_parser():
                      help="drop a deformable elastic cube (total-Lagrangian"
                      " SPH, two-way coupled — it splashes, deforms, floats"
                      " when DENSITY < rho0): side SIDE sampled at h/2,"
-                     " Young's modulus YOUNG. WCSPH single-chip; 4 elastic"
-                     " substeps per fluid step; body-wall contact is a"
-                     " floor-plane penalty at the tank floor (v1)")
+                     " Young's modulus YOUNG. WCSPH; composes with --shards"
+                     " (replicated body, psum'd per-sample reaction); 4"
+                     " elastic substeps per fluid step; body-wall contact"
+                     " is a floor-plane penalty at the tank floor (v1)")
     run.add_argument("--obstacle-obj", default=None,
                      metavar="PATH[:SCALE[:OX,OY,OZ]]",
                      help="static obstacle/terrain sampled from a "
@@ -455,7 +456,6 @@ def cmd_run(args):
         _parse_elastic_box(args.elastic_box)  # validate early
         bad = [n for f, n in (
             (args.solver != "wcsph", "--solver wcsph"),
-            (args.shards > 1, "--shards 1"),
             (args.rigid_box or args.rigid_obj, "no rigid bodies"),
             (args.wavemaker, "no --wavemaker"),
             (args.xsph is not None, "no --xsph"),
@@ -659,6 +659,20 @@ def cmd_run(args):
                     return s2, d
 
                 return _cstep, run_state, unshard_state
+            if elastic_holder[0] is not None:
+                # sharded fluid–elastic coupling (WCSPH; validated above)
+                from nereus_tpu.parallel import \
+                    make_sharded_wcsph_elastic_step
+                statics_e, ep_e, psi_e = elastic_ctx[0]
+                estep = make_sharded_wcsph_elastic_step(
+                    mesh, params, grid, cfg, scfg, statics_e, ep_e,
+                    psi_e, boundary, substeps=4)
+
+                def _estep(s, t=None):
+                    s2, elastic_holder[0], d = estep(s, elastic_holder[0])
+                    return s2, d
+
+                return _estep, run_state, unshard_state
             if args.solver == "wcsph":
                 step = make_sharded_wcsph_step(
                     mesh, params, grid, cfg, scfg, boundary,

@@ -2555,3 +2555,279 @@ def make_sharded_pbf_step(mesh: Mesh, params: SimParams,
                           num_active=n_loc), diag
 
     return step
+
+
+def make_sharded_wcsph_elastic_step(mesh: Mesh, params: SimParams,
+                                    grid: gridlib.Grid, cfg: SimConfig,
+                                    scfg: ShardConfig,
+                                    statics, ep, psi,
+                                    boundary: Optional[BoundaryData] = None,
+                                    substeps: int = 4):
+    """Build the jitted multi-chip WCSPH step with two-way fluid–ELASTIC
+    coupling (deformable bodies at pod scale; beyond-reference — upstream
+    has neither elastic bodies nor multi-GPU, ``sph/sph.cpp:391-432``).
+
+    The body is REPLICATED like the rigid bodies of
+    :func:`make_sharded_dfsph_coupled_step`: every shard carries an
+    identical :class:`~nereus_tpu.solvers.elastic.ElasticState`, hash-sorts
+    it into a moving Akinci boundary, and plans its own fluid↔body windows.
+    Unlike a rigid body, a deformable one needs the reaction PER SAMPLE
+    (not just ΣF/Στ), so each shard runs the reverse sweep
+    (:func:`~nereus_tpu.ops.pallas_sph.fluid_reaction_pair`) of body
+    queries against its local fluid source — with the HALO GHOST rows'
+    positions parked in a reverse-only source pack so each fluid particle
+    contributes from exactly one shard (ghosts would double-count after
+    the reduction; parked rows fail the r² < h² cutoff, an exact zero) —
+    and the per-sample reactions are ``psum``-reduced. Every shard then
+    advances the same ``substeps`` total-Lagrangian substeps under the
+    identical psum'd reaction (deterministic lockstep, no broadcast).
+
+    ``statics``/``ep``/``psi`` as in
+    :func:`~nereus_tpu.solvers.elastic_coupled.wcsph_elastic_step`, whose
+    single-chip Pallas path this matches.
+    Returns ``step(state, estate) -> (state, estate, diag)``.
+    """
+    from ..ops import pallas_sph as PSs
+    from ..ops.pallas_neighbors import (anchors_pack16, fuse_plans,
+                                        hash_payload, pack_source,
+                                        pack_source_fused, plan_windows,
+                                        round_up, rows3_supported)
+    from ..solvers.elastic import elastic_step
+    from ..solvers.elastic_coupled import _body_boundary
+    from ..solvers.pallas_common import interpret_mode, padded_len
+
+    ax = scfg.axis_name
+    d = scfg.n_shards
+    if mesh.shape[ax] != d:
+        raise ValueError(
+            f"mesh axis {ax!r} has {mesh.shape[ax]} devices but "
+            f"ShardConfig.n_shards={d}")
+    _check_pallas_only(cfg, grid, "sharded coupled elastic")
+    cl = scfg.local_capacity
+    kh = scfg.halo_capacity
+    interp = interpret_mode()
+    rows3 = cfg.sweep_fused_rows and rows3_supported(grid.size)
+    rloc = 3 if rows3 else 9
+    swin = cfg.resolve_win(rows3)
+    sblock = cfg.resolve_block(rows3)
+    clb = round_up(cl, sblock)
+    qpad = clb - cl
+    src_len = cl + 2 * kh
+    has_b = boundary is not None and boundary.num_boundaries > 0
+    n_rows = 2 * rloc if has_b else rloc
+    psi = jnp.asarray(psi, cfg.dtype)
+    mb = statics.x0.shape[0]
+    cb_b = round_up(mb, sblock)
+    pad_b = cb_b - mb
+    p_sub = dataclasses.replace(params, dt=params.dt / substeps)
+
+    def padq(a, fillv):
+        if qpad == 0:
+            return a
+        fill = jnp.full((qpad,) + a.shape[1:], fillv, a.dtype)
+        return jnp.concatenate([a, fill])
+
+    def padc(a, fill):
+        return (a if pad_b == 0
+                else jnp.concatenate([a, jnp.full((pad_b,), fill, a.dtype)]))
+
+    def local_step(pos0, vel0, pres0, n_loc, estate):
+        sctx = _migrate_and_halo(pos0, vel0, pres0, n_loc,
+                                 grid=grid, scfg=scfg)
+        pos, vel = sctx.pos, sctx.vel
+        n_own, own_active = sctx.n_own, sctx.own_active
+        src_pos, src_vel = sctx.src_pos, sctx.src_vel
+        hash_f32 = hash_payload(sctx.src_hash, pos.dtype, grid.size)
+        dt = params.dt
+        pm = params.particle_mass
+
+        # body as a hash-sorted moving boundary — identical on every
+        # shard (replicated inputs, deterministic ops)
+        bd, perm = _body_boundary(estate, psi, grid, cfg)
+
+        pq = tuple(padq(pos[:, k], PARK) for k in range(3))
+        vq = tuple(padq(vel[:, k], 0.0) for k in range(3))
+        act_q = padq(own_active, False)
+        qcoords = gridlib.cell_coords_cols(grid, *pq)
+
+        def queries(*cols, width):
+            cols = [*pq, *cols]
+            z = jnp.zeros((clb,), pos.dtype)
+            return jnp.stack(list(cols) + [z] * (width - len(cols)),
+                             axis=0).T
+
+        pk16 = _fused_pack16(src_len, boundary, swin)
+        anchors, miss = plan_windows(sctx.src_hash, qcoords, grid.size,
+                                     sblock, padded_len(src_len, swin),
+                                     active_mask=act_q, win=swin,
+                                     pack16=pk16, rows_local=rloc)
+        pvec = PSs.build_pvec(params, cfg, grid)
+        psi_fluid = jnp.full((src_len,), 1.0, pos.dtype) * pm
+        src_vel_cols = tuple(src_vel[:, k] for k in range(3))
+
+        if has_b:
+            b_anchors, b_miss = plan_windows(
+                boundary.sorted_hash, qcoords, grid.size, sblock,
+                padded_len(src_len, swin)
+                + padded_len(boundary.num_boundaries, swin),
+                active_mask=act_q,
+                pos_offset=padded_len(src_len, swin),
+                win=swin, pack16=pk16, rows_local=rloc)
+            anchors = fuse_plans(anchors, b_anchors, pack16=pk16,
+                                 rows_local=rloc)
+            miss = miss + b_miss
+            b_hash_f32 = hash_payload(boundary.sorted_hash, pos.dtype,
+                                      grid.size)
+            bzero = jnp.zeros_like(boundary.psi)
+            bvel = ([boundary.vel[:, k] for k in range(3)]
+                    if boundary.vel is not None
+                    else [bzero, bzero, bzero])
+
+            def pack(vel_cols, slot6):
+                return pack_source_fused(
+                    src_pos, hash_f32, [*vel_cols, slot6],
+                    boundary.pos, b_hash_f32,
+                    [*bvel, boundary.psi], rows=8, win=swin)
+        else:
+            def pack(vel_cols, slot6):
+                return pack_source(src_pos, hash_f32, vel_cols, slot6,
+                                   win=swin)
+
+        # body plan + packed source (slot 6 = per-sample ψ)
+        pk16_b = anchors_pack16(padded_len(mb, swin), swin)
+        anchors_b, miss_b = plan_windows(
+            bd.sorted_hash, qcoords, grid.size, sblock,
+            padded_len(mb, swin), active_mask=act_q, win=swin,
+            pack16=pk16_b, rows_local=rloc)
+        src_b = pack_source(
+            tuple(bd.pos[:, a] for a in range(3)),
+            hash_payload(bd.sorted_hash, pos.dtype, grid.size),
+            vel=tuple(bd.vel[:, a] for a in range(3)),
+            dens_or_psi=bd.psi, win=swin)
+
+        # --- density: walls (fused) + body shell ------------------------
+        q4 = queries(width=4)
+        zc = jnp.zeros((src_len,), pos.dtype)
+        dens = PSs.density_sweep(cfg, q4, pack((zc, zc, zc), psi_fluid),
+                                 anchors, pvec, grid.size,
+                                 n_rows=n_rows, interpret=interp)[:cl]
+        dens = dens + PSs.density_sweep(cfg, q4, src_b, anchors_b, pvec,
+                                        grid.size, n_rows=rloc,
+                                        interpret=interp)[:cl]
+        prs = wcsph_mod.tait_pressure(dens, params)
+        dens_safe = jnp.maximum(dens, 1e-12)
+        pd2 = prs / (dens_safe * dens_safe)
+
+        # second halo hop: ghost densities for the force sweeps
+        (src_dens,) = _halo_hop({"dens": dens}, sctx, scfg, n_own)
+
+        # --- forces: walls (fused) + body contact ------------------------
+        q8 = queries(*vq, padq(dens, 0.0), padq(pd2, 0.0), width=8)
+        force = PSs.fluid_force_sweep(
+            cfg, q8, pack(src_vel_cols, src_dens), anchors, pvec,
+            grid.size, n_rows=n_rows,
+            moving_boundary=_moving_b(boundary), interpret=interp)
+        fb = PSs.generic_sweep(cfg, PSs.boundary_force_pair, q8, src_b,
+                               anchors_b, pvec, grid.size, out_width=4,
+                               n_rows=rloc, interpret=interp,
+                               include_pressure=True, moving=True,
+                               include_adhesion=False, pressure_sign=-1.0,
+                               consistent_pressure=True)
+        force = force[:cl] + fb[:cl, :3] + pm * params.gravity
+
+        # --- reverse sweep: reaction per body sample ----------------------
+        # ghost rows' POSITIONS are parked in this reverse-only source so
+        # each owned fluid particle contributes from exactly ONE shard
+        # (the psum below would double-count halo copies; parked rows fail
+        # r² < h² — an exact zero, same mechanism as inactive slots)
+        i_src = jnp.arange(src_len, dtype=jnp.int32)
+        own_src = (i_src >= kh) & (i_src < kh + n_own)
+        rev_pos = tuple(jnp.where(own_src, src_pos[:, k], PARK)
+                        for k in range(3))
+        rev_src = pack_source(rev_pos, hash_f32, vel=src_vel_cols,
+                              dens_or_psi=src_dens, win=swin)
+        bcols = [padc(bd.pos[:, k], PARK) for k in range(3)]
+        bvels = [padc(bd.vel[:, k], 0.0) for k in range(3)]
+        bpsi = padc(bd.psi, 0.0)
+        q_b = jnp.stack(bcols + bvels
+                        + [bpsi, jnp.zeros_like(bpsi)], axis=0).T
+        b_active = jnp.arange(cb_b) < mb
+        b_coords = gridlib.cell_coords_cols(grid, *bcols)
+        pk16_r = anchors_pack16(padded_len(src_len, swin), swin)
+        anchors_r, miss_r = plan_windows(
+            sctx.src_hash, b_coords, grid.size, sblock,
+            padded_len(src_len, swin), active_mask=b_active, win=swin,
+            pack16=pk16_r, rows_local=rloc)
+        f_rev = PSs.generic_sweep(cfg, PSs.fluid_reaction_pair, q_b,
+                                  rev_src, anchors_r, pvec, grid.size,
+                                  out_width=4, n_rows=rloc,
+                                  interpret=interp)[:mb, :3]
+        f_react = jnp.zeros_like(f_rev).at[perm].set(f_rev)
+        f_react = jax.lax.psum(f_react, ax)
+        miss = miss + miss_b + miss_r
+
+        # --- elastic substeps under the frozen psum'd reaction ------------
+        # replicated compute: identical inputs → identical body on every
+        # shard, no broadcast needed
+        def sub(_, carry):
+            es, _d = carry
+            return elastic_step(es, statics, p_sub, ep, grid, cfg,
+                                f_ext=f_react)
+
+        es0, d0 = elastic_step(estate, statics, p_sub, ep, grid, cfg,
+                               f_ext=f_react)
+        new_estate, ediag = jax.lax.fori_loop(1, substeps, sub, (es0, d0))
+
+        # --- integrate fluid ----------------------------------------------
+        new_vel = vel + (dt / pm) * force
+        new_pos = pos + dt * new_vel
+        new_vel = jnp.where(own_active[:, None], new_vel,
+                            jnp.zeros_like(vel))
+        new_pos = jnp.where(own_active[:, None], new_pos,
+                            jnp.full_like(pos, PARK))
+        new_pres = jnp.where(own_active, prs, 0.0)
+
+        nact_f = jnp.maximum(
+            jax.lax.psum(n_own.astype(cfg.dtype), ax), 1.0)
+        relerr = jnp.where(
+            own_active,
+            (dens - params.rest_density) / params.rest_density, 0.0)
+        diag = ShardedDiagnostics(
+            max_density=jax.lax.pmax(
+                jnp.max(jnp.where(own_active, dens, 0.0)), ax),
+            mean_density_error=jax.lax.psum(
+                jnp.sum(jnp.abs(relerr)), ax) / nact_f,
+            mean_compression=jax.lax.psum(
+                jnp.sum(jnp.maximum(relerr, 0.0)), ax) / nact_f,
+            seg_overflow=jax.lax.pmax(
+                jnp.maximum(miss, ediag.seg_overflow), ax),
+            halo_overflow=jax.lax.pmax(sctx.halo_overflow, ax),
+            migration_overflow=jax.lax.pmax(sctx.mig_overflow, ax),
+            capacity_overflow=jax.lax.pmax(sctx.cap_overflow, ax),
+            migration_violation=jax.lax.psum(sctx.mig_violation, ax),
+            num_active=jax.lax.psum(n_own, ax),
+            solver_iters=jnp.asarray(0, jnp.int32),
+        )
+        return new_pos, new_vel, new_pres, n_own[None], new_estate, diag
+
+    pspec = P(ax)
+    rep = P()
+    # prefix specs: `rep` broadcasts over the whole ElasticState pytree
+    sharded = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(pspec, pspec, pspec, pspec, rep),
+        out_specs=(pspec, pspec, pspec, pspec, rep,
+                   jax.tree_util.tree_map(lambda _: rep,
+                                          _diag_struct())),
+        check_vma=False)
+
+    @jax.jit
+    def step(state: FluidState, estate):
+        _refuse_multiphase(state, "elastic-coupled")
+        pos, vel, pres, n_loc, new_estate, diag = sharded(
+            state.pos, state.vel, state.pressure, state.num_active,
+            estate)
+        return (FluidState(pos=pos, vel=vel, pressure=pres,
+                           num_active=n_loc), new_estate, diag)
+
+    return step
