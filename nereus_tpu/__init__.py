@@ -26,6 +26,7 @@ from .solvers.elastic import (ElasticParams, ElasticState, ElasticStatics,
                               make_elastic_solid, sample_box_solid)
 from .solvers.elastic_coupled import elastic_psi, wcsph_elastic_step
 from .solvers.dfsph_coupled import dfsph_coupled_step
+from .solvers.dfsph_elastic import dfsph_elastic_step
 from .solvers.wcsph import wcsph_step, tait_pressure, cfl_dt
 from .solvers.iisph import iisph_step
 from .solvers.dfsph import dfsph_step
@@ -50,7 +51,7 @@ __all__ = [
     "wcsph_coupled_step", "dfsph_coupled_step",
     "ElasticParams", "ElasticState", "ElasticStatics", "elastic_params",
     "elastic_step", "make_elastic_solid", "sample_box_solid",
-    "elastic_psi", "wcsph_elastic_step",
+    "elastic_psi", "wcsph_elastic_step", "dfsph_elastic_step",
     "wcsph_step", "tait_pressure", "cfl_dt",
     "iisph_step", "dfsph_step", "pbf_step", "pcisph_step", "pcisph_delta",
     "pcisph_delta_from_denom", "pcisph_grad_denom",

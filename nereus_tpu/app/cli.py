@@ -129,10 +129,12 @@ def _build_parser():
                      help="drop a deformable elastic cube (total-Lagrangian"
                      " SPH, two-way coupled — it splashes, deforms, floats"
                      " when DENSITY < rho0): side SIDE sampled at h/2,"
-                     " Young's modulus YOUNG. WCSPH; composes with --shards"
-                     " (replicated body, psum'd per-sample reaction); 4"
-                     " elastic substeps per fluid step; body-wall contact"
-                     " is a floor-plane penalty at the tank floor (v1)")
+                     " Young's modulus YOUNG. WCSPH or DFSPH (the body"
+                     " couples through the incompressible pressure solver"
+                     " itself); WCSPH composes with --shards (replicated"
+                     " body, psum'd per-sample reaction); 4 elastic"
+                     " substeps per fluid step; body-wall contact is a"
+                     " floor-plane penalty at the tank floor (v1)")
     run.add_argument("--obstacle-obj", default=None,
                      metavar="PATH[:SCALE[:OX,OY,OZ]]",
                      help="static obstacle/terrain sampled from a "
@@ -455,7 +457,11 @@ def cmd_run(args):
     if args.elastic_box is not None:
         _parse_elastic_box(args.elastic_box)  # validate early
         bad = [n for f, n in (
-            (args.solver != "wcsph", "--solver wcsph"),
+            (args.solver not in ("wcsph", "dfsph"),
+             "--solver wcsph or dfsph"),
+            (args.solver == "dfsph" and args.shards > 1,
+             "--shards 1 for dfsph (sharded elastic coupling is "
+             "WCSPH-only)"),
             (args.rigid_box or args.rigid_obj, "no rigid bodies"),
             (args.wavemaker, "no --wavemaker"),
             (args.xsph is not None, "no --xsph"),
@@ -464,9 +470,7 @@ def cmd_run(args):
             (args.emit, "no --emit"),
             (args.drop_cube_every, "no --drop-cube-every"),
             (args.refit_every, "no --refit-every"),
-            (args.second_phase is not None, "no --second-phase"),
-            (args.resume, "no --resume (elastic state is not "
-             "checkpointed yet)")) if f]
+            (args.second_phase is not None, "no --second-phase")) if f]
         if bad:
             log.error("--elastic-box requires: %s", ", ".join(bad))
             return 2
@@ -575,9 +579,10 @@ def cmd_run(args):
     desc = _run_desc(args, params, grid)
     step0 = 0
     resume_bodies = ()
+    resume_elastic = ()
     if args.resume:
-        state, header, resume_bodies = load_checkpoint(
-            args.resume, return_bodies=True)
+        state, header, resume_bodies, resume_elastic = load_checkpoint(
+            args.resume, return_bodies=True, return_elastic=True)
         prev = header.get("extra") or {}
         def differs(a, b):
             # float keys (dt, particle_mass) are recomputed at resume
@@ -724,7 +729,9 @@ def cmd_run(args):
 
         if elastic_holder[0] is not None:
             statics_e, ep_e, psi_e = elastic_ctx[0]
-            estep = jax.jit(lambda s, e: nt.wcsph_elastic_step(
+            efn = (nt.dfsph_elastic_step if args.solver == "dfsph"
+                   else nt.wcsph_elastic_step)
+            estep = jax.jit(lambda s, e: efn(
                 s, params, grid, cfg, e, statics_e, ep_e, psi_e,
                 boundary, substeps=4))
 
@@ -825,6 +832,37 @@ def cmd_run(args):
         log.info("elastic box: center=%s side=%g young=%g density=%g "
                  "particles=%d floor_y=%g", center, side, young, rho_e,
                  statics_e.n, floor_y)
+        if resume_elastic:
+            # the body is dynamic state: resume mid-trajectory. The
+            # statics were rebuilt from the (resume-key-matched) spec
+            # above; the stored reference configuration is the row-
+            # alignment witness — restored (pos, vel) rows are hash-
+            # sorted by x0, and a different grid could permute them.
+            res_estate, res_x0 = resume_elastic[0]
+            if not np.array_equal(res_x0, np.asarray(statics_e.x0)):
+                if args.allow_resume_mismatch:
+                    log.warning("elastic reference configuration in %s "
+                                "does not match the rebuilt body "
+                                "(grid/scene drift) — the --elastic-box "
+                                "body restarts at its spawn pose",
+                                args.resume)
+                else:
+                    log.error("refusing to resume %s: its elastic body's "
+                              "reference configuration does not match "
+                              "this run's rebuilt body (grid or scene "
+                              "drift would silently permute the restored "
+                              "rows) — pass --allow-resume-mismatch to "
+                              "restart the body at its spawn pose",
+                              args.resume)
+                    return 2
+            else:
+                elastic_holder[0] = res_estate
+                log.info("resumed elastic body at ycom=%.4f",
+                         float(np.asarray(res_estate.pos)[:, 1].mean()))
+        elif args.resume:
+            log.warning("checkpoint %s carries no elastic body — the "
+                        "--elastic-box body restarts at its spawn pose",
+                        args.resume)
 
     try:
         step, run_state, to_host = build_stepper(grid, boundary, state)
@@ -952,7 +990,10 @@ def cmd_run(args):
                 save_checkpoint(f"{args.out}_ckpt_{i:06d}.npz",
                                 to_host(run_state), step=i, extra=desc,
                                 bodies=(body_holder[0],)
-                                if body_holder[0] is not None else None)
+                                if body_holder[0] is not None else None,
+                                elastic=((elastic_holder[0],
+                                          elastic_ctx[0][0]),)
+                                if elastic_holder[0] is not None else None)
         jax.block_until_ready(run_state.pos)
     dt_wall = time.perf_counter() - t0
     if drain is not None:

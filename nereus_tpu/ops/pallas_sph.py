@@ -406,13 +406,17 @@ def boundary_force_pair(q_ref, src_ref, valid, pv, *, kernel_set,
          jnp.sum(c * dz, axis=1, keepdims=True), zero], axis=1)
 
 
-def fluid_reaction_pair(q_ref, src_ref, valid, pv, *, kernel_set):
+def fluid_reaction_pair(q_ref, src_ref, valid, pv, *, kernel_set,
+                        include_pressure: bool = True):
     """REVERSE Akinci contact: force ON a boundary-sample query FROM the
     fluid source — the per-sample Newton-third-law reaction of
     :func:`boundary_force_pair` (``moving=True, include_adhesion=False,
     pressure_sign=-1``, the dynamic-body contact). Rigid bodies only need
     the fluid-side sum (central forces → F = −Σf_i); DEFORMABLE bodies
     need the reaction distributed per sample, hence this swapped sweep.
+    ``include_pressure=False`` drops the Tait pressure term (friction
+    only) — the DFSPH coupling's non-pressure stage, where the stiffness
+    solver does the pushing and its reaction ships separately.
 
     q fields: pos(0-2) vel(3-5) ψ(6); src: the standard 8-row FLUID
     matrix (pos, vel, dens slot 6) — pd2_i is recomputed in-kernel from
@@ -447,12 +451,15 @@ def fluid_reaction_pair(q_ref, src_ref, valid, pv, *, kernel_set):
     # boundary_force_pair's consistent_pressure note — the reference's
     # m² form delivers ~8.5% of analytic buoyancy, measured), pd2_i from
     # the fluid side's Tait EOS
-    ratio = dens_i * (1.0 / pv[PV_RD])
-    ratio2 = ratio * ratio
-    p_i = jnp.maximum(
-        pv[PV_K] * (ratio2 * ratio2 * ratio2 * ratio - 1.0), 0.0)
-    pd2_i = p_i * inv_dens * inv_dens
-    c = (cfric - pv[PV_PM] * psi * pd2_i * sd) * okf
+    if include_pressure:
+        ratio = dens_i * (1.0 / pv[PV_RD])
+        ratio2 = ratio * ratio
+        p_i = jnp.maximum(
+            pv[PV_K] * (ratio2 * ratio2 * ratio2 * ratio - 1.0), 0.0)
+        pd2_i = p_i * inv_dens * inv_dens
+        c = (cfric - pv[PV_PM] * psi * pd2_i * sd) * okf
+    else:
+        c = cfric * okf
     zero = jnp.zeros_like(dx[:, :1])
     return jnp.concatenate(
         [jnp.sum(c * dx, axis=1, keepdims=True),

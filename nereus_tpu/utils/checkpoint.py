@@ -34,23 +34,39 @@ _BODY_FIELDS = ("offsets", "psi", "mass", "inertia_body", "com", "R",
 
 
 def save_checkpoint(path: str, state: FluidState, *, step: int = 0,
-                    extra: dict | None = None, bodies=None) -> None:
+                    extra: dict | None = None, bodies=None,
+                    elastic=None) -> None:
     """Write the fluid state (host-gathered) and metadata to ``path``.
 
     ``bodies`` (optional) is a :class:`~nereus_tpu.rigid.RigidBody` or a
     sequence of them — a coupled run's dynamic bodies are part of the
     physical state and resume mid-trajectory (pose, velocities, AND the
     Akinci shell, so a resumed run needs no scene rebuild to agree
-    bit-for-bit)."""
+    bit-for-bit).
+
+    ``elastic`` (optional) is one ``(ElasticState, ElasticStatics)`` pair
+    or a sequence of them. Only the DYNAMIC state (pos, vel) plus the
+    statics' reference configuration ``x0`` are stored: unlike a rigid
+    shell, :class:`~nereus_tpu.solvers.elastic.ElasticStatics` is a
+    deterministic function of the reference lattice / grid / config, so
+    the resuming run rebuilds it and ``x0`` serves as an ALIGNMENT
+    WITNESS — the restored (pos, vel) rows are hash-sorted by the
+    reference configuration, and a resume under a different grid could
+    silently permute them; callers must verify ``x0`` matches the rebuilt
+    statics bit-for-bit (the CLI does)."""
     if bodies is not None and not isinstance(bodies, (tuple, list)):
         bodies = (bodies,)
     bodies = bodies or ()
+    if elastic is not None and not isinstance(elastic[0], (tuple, list)):
+        elastic = (elastic,)
+    elastic = elastic or ()
     header = {
         "format_version": _FORMAT_VERSION,
         "step": int(step),
         "num_active": int(state.num_active) if state.num_active.ndim == 0
         else None,
         "num_bodies": len(bodies),
+        "num_elastic": len(elastic),
         "extra": extra or {},
     }
     arrays = {
@@ -69,6 +85,10 @@ def save_checkpoint(path: str, state: FluidState, *, step: int = 0,
     for i, b in enumerate(bodies):
         for f in _BODY_FIELDS:
             arrays[f"body{i}_{f}"] = np.asarray(getattr(b, f))
+    for i, (es, st) in enumerate(elastic):
+        arrays[f"elastic{i}_pos"] = np.asarray(es.pos)
+        arrays[f"elastic{i}_vel"] = np.asarray(es.vel)
+        arrays[f"elastic{i}_x0"] = np.asarray(st.x0)
     np.savez_compressed(path, **arrays)
 
 
@@ -100,11 +120,18 @@ def load_checkpoint_orbax(path: str):
     return state, int(tree["meta"]["step"])
 
 
-def load_checkpoint(path: str, *, return_bodies: bool = False):
+def load_checkpoint(path: str, *, return_bodies: bool = False,
+                    return_elastic: bool = False):
     """Returns ``(FluidState, header_dict)``; with ``return_bodies=True``,
-    ``(FluidState, header_dict, bodies_tuple)`` — empty tuple for
-    checkpoints written without bodies (``num_bodies`` absent or 0)."""
+    appends ``bodies_tuple`` — empty tuple for checkpoints written without
+    bodies (``num_bodies`` absent or 0); with ``return_elastic=True``,
+    further appends a tuple of ``(ElasticState, x0_ndarray)`` pairs — the
+    caller rebuilds :class:`ElasticStatics` from its scene and MUST verify
+    the rebuilt ``statics.x0`` equals the stored ``x0`` bit-for-bit before
+    using the restored state (row alignment witness; see
+    :func:`save_checkpoint`)."""
     from ..rigid import RigidBody
+    from ..solvers.elastic import ElasticState
 
     with np.load(path) as z:
         header = json.loads(bytes(z["__header__"]).decode())
@@ -120,10 +147,18 @@ def load_checkpoint(path: str, *, return_bodies: bool = False):
             mass=jnp.asarray(z["mass"]) if "mass" in z else None,
             rho0=jnp.asarray(z["rho0"]) if "rho0" in z else None,
         )
-        if not return_bodies:
+        if not return_bodies and not return_elastic:
             return state, header
-        bodies = tuple(
-            RigidBody(**{f: jnp.asarray(z[f"body{i}_{f}"])
-                         for f in _BODY_FIELDS})
-            for i in range(header.get("num_bodies", 0)))
-    return state, header, bodies
+        out = [state, header]
+        if return_bodies:
+            out.append(tuple(
+                RigidBody(**{f: jnp.asarray(z[f"body{i}_{f}"])
+                             for f in _BODY_FIELDS})
+                for i in range(header.get("num_bodies", 0))))
+        if return_elastic:
+            out.append(tuple(
+                (ElasticState(pos=jnp.asarray(z[f"elastic{i}_pos"]),
+                              vel=jnp.asarray(z[f"elastic{i}_vel"])),
+                 np.asarray(z[f"elastic{i}_x0"]))
+                for i in range(header.get("num_elastic", 0))))
+    return tuple(out)

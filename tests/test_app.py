@@ -102,6 +102,48 @@ def test_cli_rigid_box_resume(tmp_path, capsys):
     capsys.readouterr()
 
 
+def test_cli_elastic_box_resume(tmp_path, capsys):
+    """An --elastic-box run's checkpoints carry the deformable body's
+    dynamic state plus its reference configuration as an alignment
+    witness; --resume continues it mid-trajectory, and a different
+    --elastic-box spec refuses like any physics mismatch."""
+    out = str(tmp_path / "eb")
+    spec = "0.25,0.5,0.25:0.06:1e4:300"
+    rc = cli_main(["run", "--solver", "wcsph", "--steps", "6",
+                   "--neighbor-engine", "pallas", "--elastic-box", spec,
+                   "--checkpoint-every", "4", "--out", out])
+    assert rc == 0
+    capsys.readouterr()
+    ckpt = f"{out}_ckpt_000004.npz"
+    _, header, elastic = load_checkpoint(ckpt, return_elastic=True)
+    assert header["extra"]["elastic_box"] == spec
+    assert header["num_elastic"] == 1 and len(elastic) == 1
+    es4, x04 = elastic[0]
+    assert np.isfinite(np.asarray(es4.pos)).all()
+    assert x04.shape == es4.pos.shape
+    ycom4 = float(np.asarray(es4.pos)[:, 1].mean())
+    assert ycom4 < 0.5             # the body has fallen from spawn
+
+    rc = cli_main(["run", "--solver", "wcsph", "--steps", "4",
+                   "--neighbor-engine", "pallas", "--elastic-box", spec,
+                   "--checkpoint-every", "2", "--resume", ckpt,
+                   "--out", out])
+    assert rc == 0
+    capsys.readouterr()
+    _, _, elastic6 = load_checkpoint(f"{out}_ckpt_000006.npz",
+                                     return_elastic=True)
+    # resumed mid-fall: two more steps continue the trajectory downward
+    assert float(np.asarray(elastic6[0][0].pos)[:, 1].mean()) < ycom4
+
+    # a different body spec is a physics mismatch → refuse
+    rc = cli_main(["run", "--solver", "wcsph", "--steps", "2",
+                   "--neighbor-engine", "pallas",
+                   "--elastic-box", "0.25,0.5,0.25:0.06:1e4:900",
+                   "--resume", ckpt, "--out", out])
+    assert rc == 2
+    capsys.readouterr()
+
+
 def test_render_frame_draws_particles():
     rng = np.random.default_rng(1)
     pos = rng.uniform(0.1, 0.4, (500, 3))
