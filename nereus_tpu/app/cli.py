@@ -820,10 +820,18 @@ def cmd_run(args):
         npts = max(int(round(side / spe)), 1)
         lo_e = np.asarray(center, np.float64) - (npts * spe) / 2.0
         pts = nt.sample_box_solid(lo_e, lo_e + npts * spe, spe)
-        floor_y = (float(np.asarray(boundary.pos[:, 1]).min())
-                   if boundary is not None and boundary.num_boundaries > 0
-                   else -np.inf)
-        ep_e = nt.elastic_params(young, damping=5.0, floor_y=floor_y)
+        if boundary is not None and boundary.num_boundaries > 0:
+            bp = np.asarray(boundary.pos)
+            floor_y = float(bp[:, 1].min())
+            # tank AABB from the wall samples (open top): dry contact /
+            # splash-out containment on all side walls, not just the floor
+            box_lo = (float(bp[:, 0].min()), -np.inf, float(bp[:, 2].min()))
+            box_hi = (float(bp[:, 0].max()), np.inf, float(bp[:, 2].max()))
+        else:
+            floor_y = -np.inf
+            box_lo = box_hi = None
+        ep_e = nt.elastic_params(young, damping=5.0, floor_y=floor_y,
+                                 box_lo=box_lo, box_hi=box_hi)
         estate_e, statics_e, _g = nt.make_elastic_solid(
             pts, params, cfg, spe, grid=grid, density=rho_e)
         psi_e = nt.elastic_psi(statics_e, params, cfg)

@@ -66,19 +66,28 @@ class ElasticParams:
                           # penalty spring — the BOUNCE of a dropped body
                           # is its own strain energy unloading, not a
                           # restitution coefficient
+    box_lo: jax.Array     # (3,) tank AABB walls (±inf = none): the same
+    box_hi: jax.Array     # conservative penalty spring on all 6 faces,
+                          # so a floating body stays inside the tank
+                          # (composes with floor_y; the fluid contact
+                          # keeps it off the walls in water — these catch
+                          # dry contact and splash-out)
 
 
 def elastic_params(young: float, poisson: float = 0.3, *,
                    hourglass: float = 10.0, damping: float = 0.0,
-                   floor_y: float = -jnp.inf,
+                   floor_y: float = -jnp.inf, box_lo=None, box_hi=None,
                    dtype=jnp.float32) -> ElasticParams:
     """Lamé constants from Young's modulus / Poisson ratio."""
     e, nu = float(young), float(poisson)
     mu = e / (2.0 * (1.0 + nu))
     lam = e * nu / ((1.0 + nu) * (1.0 - 2.0 * nu))
     s = lambda v: jnp.asarray(v, dtype)  # noqa: E731
+    inf3 = jnp.full((3,), jnp.inf, dtype)
     return ElasticParams(mu=s(mu), lam=s(lam), hourglass=s(hourglass),
-                         damping=s(damping), floor_y=s(floor_y))
+                         damping=s(damping), floor_y=s(floor_y),
+                         box_lo=-inf3 if box_lo is None else s(box_lo),
+                         box_hi=inf3 if box_hi is None else s(box_hi))
 
 
 @jax.tree_util.register_dataclass
@@ -373,6 +382,11 @@ def _integrate(state, statics, params, ep, force, f_mat, e, seg_over):
     depth = jnp.maximum(ep.floor_y - state.pos[:, 1], 0.0)
     omega = 0.2 / dt
     acc = acc.at[:, 1].add(omega * omega * depth)
+    # tank AABB walls: the identical conservative spring on all 6 faces
+    # (±inf defaults make both terms exactly 0 — max(-inf-x, 0) = 0)
+    acc = acc + (omega * omega) * (
+        jnp.maximum(ep.box_lo[None, :] - state.pos, 0.0)
+        - jnp.maximum(state.pos - ep.box_hi[None, :], 0.0))
     nv = (state.vel + dt * acc) / (1.0 + ep.damping * dt)
     nv = jnp.where(statics.fixed[:, None], 0.0, nv)
     np_ = state.pos + dt * nv

@@ -256,3 +256,42 @@ def test_oracle_pallas_lockstep():
                                rtol=0, atol=1e-4)
     np.testing.assert_allclose(float(dp.elastic_energy),
                                float(do.elastic_energy), rtol=1e-3)
+
+
+def test_tank_box_walls_contain_sliding_cube():
+    """A cube sliding +x in zero gravity hits the tank's AABB side wall
+    (the same conservative penalty spring as the floor, on all 6 faces),
+    stays inside, and bounces back — with total energy bounded (the wall
+    spring must not pump, exactly like the floor)."""
+    cfg = SimConfig(engine="segments", seg_window=64)
+    params = make_params(dt=1e-4, gravity=(0.0, 0.0, 0.0))
+    h = float(np.asarray(params.interaction_radius))
+    sp = 0.5 * h
+    pos = EL.sample_box_solid((0.0, 0.0, 0.0), (4 * sp, 4 * sp, 4 * sp),
+                              sp)
+    wall_x = 4 * sp + 0.03
+    ep = nt.elastic_params(2e5, 0.3,
+                           box_lo=(-1.0, -1.0, -1.0),
+                           box_hi=(wall_x, 1.0, 1.0))
+    state, statics, grid = nt.make_elastic_solid(pos, params, cfg, sp)
+    v0 = 1.0
+    state = dataclasses.replace(
+        state, vel=jnp.broadcast_to(jnp.array([v0, 0.0, 0.0]),
+                                    state.vel.shape).astype(state.vel.dtype))
+    step = jax.jit(lambda s: nt.elastic_step(s, statics, params, ep,
+                                             grid, cfg))
+    m = float(statics.mass)
+    n = state.pos.shape[0]
+    e0 = 0.5 * m * n * v0 * v0
+    max_x, vx_min = -1e9, 1e9
+    for _ in range(1500):
+        state, diag = step(state)
+        assert np.isfinite(np.asarray(state.pos)).all()
+        max_x = max(max_x, float(jnp.max(state.pos[:, 0])))
+        vx_min = min(vx_min, float(jnp.mean(state.vel[:, 0])))
+        v = np.asarray(state.vel, np.float64)
+        e = 0.5 * m * (v * v).sum() + float(diag.elastic_energy)
+        assert e < 1.1 * e0 + 1e-9, e
+    assert max_x > wall_x - 1e-6            # it reached the wall
+    assert max_x < wall_x + 2 * sp          # shallow penetration only
+    assert vx_min < -0.2 * v0               # and bounced back
