@@ -135,6 +135,13 @@ def _build_parser():
                      " body, psum'd per-sample reaction); 4 elastic"
                      " substeps per fluid step; body-wall contact is a"
                      " floor-plane penalty at the tank floor (v1)")
+    run.add_argument("--yield-strain", type=float, default=None,
+                     metavar="GAMMA",
+                     help="make the --elastic-box body elastoplastic: von"
+                     " Mises yield threshold on the deviatoric Green"
+                     " strain (additive plasticity, O'Brien 2002) — the"
+                     " body takes a permanent set where impacts exceed"
+                     " GAMMA (try 0.02-0.05); elastic when omitted")
     run.add_argument("--obstacle-obj", default=None,
                      metavar="PATH[:SCALE[:OX,OY,OZ]]",
                      help="static obstacle/terrain sampled from a "
@@ -402,6 +409,7 @@ def _run_desc(args, params, grid):
         "obstacle_obj": args.obstacle_obj,
         "second_phase": args.second_phase,
         "elastic_box": getattr(args, "elastic_box", None),
+        "yield_strain": getattr(args, "yield_strain", None),
     }
 
 
@@ -409,7 +417,7 @@ def _run_desc(args, params, grid):
 _RESUME_KEYS = ("solver", "scene", "kernel_set", "surface_tension",
                 "boundary", "n_target", "dt", "particle_mass", "wavemaker",
                 "rigid_box", "rigid_obj", "obstacle_obj", "second_phase",
-                "elastic_box")
+                "elastic_box", "yield_strain")
 
 
 def cmd_run(args):
@@ -830,10 +838,14 @@ def cmd_run(args):
         else:
             floor_y = -np.inf
             box_lo = box_hi = None
-        ep_e = nt.elastic_params(young, damping=5.0, floor_y=floor_y,
-                                 box_lo=box_lo, box_hi=box_hi)
+        plastic_e = args.yield_strain is not None
+        ep_e = nt.elastic_params(
+            young, damping=5.0, floor_y=floor_y,
+            box_lo=box_lo, box_hi=box_hi,
+            yield_strain=(args.yield_strain if plastic_e else np.inf))
         estate_e, statics_e, _g = nt.make_elastic_solid(
-            pts, params, cfg, spe, grid=grid, density=rho_e)
+            pts, params, cfg, spe, grid=grid, density=rho_e,
+            plastic=plastic_e)
         psi_e = nt.elastic_psi(statics_e, params, cfg)
         elastic_holder[0] = estate_e
         elastic_ctx[0] = (statics_e, ep_e, psi_e)
@@ -864,6 +876,15 @@ def cmd_run(args):
                               args.resume)
                     return 2
             else:
+                if plastic_e and res_estate.plastic is None:
+                    # pre-plasticity checkpoint under a now-plastic run
+                    # (key absent → no resume mismatch): virgin E_p
+                    import dataclasses as _dcl
+
+                    import jax.numpy as _jnp
+                    res_estate = _dcl.replace(
+                        res_estate, plastic=_jnp.zeros(
+                            (statics_e.n, 3, 3), cfg.dtype))
                 elastic_holder[0] = res_estate
                 log.info("resumed elastic body at ycom=%.4f",
                          float(np.asarray(res_estate.pos)[:, 1].mean()))

@@ -96,7 +96,7 @@ def dfsph_elastic_step(state: FluidState, params: SimParams,
     # were Gauss–Seidel-kicked through the solve); the substeps advance
     # the frozen-reaction elastic dynamics (gravity lives inside
     # elastic_step)
-    estate1 = ElasticState(pos=estate.pos, vel=vb_unsorted)
+    estate1 = _dc.replace(estate, vel=vb_unsorted)  # keeps .plastic
     p_sub = _dc.replace(params, dt=params.dt / substeps)
 
     def body(_, carry):

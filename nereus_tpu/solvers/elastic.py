@@ -72,13 +72,26 @@ class ElasticParams:
                           # (composes with floor_y; the fluid contact
                           # keeps it off the walls in water — these catch
                           # dry contact and splash-out)
+    yield_strain: jax.Array  # von Mises yield threshold γ_y on
+                             # ‖dev(E_el)‖_F (inf = pure elastic)
+    creep: jax.Array         # plastic flow rate ν (1/s); ν·dt ≥ 1 is an
+                             # instantaneous radial return to the yield
+                             # surface, smaller values creep toward it
+    max_plastic: jax.Array   # cap γ_max on ‖E_p‖_F (inf = unbounded)
 
 
 def elastic_params(young: float, poisson: float = 0.3, *,
                    hourglass: float = 10.0, damping: float = 0.0,
                    floor_y: float = -jnp.inf, box_lo=None, box_hi=None,
+                   yield_strain: float = jnp.inf, creep: float = jnp.inf,
+                   max_plastic: float = jnp.inf,
                    dtype=jnp.float32) -> ElasticParams:
-    """Lamé constants from Young's modulus / Poisson ratio."""
+    """Lamé constants from Young's modulus / Poisson ratio.
+
+    ``yield_strain``/``creep``/``max_plastic`` parameterize the additive
+    Green-strain plasticity (O'Brien, Bargteil & Hodgins 2002, "Graphical
+    modeling and animation of ductile fracture" §3; von Mises flow). They
+    only act on bodies built with ``make_elastic_solid(plastic=True)``."""
     e, nu = float(young), float(poisson)
     mu = e / (2.0 * (1.0 + nu))
     lam = e * nu / ((1.0 + nu) * (1.0 - 2.0 * nu))
@@ -87,7 +100,9 @@ def elastic_params(young: float, poisson: float = 0.3, *,
     return ElasticParams(mu=s(mu), lam=s(lam), hourglass=s(hourglass),
                          damping=s(damping), floor_y=s(floor_y),
                          box_lo=-inf3 if box_lo is None else s(box_lo),
-                         box_hi=inf3 if box_hi is None else s(box_hi))
+                         box_hi=inf3 if box_hi is None else s(box_hi),
+                         yield_strain=s(yield_strain), creep=s(creep),
+                         max_plastic=s(max_plastic))
 
 
 @jax.tree_util.register_dataclass
@@ -98,6 +113,10 @@ class ElasticState:
 
     pos: jax.Array   # (N, 3) current positions
     vel: jax.Array   # (N, 3)
+    plastic: Optional[jax.Array] = None  # (N, 3, 3) accumulated plastic
+    # Green strain E_p (traceless by construction — von Mises flow is
+    # deviatoric, so volumetric response stays elastic). None = the pure
+    # elastic fast path (no per-step constitutive extra work at all).
 
     @property
     def capacity(self) -> int:
@@ -172,17 +191,46 @@ def _inv3(m, eps: float = 1e-6):
     return jnp.where(ok[..., None, None], inv, eye)
 
 
-def stress_pc(f, corr, ep: ElasticParams):
+def plastic_flow(e_total, plastic, ep: ElasticParams, dt):
+    """Von Mises plastic flow on the additive Green-strain split
+    ``E = E_el + E_p`` (O'Brien/Bargteil/Hodgins 2002 §3): when the
+    deviatoric elastic strain exceeds ``yield_strain``, the excess flows
+    into ``E_p`` at rate ``creep`` (ν·dt ≥ 1 = instantaneous radial
+    return), capped at ``max_plastic``. The increment is deviatoric, so
+    ``tr(E_p) = 0`` for all time — volume change stays elastic. Returns
+    ``(E_el, E_p_new)``; per-particle batched 3×3 math, no sweeps."""
+    eye = jnp.eye(3, dtype=e_total.dtype)
+    eps = jnp.asarray(1e-20, e_total.dtype)
+    e_el = e_total - plastic
+    dev = e_el - (jnp.einsum("naa->n", e_el) / 3.0)[:, None, None] * eye
+    mag = jnp.sqrt(jnp.maximum(jnp.einsum("nab,nab->n", dev, dev), eps))
+    over = jnp.maximum(mag - ep.yield_strain, 0.0)   # γ_y = inf → 0
+    rate = jnp.minimum(ep.creep * dt, 1.0)
+    p_new = plastic + (rate * over / mag)[:, None, None] * dev
+    pmag = jnp.sqrt(jnp.maximum(
+        jnp.einsum("nab,nab->n", p_new, p_new), eps))
+    scale = jnp.minimum(ep.max_plastic / pmag, 1.0)  # γ_max = inf → 1
+    p_new = scale[:, None, None] * p_new
+    return e_total - p_new, p_new
+
+
+def stress_pc(f, corr, ep: ElasticParams, plastic=None, dt=None):
     """Per-particle constitutive update (batched 3×3 — negligible next to
-    the sweeps): Green strain E, StVK stress P = F(2µE + λ tr(E) I), and
-    the force-ready product PC = P·Cᵀ. Returns (PC, E)."""
+    the sweeps): Green strain E, StVK stress P = F(2µE_el + λ tr(E_el) I),
+    and the force-ready product PC = P·Cᵀ. With ``plastic`` (the (N,3,3)
+    accumulated plastic strain) the stress reads the return-mapped elastic
+    part E_el = E − E_p′ (:func:`plastic_flow`). Returns
+    ``(PC, E_el, E_p′)`` (``E_p′`` is None on the elastic fast path)."""
     eye = jnp.eye(3, dtype=f.dtype)
     e = 0.5 * (jnp.einsum("nba,nbc->nac", f, f) - eye)
+    p_new = None
+    if plastic is not None:
+        e, p_new = plastic_flow(e, plastic, ep, dt)
     tr = jnp.einsum("naa->n", e)
     s = 2.0 * ep.mu * e + (ep.lam * tr)[:, None, None] * eye
     p = jnp.einsum("nab,nbc->nac", f, s)
     pc = jnp.einsum("nab,ncb->nac", p, corr)
-    return pc, e
+    return pc, e, p_new
 
 
 def strain_energy(e, ep: ElasticParams, vol):
@@ -194,7 +242,7 @@ def strain_energy(e, ep: ElasticParams, vol):
 
 def make_elastic_solid(positions, params: SimParams, cfg: SimConfig,
                        spacing: float, *, grid: Optional[gridlib.Grid] = None,
-                       fixed=None, density=None):
+                       fixed=None, density=None, plastic: bool = False):
     """Build an elastic body: hash-sort the reference configuration, plan
     its (lifetime-static) neighbor windows, and precompute the gradient
     corrections. Returns ``(state, statics, grid)``.
@@ -257,7 +305,9 @@ def make_elastic_solid(positions, params: SimParams, cfg: SimConfig,
         raw = _f_gradient_oracle(statics, x0, params, grid, cfg)
     d = vol * raw.reshape(n, 3, 3)
     statics = dataclasses.replace(statics, corr=_inv3(d))
-    state = ElasticState(pos=x0, vel=jnp.zeros_like(x0))
+    state = ElasticState(
+        pos=x0, vel=jnp.zeros_like(x0),
+        plastic=jnp.zeros((n, 3, 3), cfg.dtype) if plastic else None)
     return state, statics, grid
 
 
@@ -357,17 +407,19 @@ def elastic_step(state: ElasticState, statics: ElasticStatics,
     vol = statics.vol
     raw = _f_gradient_oracle(statics, state.pos, params, grid, cfg)
     f = jnp.einsum("nab,nbc->nac", vol * raw.reshape(n, 3, 3), statics.corr)
-    pc, e = stress_pc(f, statics.corr, ep)
+    pc, e, pl = stress_pc(f, statics.corr, ep, state.plastic, params.dt)
     f_el = (vol * vol) * _force_oracle(statics, pc, params, grid, cfg)
     f_hg = (ep.hourglass * vol * vol) * _hourglass_oracle(
         statics, state.pos, f, params, grid, cfg)
     seg_s, seg_e = _segments(statics, grid)
     seg_over = gridlib.segment_overflow(seg_s, seg_e, cfg.seg_window)
     force = f_el + f_hg if f_ext is None else f_el + f_hg + f_ext
-    return _integrate(state, statics, params, ep, force, f, e, seg_over)
+    return _integrate(state, statics, params, ep, force, f, e, seg_over,
+                      plastic=pl)
 
 
-def _integrate(state, statics, params, ep, force, f_mat, e, seg_over):
+def _integrate(state, statics, params, ep, force, f_mat, e, seg_over,
+               plastic=None):
     dt = params.dt
     mass = statics.mass
     g = params.gravity
@@ -396,4 +448,4 @@ def _integrate(state, statics, params, ep, force, f_mat, e, seg_over):
         max_stretch=jnp.max(jnp.abs(f_mat - eye)),
         max_speed=jnp.sqrt(jnp.max(jnp.sum(nv * nv, axis=1))),
         seg_overflow=seg_over)
-    return ElasticState(pos=np_, vel=nv), diag
+    return ElasticState(pos=np_, vel=nv, plastic=plastic), diag

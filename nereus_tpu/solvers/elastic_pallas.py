@@ -104,7 +104,7 @@ def elastic_step_pallas(state, statics, params: SimParams, ep,
 
     raw = f_gradient_sweep(statics, state.pos, params, grid, cfg)
     f = jnp.einsum("nab,nbc->nac", vol * raw.reshape(n, 3, 3), statics.corr)
-    pc, e = stress_pc(f, statics.corr, ep)
+    pc, e, pl = stress_pc(f, statics.corr, ep, state.plastic, params.dt)
 
     pc_cols = [pc.reshape(n, 9)[:, k] for k in range(9)]
     q_f = _queries(xq + _pad_cols(pc_cols, cb, 0.0), 12)
@@ -125,4 +125,4 @@ def elastic_step_pallas(state, statics, params: SimParams, ep,
 
     force = f_el + f_hg if f_ext is None else f_el + f_hg + f_ext
     return _integrate(state, statics, params, ep, force, f, e,
-                      statics.miss)
+                      statics.miss, plastic=pl)

@@ -89,6 +89,8 @@ def save_checkpoint(path: str, state: FluidState, *, step: int = 0,
         arrays[f"elastic{i}_pos"] = np.asarray(es.pos)
         arrays[f"elastic{i}_vel"] = np.asarray(es.vel)
         arrays[f"elastic{i}_x0"] = np.asarray(st.x0)
+        if es.plastic is not None:  # additive key — absent = elastic body
+            arrays[f"elastic{i}_plastic"] = np.asarray(es.plastic)
     np.savez_compressed(path, **arrays)
 
 
@@ -158,7 +160,10 @@ def load_checkpoint(path: str, *, return_bodies: bool = False,
         if return_elastic:
             out.append(tuple(
                 (ElasticState(pos=jnp.asarray(z[f"elastic{i}_pos"]),
-                              vel=jnp.asarray(z[f"elastic{i}_vel"])),
+                              vel=jnp.asarray(z[f"elastic{i}_vel"]),
+                              plastic=(jnp.asarray(z[f"elastic{i}_plastic"])
+                                       if f"elastic{i}_plastic" in z
+                                       else None)),
                  np.asarray(z[f"elastic{i}_x0"]))
                 for i in range(header.get("num_elastic", 0))))
     return tuple(out)
