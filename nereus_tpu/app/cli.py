@@ -597,6 +597,11 @@ def cmd_run(args):
             # time; compare with a tight relative tolerance so benign
             # cross-version arithmetic drift doesn't refuse bit-equal-
             # intent checkpoints
+            if a is None or b is None:
+                # float-or-None keys (yield_strain): one side absent
+                # means the physics differs — refuse, don't crash in
+                # np.isclose(float, None)
+                return a is not b
             if isinstance(a, float) or isinstance(b, float):
                 return not np.isclose(a, b, rtol=1e-7, atol=0.0)
             return a != b

@@ -205,7 +205,9 @@ def plastic_flow(e_total, plastic, ep: ElasticParams, dt):
     dev = e_el - (jnp.einsum("naa->n", e_el) / 3.0)[:, None, None] * eye
     mag = jnp.sqrt(jnp.maximum(jnp.einsum("nab,nab->n", dev, dev), eps))
     over = jnp.maximum(mag - ep.yield_strain, 0.0)   # γ_y = inf → 0
-    rate = jnp.minimum(ep.creep * dt, 1.0)
+    # creep=inf (instant radial return) with dt=0 would mint inf*0=NaN
+    rate = jnp.where(jnp.isfinite(ep.creep),
+                     jnp.minimum(ep.creep * dt, 1.0), 1.0)
     p_new = plastic + (rate * over / mag)[:, None, None] * dev
     pmag = jnp.sqrt(jnp.maximum(
         jnp.einsum("nab,nab->n", p_new, p_new), eps))

@@ -144,6 +144,51 @@ def test_cli_elastic_box_resume(tmp_path, capsys):
     capsys.readouterr()
 
 
+def test_cli_yield_strain_resume_mismatch(tmp_path, capsys):
+    """yield_strain is the first float-or-None resume key: a plastic
+    checkpoint resumed without --yield-strain (and an elastic checkpoint
+    resumed with it) must refuse cleanly with rc 2 — not crash inside
+    np.isclose(float, None) — and --allow-resume-mismatch must still
+    reach the virgin-E_p injection path for elastic→plastic resumes."""
+    spec = "0.25,0.5,0.25:0.06:1e4:300"
+
+    out = str(tmp_path / "ys")
+    rc = cli_main(["run", "--solver", "wcsph", "--steps", "3",
+                   "--neighbor-engine", "pallas", "--elastic-box", spec,
+                   "--yield-strain", "0.02",
+                   "--checkpoint-every", "2", "--out", out])
+    assert rc == 0
+    capsys.readouterr()
+    # plastic checkpoint, non-plastic resume → clean refusal
+    rc = cli_main(["run", "--solver", "wcsph", "--steps", "2",
+                   "--neighbor-engine", "pallas", "--elastic-box", spec,
+                   "--resume", f"{out}_ckpt_000002.npz", "--out", out])
+    assert rc == 2
+    capsys.readouterr()
+
+    out2 = str(tmp_path / "ys2")
+    rc = cli_main(["run", "--solver", "wcsph", "--steps", "3",
+                   "--neighbor-engine", "pallas", "--elastic-box", spec,
+                   "--checkpoint-every", "2", "--out", out2])
+    assert rc == 0
+    capsys.readouterr()
+    ckpt2 = f"{out2}_ckpt_000002.npz"
+    # elastic checkpoint, plastic resume → clean refusal ...
+    rc = cli_main(["run", "--solver", "wcsph", "--steps", "2",
+                   "--neighbor-engine", "pallas", "--elastic-box", spec,
+                   "--yield-strain", "0.02",
+                   "--resume", ckpt2, "--out", out2])
+    assert rc == 2
+    capsys.readouterr()
+    # ... and the override resumes with a virgin E_p
+    rc = cli_main(["run", "--solver", "wcsph", "--steps", "2",
+                   "--neighbor-engine", "pallas", "--elastic-box", spec,
+                   "--yield-strain", "0.02", "--allow-resume-mismatch",
+                   "--resume", ckpt2, "--out", out2])
+    assert rc == 0
+    capsys.readouterr()
+
+
 def test_render_frame_draws_particles():
     rng = np.random.default_rng(1)
     pos = rng.uniform(0.1, 0.4, (500, 3))
