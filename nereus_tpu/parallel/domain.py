@@ -1398,7 +1398,26 @@ def make_sharded_pcisph_step(mesh: Mesh, params: SimParams,
             err = jax.lax.pmax(jnp.max(rho_err), ax)
             return (p_new, f_p_new, err, it + 1)
 
-        init = (jnp.zeros((cl,), cfg.dtype), jnp.zeros((cl, 3), cfg.dtype),
+        # warm start: half the previous step's converged pressure (carried
+        # through migration in sctx.pres) + one pressure-force sweep with
+        # hopped pd2 ghosts; see solvers/pcisph.py for the rationale
+        p0 = jnp.zeros((cl,), cfg.dtype)
+        f_p0 = jnp.zeros((cl, 3), cfg.dtype)
+        if cfg.pcisph_warm_start:
+            p0 = 0.5 * jnp.maximum(
+                jnp.where(own_active, sctx.pres, 0.0), 0.0)
+            pd2_0 = p0 * inv_d2
+            (src_pd2_0,) = hop({"pd2": pd2_0})
+            q_p0 = queries(padq(pd2_0, 0.0), width=4)
+            f_p0 = PSs.generic_sweep(
+                cfg, PSs.grad_pressure_force_pair, q_p0,
+                pack8(slot6=src_pd2_0), anchors, pvec, grid.size,
+                out_width=4, n_rows=n_rows, interpret=interp,
+                boundary=False,
+                pair_fn_b=(PSs.grad_pressure_force_pair if has_b else None),
+                pair_b_kw=dict(boundary=True,
+                               boundary_sign=-1.0))[:cl, :3]
+        init = (p0, f_p0,
                 jnp.asarray(jnp.inf, cfg.dtype), jnp.asarray(0, jnp.int32))
         p, f_p, err, iters = jax.lax.while_loop(cond, body, init)
 

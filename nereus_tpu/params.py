@@ -92,6 +92,14 @@ class SimConfig:
     # loop but left it a stub: ``sph/sph_cuda.cu:944-952``).
     pcisph_min_iters: int = 3
     pcisph_max_iters: int = 100
+    # Warm-start the corrective loop from half the previous step's
+    # converged pressure (state.pressure) — one extra pressure-force
+    # sweep before the loop buys several iterations (= 2 sweeps each)
+    # on settled scenes. Half, not full: the loop only ever ADDS
+    # non-negative increments (Solenthaler's clamped ρ*−ρ₀), so an
+    # overshoot could never relax back down. First step (pressure 0)
+    # is identical to cold.
+    pcisph_warm_start: bool = True
     # DFSPH (beyond-reference solver, Bender & Koschier 2015/2017):
     # constant-density and divergence-free loop caps.
     dfsph_min_iters: int = 2
@@ -154,6 +162,7 @@ class SimConfig:
                      str(self.dtype), self.seg_window, self.boundary_seg_window,
                      self.iisph_min_iters, self.iisph_max_iters,
                      self.pcisph_min_iters, self.pcisph_max_iters,
+                     self.pcisph_warm_start,
                      self.dfsph_min_iters, self.dfsph_max_iters,
                      self.dfsph_min_iters_v, self.dfsph_max_iters_v,
                      self.dfsph_warm_start, self.pbf_iters,

@@ -236,7 +236,17 @@ def pcisph_step(state: FluidState, params: SimParams, grid: gridlib.Grid,
         err = jnp.max(rho_err)
         return (p_new, f_p_new, err, it + 1)
 
-    init = (jnp.zeros_like(dens), zeros3,
+    # warm start: half the previous step's converged pressure (carried in
+    # state.pressure) + its force, computed once before the loop. Half,
+    # because the corrective loop only ADDS non-negative increments — an
+    # overshoot could never relax. First step (pressure 0) = cold.
+    p0 = jnp.zeros_like(dens)
+    f_p0 = zeros3
+    if cfg.pcisph_warm_start:
+        p0 = 0.5 * jnp.maximum(
+            jnp.where(active, ctx.state.pressure, 0.0), 0.0)
+        f_p0 = _pressure_force(ctx, params, cfg, boundary, dens, p0)
+    init = (p0, f_p0,
             jnp.asarray(jnp.inf, cfg.dtype), jnp.asarray(0, jnp.int32))
     p, f_p, err, iters = jax.lax.while_loop(cond, body, init)
 

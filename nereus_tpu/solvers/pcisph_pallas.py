@@ -102,7 +102,21 @@ def pcisph_step_pallas(state: FluidState, params: SimParams,
                 err, it + 1)
 
     zc = jnp.zeros((cb,), cfg.dtype)
-    init = (zc, zc, zc, zc,
+    p0, fp0 = zc, (zc, zc, zc)
+    if cfg.pcisph_warm_start:
+        # half the previous step's converged pressure (ctx.pres_prev) + its
+        # force, one sweep before the loop; see pcisph.py for the rationale
+        p0 = 0.5 * jnp.maximum(jnp.where(active, ctx.pres_prev, 0.0), 0.0)
+        q_p0 = ctx.queries(p0 * inv_d2)
+        f0 = PS.generic_sweep(
+            cfg, PS.grad_pressure_force_pair, q_p0,
+            ctx.pack(slot6=p0 * inv_d2),
+            ctx.anchors, pvec, gsize, out_width=4,
+            n_rows=n_rows, interpret=interp, boundary=False,
+            pair_fn_b=PS.grad_pressure_force_pair,
+            pair_b_kw=dict(boundary=True, boundary_sign=-1.0))
+        fp0 = (f0[:, 0], f0[:, 1], f0[:, 2])
+    init = (p0, *fp0,
             jnp.asarray(jnp.inf, cfg.dtype), jnp.asarray(0, jnp.int32))
     p, fpx, fpy, fpz, err, iters = jax.lax.while_loop(cond, body, init)
 

@@ -67,6 +67,49 @@ def test_pcisph_converges_and_builds_pressure():
     assert bool(jnp.all(jnp.isfinite(new_state.vel)))
 
 
+def test_pcisph_warm_start_cuts_iterations():
+    """With pressure warm starting (half the previous step's converged
+    pressure, on by default) a settling column needs FEWER corrective
+    iterations than a cold solve of the same trajectory regime, at the
+    same tolerance; physics stays finite and the fluid stays in the
+    tank. Pallas interpret (the segments oracle's seg_window can
+    overflow on settled lattices)."""
+    import dataclasses as _dc
+
+    from nereus_tpu.scene import resting_block
+
+    cfg_w = SimConfig(engine="pallas")
+    cfg_c = _dc.replace(cfg_w, pcisph_warm_start=False)
+    spacing = 0.8 * float(pcisph_params().interaction_radius)
+    steps = 30
+
+    def run(cfg):
+        params = calibrate_mass(pcisph_params(), cfg, spacing=spacing)
+        # an impact in progress keeps the corrective loop above its
+        # configured minimum, so warm starting has headroom to show
+        state, grid, boundary = resting_block(params, cfg, n_target=343,
+                                              spacing=spacing,
+                                              impact_velocity=-2.0)
+        delta = pcisph.pcisph_delta(params, cfg)
+        step = jax.jit(lambda s: pcisph.pcisph_step(
+            s, params, grid, cfg, boundary, delta=delta, tol_frac=0.001))
+        total = 0
+        for _ in range(steps):
+            state, diag = step(state)
+            total += int(np.asarray(diag.solver_iters))
+        p = np.asarray(state.pos[:int(np.asarray(state.num_active))])
+        assert np.isfinite(p).all()
+        assert p[:, 1].min() > 0.0
+        assert int(np.asarray(diag.seg_overflow)) == 0
+        return total
+
+    warm = run(cfg_w)
+    cold = run(cfg_c)
+    floor = steps * cfg_w.pcisph_min_iters
+    assert cold > floor, (cold, floor)   # the scene must do real work
+    assert warm < cold, (warm, cold)
+
+
 def test_pcisph_pressure_force_momentum_symmetric():
     params = _calibrated(gravity=(0.0, 0.0, 0.0))
     h = float(params.interaction_radius)
