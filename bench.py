@@ -108,7 +108,141 @@ def _scene(nt, scene, params, cfg, n_target, with_boundary,
                            with_boundary=with_boundary)
 
 
-def run_case(name, n_steps=10):
+def _run_physics_case(name, n_steps=10, scale=1.0):
+    """Round-4 flagship physics on the real chip: pure elastic (static-plan
+    sweeps, no per-step ctx), elastoplastic, fluid–elastic coupling, and
+    DFSPH rigid coupling. Scenes mirror the validated test scenes
+    (tests/test_elastic*.py, test_dfsph_coupled.py) scaled up."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import nereus_tpu as nt
+    from nereus_tpu.params import calibrate_mass
+    from nereus_tpu.solvers.wcsph import StepDiagnostics
+    from nereus_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    # pallas explicitly: that is the TPU production path, and it makes a
+    # CPU smoke run (--scale) exercise the same code via interpret mode
+    # (solid lattices overflow the segment oracle's default seg_window)
+    cfg = nt.SimConfig(engine="pallas")
+
+    if name in ("elastic_512k", "elastic_plastic_512k"):
+        plastic = name == "elastic_plastic_512k"
+        # 80^3 solid block (spacing h/2) resting on its contact floor
+        # under gravity: the penalty floor loads the bottom layers, so
+        # stress/plastic-return math runs on real deformation
+        params = nt.make_params(dt=1e-4)
+        h = float(np.asarray(params.interaction_radius))
+        sp = 0.5 * h
+        n_side = max(int(round(80 * scale ** (1 / 3))), 6)
+        side = (n_side - 1) * sp
+        pts = nt.sample_box_solid((0.0, 0.5 * sp, 0.0),
+                                  (side + 0.1 * sp, 0.5 * sp + side + 0.1 * sp,
+                                   side + 0.1 * sp), sp)
+        ep = nt.elastic_params(
+            2e5, 0.3, damping=5.0, floor_y=0.0,
+            yield_strain=(0.02 if plastic else np.inf))
+        estate, statics, grid = nt.make_elastic_solid(
+            pts, params, cfg, sp, plastic=plastic)
+        n = statics.n
+
+        def step(e):
+            e2, d = nt.elastic_step(e, statics, params, ep, grid, cfg)
+            z = jnp.asarray(0.0, cfg.dtype)
+            return e2, StepDiagnostics(
+                max_density=z, mean_density_error=z, mean_compression=z,
+                seg_overflow=d.seg_overflow,
+                solver_iters=jnp.asarray(0, jnp.int32))
+        state = estate
+
+    elif name == "wcsph_elastic_256k":
+        # dam-break at 256k slamming into a soft 16^3 cube parked on the
+        # floor in its path (two-way coupling: per-sample reaction +
+        # 4 elastic substeps per fluid step)
+        from nereus_tpu import scene
+        params = nt.make_params()
+        state, grid, boundary = scene.dam_break(
+            params, cfg, n_target=max(int(256_000 * scale), 400),
+            with_boundary=True)
+        h = float(np.asarray(params.interaction_radius))
+        sp = 0.5 * h
+        nf = int(np.asarray(state.num_active))
+        posf = np.asarray(state.pos)[:nf]
+        floor_y = float(np.asarray(boundary.pos)[:, 1].min())
+        cx = posf[:, 0].max() + 0.3
+        cz = float(posf[:, 2].mean())
+        side = max(int(round(15 * scale ** (1 / 3))), 3) * sp
+        cube = nt.sample_box_solid(
+            (cx, floor_y + 2 * sp, cz - side / 2),
+            (cx + side + 0.1 * sp, floor_y + 2 * sp + side + 0.1 * sp,
+             cz + side / 2 + 0.1 * sp), sp)
+        ep = nt.elastic_params(1e5, 0.3, damping=5.0, floor_y=floor_y)
+        estate, statics, _ = nt.make_elastic_solid(cube, params, cfg, sp,
+                                                   grid=grid, density=400.0)
+        psi = nt.elastic_psi(statics, params, cfg)
+        n = nf + statics.n
+
+        def step(s):
+            fs, es = s
+            nfs, nes, d = nt.wcsph_elastic_step(fs, params, grid, cfg, es,
+                                                statics, ep, psi, boundary,
+                                                substeps=4)
+            return (nfs, nes), d
+        state = (state, estate)
+
+    elif name == "dfsph_coupled_256k":
+        # settled 256k DFSPH tank + a density-400 rigid box dropped onto
+        # it: Gauss–Seidel interface with per-iteration reaction psum,
+        # body-mobility diagonal on (strong coupling)
+        from nereus_tpu.scene import resting_block
+        base = nt.dfsph_params(dt=5e-4)
+        spacing = 0.8 * float(base.interaction_radius)
+        params = calibrate_mass(base, cfg, spacing=spacing)
+        state, grid, walls = resting_block(
+            params, cfg, n_target=max(int(256_000 * scale), 343),
+            spacing=spacing, impact_velocity=-1.0)
+        nf = int(np.asarray(state.num_active))
+        posf = np.asarray(state.pos)[:nf]
+        water_top = float(posf[:, 1].max())
+        cx = float(posf[:, 0].mean())
+        cz = float(posf[:, 2].mean())
+        body = nt.make_rigid_box((cx, water_top + 0.1, cz),
+                                 (0.15, 0.15, 0.15),
+                                 float(params.particle_radius), 400.0,
+                                 params)
+        n = nf + body.num_samples
+
+        def step(s):
+            fs, b = s
+            nfs, nb, d = nt.dfsph_coupled_step(fs, params, grid, cfg, b,
+                                               walls)
+            return (nfs, nb), d
+        state = (state, body)
+    else:
+        raise KeyError(name)
+
+    r = _chain_and_time(step, state, n_steps)
+    value = r["steps_per_sec"] * n
+    return {
+        "metric": f"{name}_particle_steps_per_sec",
+        "value": value,
+        "unit": "particle-steps/sec",
+        "vs_baseline": value / BASELINE_PARTICLE_STEPS_PER_SEC,
+        "n": n,
+        "ms_per_step": 1e3 / r["steps_per_sec"],
+        "seg_overflow": r["seg_overflow"],
+        "mean_density_error": r["mean_density_error"],
+        "mean_compression": r["mean_compression"],
+        "solver_iters_per_step": r["solver_iters"],
+    }
+
+
+PHYSICS_CASES = ("elastic_512k", "elastic_plastic_512k",
+                 "wcsph_elastic_256k", "dfsph_coupled_256k")
+
+
+def run_case(name, n_steps=10, scale=1.0):
     """Run one named benchmark case; returns a result dict."""
     import jax  # noqa: F401
     import numpy as np
@@ -116,6 +250,9 @@ def run_case(name, n_steps=10):
     from nereus_tpu import scene
     from nereus_tpu.params import calibrate_mass
     from nereus_tpu.utils import enable_compilation_cache
+
+    if name in PHYSICS_CASES:
+        return _run_physics_case(name, n_steps, scale=scale)
 
     enable_compilation_cache()
 
@@ -152,6 +289,10 @@ def run_case(name, n_steps=10):
         # the 1M implicit row must price a real solve (the free-fall
         # iisph_1M exits at min iterations)
         "iisph_1M_settled": ("iisph", 2 ** 20, "settled"),
+        # the honest steady-state headline companion: the dam-break 1M
+        # row free-falls at ~7 neighbors/query; this one prices the
+        # settled ~30-neighbor regime the engine actually serves
+        "wcsph_1M_settled": ("wcsph", 2 ** 20, "settled"),
         # beyond-reference solver (Bender & Koschier DFSPH)
         "dfsph_256k_settled": ("dfsph", 256_000, "settled"),
         # beyond-reference: Weiler-2018 implicit viscosity (honey regime,
@@ -294,6 +435,9 @@ def main():
     ap.add_argument("--cases", default=None,
                     help="comma-separated case names")
     ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--scale", type=float, default=1.0,
+                    help="size multiplier for the physics cases "
+                         "(CPU smoke runs)")
     args = ap.parse_args()
 
     all_cases = ["wcsph_150k", "wcsph_1M", "wcsph_boundary_274k",
@@ -304,7 +448,9 @@ def main():
                  "wcsph_4M", "wcsph_8M", "wcsph_10M", "wcsph_wide12M", "iisph_1M",
                  "iisph_1M_settled", "dfsph_256k_settled",
                  "dfsph_visc_256k_settled",
-                 "pbf_1M", "pbf_256k_settled", "multiphase_1M"]
+                 "pbf_1M", "pbf_256k_settled", "multiphase_1M",
+                 "wcsph_1M_settled", "elastic_512k", "elastic_plastic_512k",
+                 "wcsph_elastic_256k", "dfsph_coupled_256k"]
     if args.cases:
         cases = args.cases.split(",")
     elif args.all:
@@ -338,7 +484,8 @@ def main():
 
     if len(cases) == 1:
         try:
-            print(json.dumps(run_case(cases[0], n_steps=args.steps)),
+            print(json.dumps(run_case(cases[0], n_steps=args.steps,
+                                      scale=args.scale)),
                   flush=True)
         except Exception as e:  # noqa: BLE001 — keep the table going
             print(json.dumps({"metric": cases[0], "error": repr(e)}),
