@@ -529,8 +529,16 @@ def cmd_run(args):
                               (args.xsph is not None, "no --xsph"),
                               (args.implicit_viscosity is not None,
                                "no --implicit-viscosity"),
-                              (args.rigid_box or args.rigid_obj,
-                               "no rigid body")) if f]
+                              ((args.rigid_box or args.rigid_obj)
+                               and args.solver != "wcsph",
+                               "--solver wcsph for rigid bodies "
+                               "(multiphase rigid coupling is "
+                               "WCSPH-only)"),
+                              ((args.rigid_box or args.rigid_obj)
+                               and args.shards > 1,
+                               "--shards 1 with rigid bodies (sharded "
+                               "multiphase coupling is not "
+                               "implemented)")) if f]
         if bad:
             log.error("--second-phase requires: %s", ", ".join(bad))
             return 2

@@ -754,6 +754,48 @@ def multiphase_boundary_pair(q_ref, src_ref, valid, pv, *, kernel_set,
          jnp.sum(c * dz, axis=1, keepdims=True), zero], axis=1)
 
 
+def multiphase_body_pair(q_ref, src_ref, valid, pv, *, kernel_set):
+    """Dynamic-body contact rows for the MULTIPHASE coupling —
+    ACCELERATION (the volume-form analogue of
+    :func:`boundary_force_pair` with ``include_adhesion=False,
+    pressure_sign=-1, consistent_pressure=True, moving=True``):
+
+      a_p = −bp_i · ψ_b · ∇W_dflt,  bp_i = (ρ0_i/ρ0_ref)·max(p_i,0)/ρ̃_i²
+            (Akinci repulsive pressure at the consistent m·ψ·pd2 scale;
+             ψ = ρ0_ref·V_b is rescaled per query phase through bp_i —
+             displaced fluid of the phase doing the querying; the clamp
+             kills free-surface Tait tension, see boundary_force_pair)
+      a_f = K · fr_i · ψ_b · max((v_i−v_b)·r, 0) · ∇W_dflt,
+            K = 2μ²·h·c_s/(1+0.01h²),  fr_i = m_i/ρ̃_i²
+            (same net scalings as the single-phase body friction)
+
+    q fields: x y z vx vy vz bp_i fr_i (8 columns, both per-query
+    precomputed); src: the standard 8-row body-shell pack (pos, sample
+    velocities v+ω×r in rows 3-5, ψ in slot 6). Reduces EXACTLY to the
+    single-phase body contact divided by m_i at uniform phase.
+    Out (B, 4): a_x a_y a_z (pad)."""
+    dx, dy, dz, r2 = _pair_geometry(q_ref, src_ref, pv)
+    rl, invrl = _maybe_rl(kernel_set, r2)
+    okf = (valid & (r2 < pv[PV_H2])).astype(q_ref.dtype)
+    psi = src_ref[6:7, :]
+    sd = _w_grad_scale_default(kernel_set, r2, rl, pv, invrl)
+
+    cpress = -q_ref[:, 6:7] * psi * sd
+    kf = ((2.0 * pv[PV_VISC] * pv[PV_VISC] * pv[PV_H] * pv[PV_CS])
+          / (1.0 + 0.01 * pv[PV_H2]))
+    vdotr = ((q_ref[:, 3:4] - src_ref[3:4, :]) * dx
+             + (q_ref[:, 4:5] - src_ref[4:5, :]) * dy
+             + (q_ref[:, 5:6] - src_ref[5:6, :]) * dz)
+    cfric = (kf * q_ref[:, 7:8]) * jnp.maximum(vdotr, 0.0) * psi * sd
+
+    c = (cpress + cfric) * okf
+    zero = jnp.zeros_like(dx[:, :1])
+    return jnp.concatenate(
+        [jnp.sum(c * dx, axis=1, keepdims=True),
+         jnp.sum(c * dy, axis=1, keepdims=True),
+         jnp.sum(c * dz, axis=1, keepdims=True), zero], axis=1)
+
+
 def multiphase_alpha_pair(q_ref, src_ref, valid, pv, *, kernel_set):
     """Fluid rows of the multiphase DFSPH factor sweep
     (``solvers.dfsph.alpha_parts_multiphase``): the UNWEIGHTED gradient

@@ -75,13 +75,16 @@ def wcsph_coupled_step(state: FluidState, params: SimParams,
     dispatches between the Pallas engine (TPU) and the jnp oracle by
     ``SimConfig.engine`` like every other solver.
     """
-    if state.multiphase:
-        raise NotImplementedError(
-            "multiphase (per-particle mass/rho0) is plain-WCSPH-only; "
-            "rigid coupling refuses rather than silently dropping the columns")
     single = isinstance(body, RigidBody)
     bodies = (body,) if single else tuple(body)
-    if cfg.use_pallas():
+    if state.multiphase:
+        if cfg.use_pallas():
+            out = _coupled_mp_pallas(state, params, grid, cfg, bodies,
+                                     boundary)
+        else:
+            out = _coupled_mp_oracle(state, params, grid, cfg, bodies,
+                                     boundary)
+    elif cfg.use_pallas():
         out = _coupled_step_pallas(state, params, grid, cfg, bodies,
                                    boundary)
     else:
@@ -207,6 +210,240 @@ def _coupled_step_oracle(state, params, grid, cfg, bodies, boundary):
         max_density=jnp.max(jnp.where(active, dens, 0.0)),
         mean_density_error=mae, mean_compression=mc,
         seg_overflow=ovf,
+        solver_iters=jnp.asarray(0, jnp.int32))
+    return new_state, new_bodies, diag
+
+
+def _mp_gate(cfg):
+    from ..params import SurfaceTensionModel
+    if cfg.viscosity_model == "implicit":
+        raise NotImplementedError("implicit viscosity is single-phase-only")
+    if cfg.surface_tension_model == SurfaceTensionModel.AKINCI:
+        raise NotImplementedError(
+            "AKINCI surface tension is single-phase-only (its curvature "
+            "correction has no per-phase meaning); multiphase supports "
+            "NONE or BECKER (phase-pair cohesion, SimConfig.st_cross)")
+
+
+def _body_accel_mp_oracle(ctx, params, cfg, grid, bd_body, bp, fr):
+    """One body shell's contact ACCELERATION on multiphase fluid (jnp
+    oracle of ``pallas_sph.multiphase_body_pair``): Akinci repulsive
+    pressure at the consistent scale, per-query-phase ψ rescale folded
+    into ``bp``, plus friction against the sample velocities."""
+    pos, vel = ctx.state.pos, ctx.state.vel
+    n = pos.shape[0]
+    ir = params.interaction_radius
+    kf = (2.0 * params.viscosity * params.viscosity * ir
+          * params.sound_speed) / (1.0 + 0.01 * ir * ir)
+
+    def pair(i, j, valid):
+        rij = i["pos"][:, None, :] - j["pos"]
+        dist2 = jnp.sum(rij * rij, axis=-1)
+        ok = valid & (dist2 < ir * ir)
+        grad = K.w_default_grad(cfg.kernel_set, rij, params)
+        cpress = -(j["psi"] * i["bp"][:, None])
+        dv = i["vel"][:, None, :] - j["vel"]
+        vdotr = jnp.maximum(jnp.sum(dv * rij, axis=-1), 0.0)
+        cfric = (kf * i["fr"][:, None]) * vdotr * j["psi"]
+        return {"ab": masked(ok, (cpress + cfric)[..., None] * grad)}
+
+    coords = gridlib.cell_coords(grid, pos)
+    bs, be = gridlib.row_segments(grid, bd_body.sorted_hash, coords)
+    ovf = gridlib.segment_overflow(bs, be, cfg.boundary_seg_window)
+    acc = neighbor_reduce(
+        pair, {"ab": jnp.zeros((n, 3), cfg.dtype)}, bs, be,
+        {"pos": bd_body.pos, "psi": bd_body.psi, "vel": bd_body.vel},
+        {"pos": pos, "vel": vel, "bp": bp, "fr": fr},
+        cfg.boundary_seg_window)
+    return acc["ab"], ovf
+
+
+def _coupled_mp_oracle(state, params, grid, cfg, bodies, boundary):
+    """Multiphase (per-particle mass/ρ₀) WCSPH + rigid coupling, jnp
+    oracle: the adapted-density volume form of ``_wcsph_step_multiphase``
+    with each body shell in the density (per-query-phase ψ rescale, like
+    walls) and the consistent Akinci pressure+friction contact."""
+    _mp_gate(cfg)
+    from .wcsph import multiphase_accels
+    bds = [body_boundary(b, grid) for b in bodies]
+    ctx = common.build_ctx(state, grid, cfg, boundary)
+    st = ctx.state
+    pos, vel = st.pos, st.vel
+    active = ctx.active
+    mass, rho0 = st.mass, st.rho0
+    s_phase = rho0 / params.rest_density
+
+    dens, delta = common.compute_density_multiphase(ctx, params, cfg,
+                                                    boundary)
+    for bd in bds:
+        dens = dens + s_phase * _body_density_oracle(ctx, params, cfg,
+                                                     grid, bd)
+    pres = tait_pressure(dens, params, rho0)
+    accel = multiphase_accels(ctx, params, cfg, boundary, dens, delta,
+                              pres)
+
+    inv_r2 = 1.0 / jnp.maximum(dens, 1e-12) ** 2
+    bp = s_phase * jnp.maximum(pres, 0.0) * inv_r2
+    fr = mass * inv_r2
+
+    Fs, Ts = _rigid_extras(bodies, boundary, params, cfg)
+    ovf = ctx.overflow
+    for k, bd in enumerate(bds):
+        a_body, o = _body_accel_mp_oracle(ctx, params, cfg, grid, bd,
+                                          bp, fr)
+        accel = accel + a_body
+        Fk, Tk = _reaction(pos, mass[:, None] * a_body, active,
+                           bodies[k].com)
+        Fs[k], Ts[k] = Fs[k] + Fk, Ts[k] + Tk
+        ovf = jnp.maximum(ovf, o)
+
+    dt = params.dt
+    g = jnp.asarray(params.gravity, cfg.dtype)
+    new_vel = vel + dt * (accel + g[None, :])
+    new_pos = pos + dt * new_vel
+    new_vel = jnp.where(active[:, None], new_vel, vel)
+    new_pos = jnp.where(active[:, None], new_pos, pos)
+    new_bodies = tuple(
+        integrate_rigid(b, Fs[k], Ts[k], dt, params.gravity)
+        for k, b in enumerate(bodies))
+
+    new_state = FluidState(pos=new_pos, vel=new_vel,
+                           pressure=jnp.where(active, pres, 0.0),
+                           num_active=state.num_active,
+                           mass=mass, rho0=rho0)
+    nact = jnp.maximum(state.num_active.astype(cfg.dtype), 1.0)
+    mae, mc = density_errors(dens, active, nact, rho0)
+    diag = StepDiagnostics(
+        max_density=jnp.max(jnp.where(active, dens, 0.0)),
+        mean_density_error=mae, mean_compression=mc,
+        seg_overflow=ovf,
+        solver_iters=jnp.asarray(0, jnp.int32))
+    return new_state, new_bodies, diag
+
+
+def _coupled_mp_pallas(state, params, grid, cfg, bodies, boundary):
+    """Multiphase coupled step, Pallas engine: the multiphase WCSPH
+    sweeps (adapted density, 16-row volume-form force) plus per body a
+    ψ-density sweep and one ``multiphase_body_pair`` contact sweep that
+    serves fluid acceleration AND (×m_i) the Newton-third-law reaction."""
+    _mp_gate(cfg)
+    from ..ops import pallas_sph as PS
+    from ..ops.pallas_neighbors import (anchors_pack16, hash_payload,
+                                        pack_source, plan_windows)
+    from ..params import SurfaceTensionModel
+    from .pallas_common import build_pallas_ctx, padded_len
+
+    st_becker = cfg.surface_tension_model == SurfaceTensionModel.BECKER
+    bds = [body_boundary(b, grid) for b in bodies]
+    ctx = build_pallas_ctx(state, params, grid, cfg, boundary)
+    vel = (ctx.vx, ctx.vy, ctx.vz)
+    c = ctx.c
+    active = ctx.active
+    interp = ctx.interp
+    pvec, gsize, n_rows = ctx.pvec, ctx.gsize, ctx.n_rows
+    mass, rho0 = ctx.mass, ctx.rho0
+
+    # --- per-body plan + packed source (shared by both body sweeps) -----
+    win = ctx.win
+    block = cfg.resolve_block(ctx.rows_local == 3)
+    qcoords = gridlib.cell_coords_cols(grid, ctx.px, ctx.py, ctx.pz)
+    plans = []
+    miss_total = ctx.miss
+    for bd in bds:
+        mb = bd.num_boundaries
+        pk16_b = anchors_pack16(padded_len(mb, win), win)
+        anchors_b, miss_b = plan_windows(
+            bd.sorted_hash, qcoords, gsize, block, padded_len(mb, win),
+            active_mask=active, win=win, pack16=pk16_b,
+            rows_local=ctx.rows_local)
+        src_b = pack_source(
+            tuple(bd.pos[:, k] for k in range(3)),
+            hash_payload(bd.sorted_hash, ctx.dtype, gsize),
+            vel=tuple(bd.vel[:, k] for k in range(3)),
+            dens_or_psi=bd.psi, win=win)
+        plans.append((anchors_b, src_b))
+        miss_total = miss_total + miss_b
+
+    # --- adapted density: fluid δ + walls col + body shells -------------
+    q4 = ctx.queries(width=4)
+    src_d = ctx.pack(vel=vel)
+    dout = PS.generic_sweep(
+        cfg, PS.multiphase_density_pair, q4, src_d, ctx.anchors, pvec,
+        gsize, out_width=4, pair_fn_b=PS.multiphase_density_bpair,
+        n_rows=n_rows, interpret=interp)
+    delta = dout[:, 0]
+    bsum = dout[:, 1]
+    for anchors_b, src_b in plans:
+        bsum = bsum + PS.density_sweep(cfg, q4, src_b, anchors_b, pvec,
+                                       gsize, n_rows=ctx.rows_local,
+                                       interpret=interp)
+    from .wcsph import density_errors, tait_pressure
+    dens = mass * delta + (rho0 / params.rest_density) * bsum
+    pres = tait_pressure(dens, params, rho0)
+
+    # --- fluid + wall forces (acceleration; 16-row volume form) ---------
+    inv_rho = 1.0 / jnp.maximum(dens, 1e-12)
+    vol = 1.0 / jnp.maximum(delta, 1e-12)
+    pv2 = pres * vol * vol
+    qcols = [*vel, pv2, 1.0 / mass, mass, inv_rho]
+    wcols = [vel[0], vel[1], vel[2], vol, pv2]
+    if st_becker:
+        qcols.append(rho0)
+        wcols.append(rho0)
+    q10 = ctx.queries(*qcols)
+    src_f = ctx.pack_wide(wcols, rows=16)
+    acc4 = PS.generic_sweep(
+        cfg, PS.multiphase_force_pair, q10, src_f, ctx.anchors, pvec,
+        gsize, out_width=4, pair_fn_b=PS.multiphase_boundary_pair,
+        pair_b_kw={"moving": ctx.moving_boundary},
+        st_becker=st_becker,
+        n_rows=n_rows, interpret=interp)
+    ax, ay, az = acc4[:, 0], acc4[:, 1], acc4[:, 2]
+
+    # --- per-body contact sweeps (accel; ×m_i = reaction) ---------------
+    inv_r2 = inv_rho * inv_rho
+    bp = (rho0 / params.rest_density) * jnp.maximum(pres, 0.0) * inv_r2
+    fr = mass * inv_r2
+    q8b = ctx.queries(*vel, bp, fr)
+    Fs, Ts = _rigid_extras(bodies, boundary, params, cfg)
+    rel_base = jnp.stack([ctx.px, ctx.py, ctx.pz], axis=1)
+    for k, (anchors_b, src_b) in enumerate(plans):
+        ab = PS.generic_sweep(cfg, PS.multiphase_body_pair, q8b, src_b,
+                              anchors_b, pvec, gsize, out_width=4,
+                              n_rows=ctx.rows_local, interpret=interp)
+        ax = ax + ab[:, 0]
+        ay = ay + ab[:, 1]
+        az = az + ab[:, 2]
+        Fk, Tk = _reaction(rel_base, mass[:, None] * ab[:, :3], active,
+                           bodies[k].com)
+        Fs[k], Ts[k] = Fs[k] + Fk, Ts[k] + Tk
+
+    dt = params.dt
+    g = params.gravity
+
+    def integ(v, p, a, gk):
+        nv = v + dt * (a + gk)
+        return jnp.where(active, nv, v), jnp.where(active, p + dt * nv, p)
+
+    nvx, npx = integ(ctx.vx, ctx.px, ax, g[0])
+    nvy, npy = integ(ctx.vy, ctx.py, ay, g[1])
+    nvz, npz = integ(ctx.vz, ctx.pz, az, g[2])
+    new_bodies = tuple(
+        integrate_rigid(b, Fs[k], Ts[k], dt, g)
+        for k, b in enumerate(bodies))
+
+    new_state = FluidState(
+        pos=jnp.stack([npx[:c], npy[:c], npz[:c]], axis=1),
+        vel=jnp.stack([nvx[:c], nvy[:c], nvz[:c]], axis=1),
+        pressure=jnp.where(active, pres, 0.0)[:c],
+        num_active=state.num_active,
+        mass=mass[:c], rho0=rho0[:c])
+    nact = jnp.maximum(state.num_active.astype(cfg.dtype), 1.0)
+    mae, mc = density_errors(dens, active, nact, rho0)
+    diag = StepDiagnostics(
+        max_density=jnp.max(jnp.where(active, dens, 0.0)),
+        mean_density_error=mae, mean_compression=mc,
+        seg_overflow=miss_total,
         solver_iters=jnp.asarray(0, jnp.int32))
     return new_state, new_bodies, diag
 

@@ -69,8 +69,10 @@ def dfsph_coupled_step(state: FluidState, params: SimParams,
     """
     if state.multiphase:
         raise NotImplementedError(
-            "multiphase (per-particle mass/rho0) is plain-WCSPH-only; "
-            "rigid coupling refuses rather than silently dropping the columns")
+            "multiphase rigid coupling is WCSPH-only "
+            "(wcsph_coupled_step); the multiphase DFSPH stiffness loops "
+            "do not carry body shells yet — refusing rather than "
+            "silently dropping the phase columns")
     single = isinstance(body, RigidBody)
     bodies = (body,) if single else tuple(body)
     if cfg.use_pallas():

@@ -139,6 +139,12 @@ class ElasticStatics:
     fixed: jax.Array        # (N,) bool — kinematically pinned particles
     vol: jax.Array          # () particle rest volume V = spacing³
     mass: jax.Array         # () particle mass = ρ₀ V
+    # Window width the static plan was built with (0 = the SimConfig
+    # default). Solid lattices (spacing h/2, 8/cell) outgrow the fluid
+    # defaults at scale — make_elastic_solid escalates until the plan
+    # covers every reference pair and records the width here so the
+    # sweeps fetch matching windows.
+    win: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @property
     def n(self) -> int:
@@ -277,12 +283,39 @@ def make_elastic_solid(positions, params: SimParams, cfg: SimConfig,
     from ..ops.pallas_neighbors import hash_payload
     from .elastic_pallas import build_elastic_plan, f_gradient_sweep
     anchors, miss = build_elastic_plan(x0, sorted_hash, grid, cfg)
+    # The plan is lifetime-static and built host-side, so a coverage gap
+    # is checkable NOW (a fluid plan's misses are per-step diagnostics —
+    # here they would silently drop reference pairs forever, and a
+    # truncated pair set breaks force antisymmetry, the exponential-
+    # rest-noise failure documented for the segment engine below).
+    # Solid lattices at spacing h/2 pack ~8 particles/cell — 4× the
+    # fluid the SimConfig window defaults assume — so escalate the
+    # window width until coverage is exact. (measured: the 80³ block at
+    # the fluid defaults missed 35k reference pairs per sweep.)
+    win_used = 0
+    if int(np.asarray(miss)) > 0:
+        from ..ops.pallas_neighbors import rows3_supported
+        win_try = 2 * cfg.resolve_win(
+            cfg.sweep_fused_rows and rows3_supported(grid.size))
+        while True:
+            anchors, miss = build_elastic_plan(x0, sorted_hash, grid, cfg,
+                                               win_override=win_try)
+            if int(np.asarray(miss)) == 0:
+                win_used = win_try
+                break
+            if win_try >= 8192:
+                raise ValueError(
+                    f"elastic reference plan still misses "
+                    f"{int(np.asarray(miss))} pairs at window width "
+                    f"{win_try} — reference lattice too dense for the "
+                    "window engine; use a coarser spacing")
+            win_try *= 2
     statics = ElasticStatics(
         x0=x0, sorted_hash=sorted_hash,
         hash_f32=hash_payload(sorted_hash, cfg.dtype, grid.size),
         anchors=anchors, miss=miss,
         corr=jnp.broadcast_to(jnp.eye(3, dtype=cfg.dtype), (n, 3, 3)),
-        fixed=fxs > 0.5, vol=vol, mass=mass)
+        fixed=fxs > 0.5, vol=vol, mass=mass, win=win_used)
 
     if not cfg.use_pallas():
         # The segment oracle's window is a STATIC capacity; solid lattices

@@ -26,17 +26,22 @@ from ..params import SimConfig, SimParams
 from .pallas_common import check_pallas_dtype, interpret_mode, padded_len
 
 
-def _layout(cfg: SimConfig, grid):
+def _layout(cfg: SimConfig, grid, win_override: int = 0):
     rows3 = cfg.sweep_fused_rows and rows3_supported(grid.size)
     rows_local = 3 if rows3 else 9
-    return rows_local, cfg.resolve_block(rows3), cfg.resolve_win(rows3)
+    win = win_override if win_override else cfg.resolve_win(rows3)
+    return rows_local, cfg.resolve_block(rows3), win
 
 
-def build_elastic_plan(x0, sorted_hash, grid, cfg: SimConfig):
+def build_elastic_plan(x0, sorted_hash, grid, cfg: SimConfig,
+                       win_override: int = 0):
     """Window plan over the (already hash-sorted) reference configuration.
-    Built once per body; returns ``(anchors, miss)``."""
+    Built once per body; returns ``(anchors, miss)``. ``win_override``
+    widens the windows past the SimConfig default — solid lattices
+    (spacing h/2, ~8 particles/cell) outgrow the fluid defaults at
+    scale; make_elastic_solid escalates until the plan is exact."""
     check_pallas_dtype(cfg, grid)
-    rows_local, block, win = _layout(cfg, grid)
+    rows_local, block, win = _layout(cfg, grid, win_override)
     n = x0.shape[0]
     cb = round_up(n, block)
     cols = _pad_cols([x0[:, k] for k in range(3)], cb, 1e9)
@@ -65,7 +70,7 @@ def _queries(cols, width: int):
 
 def _sweep(statics, pair_fn, queries, src, params_pvec, grid, cfg,
            out_width):
-    rows_local, block, win = _layout(cfg, grid)
+    rows_local, block, win = _layout(cfg, grid, statics.win)
     out = neighbor_sweep(
         functools.partial(pair_fn, kernel_set=cfg.kernel_set),
         queries=queries, src=src, anchors=statics.anchors,
@@ -79,7 +84,7 @@ def f_gradient_sweep(statics, cur, params: SimParams, grid, cfg):
     """Σ_j (x_j − x_i) ⊗ ∇W(X_ij) — the raw deformation-gradient
     accumulator, (n, 9). Also used at body creation with cur = X to
     compute the correction matrices."""
-    rows_local, block, win = _layout(cfg, grid)
+    rows_local, block, win = _layout(cfg, grid, statics.win)
     cb = round_up(statics.n, block)
     pvec = PS.build_pvec(params, cfg, grid)
     xcols = [statics.x0[:, k] for k in range(3)]
@@ -95,7 +100,7 @@ def elastic_step_pallas(state, statics, params: SimParams, ep,
     """One elastic step; see :func:`nereus_tpu.solvers.elastic.elastic_step`."""
     from .elastic import _integrate, stress_pc
     n = statics.n
-    rows_local, block, win = _layout(cfg, grid)
+    rows_local, block, win = _layout(cfg, grid, statics.win)
     cb = round_up(n, block)
     vol = statics.vol
     pvec = PS.build_pvec(params, cfg, grid)

@@ -295,3 +295,28 @@ def test_tank_box_walls_contain_sliding_cube():
     assert max_x > wall_x - 1e-6            # it reached the wall
     assert max_x < wall_x + 2 * sp          # shallow penetration only
     assert vx_min < -0.2 * v0               # and bounced back
+
+
+def test_elastic_plan_escalates_window_width():
+    """The lifetime-static elastic plan must COVER every reference pair:
+    with a deliberately tiny SimConfig window the builder escalates the
+    width until coverage is exact (statics.miss == 0, statics.win
+    records the widened width), instead of silently dropping pairs
+    (truncation breaks force antisymmetry — the exponential rest-noise
+    failure)."""
+    cfg = nt.SimConfig(engine="pallas", sweep_win=128)
+    params = make_params(dt=1e-4, gravity=(0.0, 0.0, 0.0))
+    h = float(np.asarray(params.interaction_radius))
+    sp = 0.5 * h
+    pts = nt.sample_box_solid((0, 0, 0), (11.1 * sp, 11.1 * sp, 11.1 * sp),
+                              sp)
+    state, statics, grid = nt.make_elastic_solid(pts, params, cfg, sp)
+    assert int(np.asarray(statics.miss)) == 0
+    assert statics.win >= 256, statics.win
+    # and the widened plan actually drives a healthy step
+    ep = nt.elastic_params(1e5, 0.3, damping=0.0)
+    import jax
+    s2, d = jax.jit(lambda s: nt.elastic_step(
+        s, statics, params, ep, grid, cfg))(state)
+    assert int(np.asarray(d.seg_overflow)) == 0
+    assert np.isfinite(np.asarray(s2.pos)).all()

@@ -525,9 +525,22 @@ def test_cli_second_phase(capsys):
                      "--surface-tension", "akinci",
                      "--second-phase", "0.4"]) == 2
     capsys.readouterr()
-    # refuses composition with a rigid body
+    # composes with a rigid body (multiphase WCSPH rigid coupling)
+    rc = cli_main(["run", "--solver", "wcsph", "--steps", "3",
+                   "--neighbor-engine", "pallas",
+                   "--surface-tension", "none", "--second-phase", "0.4",
+                   "--rigid-box", "0.25,0.6,0.25:0.1,0.1,0.1:200"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["seg_overflow"] == 0
+    # ... but the DFSPH and sharded combinations stay refused
+    assert cli_main(["run", "--solver", "dfsph", "--steps", "2",
+                     "--surface-tension", "none", "--second-phase", "0.4",
+                     "--rigid-box", "0.2,0.2,0.2:0.1,0.1,0.1:200"]) == 2
+    capsys.readouterr()
     assert cli_main(["run", "--solver", "wcsph", "--steps", "2",
                      "--surface-tension", "none", "--second-phase", "0.4",
+                     "--shards", "2",
                      "--rigid-box", "0.2,0.2,0.2:0.1,0.1,0.1:200"]) == 2
     capsys.readouterr()
 
