@@ -71,6 +71,13 @@ def _build_parser():
                      help="with --export png/mp4: keep OUT/latest.png "
                           "updated with the newest frame (atomic replace) "
                           "— tail it to watch a running sim")
+    run.add_argument("--control", action="store_true",
+                     help="poll OUT_control.json every step for runtime "
+                          "commands — pause/resume, drop-cube-now, "
+                          "camera orbit, stop (see app/control.py for "
+                          "the protocol): the offline equivalent of the "
+                          "reference's pause key / mouse camera / "
+                          "keypress particle drop")
     run.add_argument("--export-mesh", type=int, default=0, metavar="K",
                      help="every K steps, reconstruct the fluid surface "
                           "(metaball field + marching tetrahedra, "
@@ -266,6 +273,10 @@ def _make_setup(args):
     if args.emit:
         # emitted patches are tiny (9 particles); doubled capacity is
         # generous headroom at CLI scales
+        scene_kw["capacity_factor"] = max(
+            scene_kw.get("capacity_factor", 1), 2)
+    if getattr(args, "control", False):
+        # headroom for interactive drop-cube-now commands
         scene_kw["capacity_factor"] = max(
             scene_kw.get("capacity_factor", 1), 2)
     state, grid, boundary = scenelib.dam_break(
@@ -918,6 +929,13 @@ def cmd_run(args):
         exporter = FrameExporter(args.out, args.export,
                                  watch=bool(args.watch))
 
+    control = None
+    if args.control:
+        from .control import ControlChannel
+        control = ControlChannel(f"{args.out}_control.json", log)
+        log.info("runtime control live: write %s (pause/drop/camera/"
+                 "stop; see nereus_tpu/app/control.py)", control.path)
+
     drop_pts = None
     if args.drop_cube_every:
         if args.shards > 1:
@@ -969,11 +987,53 @@ def cmd_run(args):
                 ovf_max[f] = (v if f not in ovf_max
                               else jnp.maximum(ovf_max[f], v))
 
+    def _apply_control(cmds):
+        # one-shot commands from the control file (ControlChannel seq-
+        # gates them); runs between steps, so device state is consistent
+        nonlocal run_state, n
+        if "camera" in cmds and exporter is not None:
+            from .control import orbit_camera
+            cam = orbit_camera(cmds["camera"])
+            exporter.render_kwargs["camera"] = cam
+            log.info("camera -> eye=%s target=%s",
+                     tuple(round(v, 3) for v in cam.eye), cam.target)
+            if control.paused:
+                # pause -> inspect: re-render the frozen state so
+                # latest.png reflects the new view immediately
+                hs = to_host(run_state)
+                na = int(np.asarray(hs.num_active).sum())
+                exporter.add(np.asarray(hs.pos)[:na],
+                             np.asarray(hs.vel)[:na],
+                             np.asarray(hs.pressure)[:na])
+        if cmds.get("drop"):
+            if args.shards > 1:
+                log.warning("control drop ignored (single-chip only)")
+            else:
+                from nereus_tpu.scene import particle_cube
+                spec = cmds["drop"]
+                if isinstance(spec, (list, tuple)) and len(spec) == 4:
+                    center, side = tuple(spec[:3]), float(spec[3])
+                else:
+                    center, side = (0.25, 0.55, 0.25), 0.12
+                spacing = float(params.interaction_radius) - 0.005
+                pts = particle_cube(center, (side,) * 3, spacing)
+                try:
+                    run_state = nt.add_particles(run_state, pts)
+                    n = int(run_state.num_active)
+                    log.info("control drop: %d particles at %s "
+                             "(live: %d)", len(pts), center, n)
+                except ValueError as e:
+                    log.warning("control drop skipped: %s", e)
+        if cmds.get("stop"):
+            log.info("stopped by control file")
+
     meter = StepMeter(n, report_every=args.report_every, logger=log)
     t0 = time.perf_counter()
     diag = None
     with profile_trace(args.profile_dir):
         for i in range(step0, step0 + args.steps):
+            if control is not None and control.pump(_apply_control):
+                break
             if args.refit_every and i > step0 \
                     and (i - step0) % args.refit_every == 0:
                 from nereus_tpu.boundary import rehash_boundary

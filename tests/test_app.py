@@ -189,6 +189,66 @@ def test_cli_yield_strain_resume_mismatch(tmp_path, capsys):
     capsys.readouterr()
 
 
+def test_cli_control_channel(tmp_path, capsys):
+    """The offline interactive session the reference does with keys
+    (pause main.cpp:334-345, camera :353-472, drop :499-521):
+    pause → inspect (camera orbit re-renders the frozen frame) → drop a
+    cube → resume → stop, against a live run polling OUT_control.json."""
+    import threading
+    import time as _time
+
+    out = str(tmp_path / "ctl")
+    ctl = f"{out}_control.json"
+
+    def write(doc):
+        tmp = ctl + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        os.replace(tmp, ctl)
+
+    rcs = []
+    t = threading.Thread(target=lambda: rcs.append(cli_main(
+        ["run", "--solver", "wcsph", "--steps", "100000",
+         "--no-boundary", "--control", "--export", "png", "--watch",
+         "--export-every", "3", "--out", out])))
+    t.start()
+    latest = os.path.join(out, "latest.png")
+    deadline = _time.time() + 120
+    while not os.path.exists(latest) and _time.time() < deadline:
+        _time.sleep(0.3)
+    assert os.path.exists(latest), "run never produced a frame"
+
+    # pause, then orbit the camera: latest.png must re-render while the
+    # sim is frozen
+    write({"seq": 1, "pause": True})
+    _time.sleep(1.5)
+    m0 = os.stat(latest).st_mtime_ns
+    write({"seq": 2, "pause": True,
+           "camera": {"azimuth": 135, "elevation": 35, "distance": 2.0}})
+    deadline = _time.time() + 60
+    while os.stat(latest).st_mtime_ns == m0 and _time.time() < deadline:
+        _time.sleep(0.3)
+    assert os.stat(latest).st_mtime_ns != m0, \
+        "camera orbit while paused did not re-render"
+
+    # resume with a drop, then stop
+    write({"seq": 3, "pause": False, "drop": True})
+    _time.sleep(1.0)
+    write({"seq": 4, "stop": True})
+    t.join(timeout=120)
+    assert not t.is_alive(), "run did not stop on control command"
+    assert rcs == [0]
+    lines = capsys.readouterr().out.strip().splitlines()
+    summary = json.loads(lines[-1])
+    assert summary["seg_overflow"] == 0
+    # the dropped cube grew the live particle count past the seed scene
+    base = cli_main(["run", "--solver", "wcsph", "--steps", "1",
+                     "--no-boundary", "--out", str(tmp_path / "ref")])
+    assert base == 0
+    ref = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["particles"] > ref["particles"]
+
+
 def test_render_frame_draws_particles():
     rng = np.random.default_rng(1)
     pos = rng.uniform(0.1, 0.4, (500, 3))
