@@ -1404,7 +1404,7 @@ def make_sharded_pcisph_step(mesh: Mesh, params: SimParams,
         p0 = jnp.zeros((cl,), cfg.dtype)
         f_p0 = jnp.zeros((cl, 3), cfg.dtype)
         if cfg.pcisph_warm_start:
-            p0 = 0.5 * jnp.maximum(
+            p0 = cfg.pcisph_warm_frac * jnp.maximum(
                 jnp.where(own_active, sctx.pres, 0.0), 0.0)
             pd2_0 = p0 * inv_d2
             (src_pd2_0,) = hop({"pd2": pd2_0})

@@ -100,6 +100,10 @@ class SimConfig:
     # overshoot could never relax back down. First step (pressure 0)
     # is identical to cold.
     pcisph_warm_start: bool = True
+    # Warm-start fraction of the previous converged pressure. 0.5 is the
+    # safe default (the loop only ADDS — see above); the settled bench
+    # row measures the higher-risk fractions before any default change.
+    pcisph_warm_frac: float = 0.5
     # DFSPH (beyond-reference solver, Bender & Koschier 2015/2017):
     # constant-density and divergence-free loop caps.
     dfsph_min_iters: int = 2
@@ -162,7 +166,7 @@ class SimConfig:
                      str(self.dtype), self.seg_window, self.boundary_seg_window,
                      self.iisph_min_iters, self.iisph_max_iters,
                      self.pcisph_min_iters, self.pcisph_max_iters,
-                     self.pcisph_warm_start,
+                     self.pcisph_warm_start, self.pcisph_warm_frac,
                      self.dfsph_min_iters, self.dfsph_max_iters,
                      self.dfsph_min_iters_v, self.dfsph_max_iters_v,
                      self.dfsph_warm_start, self.pbf_iters,

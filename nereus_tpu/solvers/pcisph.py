@@ -243,7 +243,7 @@ def pcisph_step(state: FluidState, params: SimParams, grid: gridlib.Grid,
     p0 = jnp.zeros_like(dens)
     f_p0 = zeros3
     if cfg.pcisph_warm_start:
-        p0 = 0.5 * jnp.maximum(
+        p0 = cfg.pcisph_warm_frac * jnp.maximum(
             jnp.where(active, ctx.state.pressure, 0.0), 0.0)
         f_p0 = _pressure_force(ctx, params, cfg, boundary, dens, p0)
     init = (p0, f_p0,

@@ -106,7 +106,7 @@ def pcisph_step_pallas(state: FluidState, params: SimParams,
     if cfg.pcisph_warm_start:
         # half the previous step's converged pressure (ctx.pres_prev) + its
         # force, one sweep before the loop; see pcisph.py for the rationale
-        p0 = 0.5 * jnp.maximum(jnp.where(active, ctx.pres_prev, 0.0), 0.0)
+        p0 = cfg.pcisph_warm_frac * jnp.maximum(jnp.where(active, ctx.pres_prev, 0.0), 0.0)
         q_p0 = ctx.queries(p0 * inv_d2)
         f0 = PS.generic_sweep(
             cfg, PS.grad_pressure_force_pair, q_p0,
