@@ -324,6 +324,13 @@ def run_case(name, n_steps=10, scale=1.0):
     # boundary_274k, and the settled scenes at 256k/1M
     if solver == "dfsph_visc":
         cfg_kw["viscosity_model"] = "implicit"
+    import os as _os
+    wf = _os.environ.get("NEREUS_PCISPH_WARM_FRAC")
+    if wf and solver == "pcisph":
+        # round-5 warm-fraction scan knob (settled row only; the loop
+        # only ADDS pressure, so fractions near 1 risk overshoot lock-in
+        # -- measured before any default change)
+        cfg_kw["pcisph_warm_frac"] = float(wf)
     cfg = nt.SimConfig(**cfg_kw)
     if solver in ("iisph", "sharded_iisph"):
         params = nt.iisph_params()

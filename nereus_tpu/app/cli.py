@@ -461,10 +461,6 @@ def cmd_run(args):
             _parse_rigid_obj(args.rigid_obj)
         bad = [n for f, n in ((args.solver not in ("wcsph", "dfsph"),
                                "--solver wcsph|dfsph"),
-                              (args.shards > 1
-                               and args.solver != "dfsph",
-                               "--shards 1 (sharded coupling is "
-                               "DFSPH-only)"),
                               (args.shards > 1 and args.adaptive_dt,
                                "no --adaptive-dt with sharded rigid"),
                               (args.wavemaker, "no --wavemaker"),
@@ -544,12 +540,7 @@ def cmd_run(args):
                                and args.solver != "wcsph",
                                "--solver wcsph for rigid bodies "
                                "(multiphase rigid coupling is "
-                               "WCSPH-only)"),
-                              ((args.rigid_box or args.rigid_obj)
-                               and args.shards > 1,
-                               "--shards 1 with rigid bodies (sharded "
-                               "multiphase coupling is not "
-                               "implemented)")) if f]
+                               "WCSPH-only)")) if f]
         if bad:
             log.error("--second-phase requires: %s", ", ".join(bad))
             return 2
@@ -685,11 +676,19 @@ def cmd_run(args):
             run_state = shard_state(host_state, grid, scfg, mesh)
             lam = args.adaptive_dt
             if body_holder[0] is not None:
-                # sharded rigid coupling (DFSPH-only; validated above)
-                from nereus_tpu.parallel import \
-                    make_sharded_dfsph_coupled_step
-                cstep = make_sharded_dfsph_coupled_step(
-                    mesh, params, grid, cfg, scfg, boundary)
+                # sharded rigid coupling (WCSPH explicit incl.
+                # multiphase, or DFSPH Gauss–Seidel; validated above)
+                if args.solver == "wcsph":
+                    from nereus_tpu.parallel import \
+                        make_sharded_wcsph_coupled_step
+                    cstep = make_sharded_wcsph_coupled_step(
+                        mesh, params, grid, cfg, scfg, boundary,
+                        multiphase=host_state.multiphase)
+                else:
+                    from nereus_tpu.parallel import \
+                        make_sharded_dfsph_coupled_step
+                    cstep = make_sharded_dfsph_coupled_step(
+                        mesh, params, grid, cfg, scfg, boundary)
 
                 def _cstep(s, t=None):
                     s2, body_holder[0], d = cstep(s, body_holder[0])

@@ -2370,6 +2370,358 @@ def make_sharded_dfsph_coupled_step(mesh: Mesh, params: SimParams,
     return step
 
 
+def make_sharded_wcsph_coupled_step(mesh: Mesh, params: SimParams,
+                                    grid: gridlib.Grid, cfg: SimConfig,
+                                    scfg: ShardConfig,
+                                    boundary: Optional[BoundaryData] = None,
+                                    multiphase: bool = False):
+    """Build the jitted multi-chip WCSPH step with two-way rigid-body
+    coupling (explicit coupling — no stiffness loops, so unlike the
+    DFSPH variant the body needs exactly ONE psum'd reaction per step).
+
+    Bodies are REPLICATED like :func:`make_sharded_dfsph_coupled_step`:
+    every shard plans windows over each body's Akinci shell, sweeps the
+    contact force for the fluid it OWNS, and the psum of the per-shard
+    reactions integrates an identical body copy everywhere (lockstep).
+
+    ``multiphase=True`` runs the adapted-density volume form (the
+    single-chip ``coupled._coupled_mp_pallas`` discretization): body
+    shells join the walls in the per-query-phase-rescaled density sum
+    and the contact runs ``multiphase_body_pair`` (consistent Akinci
+    pressure + friction as ACCELERATION; reaction = −Σ m_i a_i).
+
+    Returns ``step(state, bodies) -> (state, bodies, diag)``.
+    """
+    from ..ops import pallas_sph as PSs
+    from ..ops.pallas_neighbors import (anchors_pack16, fuse_plans,
+                                        hash_payload, pack_source,
+                                        pack_source_fused,
+                                        pack_source_wide, plan_windows,
+                                        round_up, rows3_supported)
+    from ..rigid import RigidBody, body_boundary, integrate_rigid
+    from ..solvers.coupled import _reaction, _rigid_extras
+    from ..solvers.pallas_common import interpret_mode, padded_len
+
+    ax = scfg.axis_name
+    d = scfg.n_shards
+    if mesh.shape[ax] != d:
+        raise ValueError(
+            f"mesh axis {ax!r} has {mesh.shape[ax]} devices but "
+            f"ShardConfig.n_shards={d}")
+    _check_pallas_only(cfg, grid, "sharded coupled WCSPH")
+    if multiphase:
+        from ..solvers.dfsph import _check_multiphase_cfg
+        _check_multiphase_cfg(cfg)
+    from ..params import SurfaceTensionModel
+    mp_st = (multiphase and
+             cfg.surface_tension_model == SurfaceTensionModel.BECKER)
+    cl = scfg.local_capacity
+    kh = scfg.halo_capacity
+    interp = interpret_mode()
+    rows3 = cfg.sweep_fused_rows and rows3_supported(grid.size)
+    rloc = 3 if rows3 else 9
+    swin = cfg.resolve_win(rows3)
+    sblock = cfg.resolve_block(rows3)
+    clb = round_up(cl, sblock)
+    qpad = clb - cl
+    src_len = cl + 2 * kh
+    has_b = boundary is not None and boundary.num_boundaries > 0
+    n_rows = 2 * rloc if has_b else rloc
+
+    def padq(a, fillv):
+        if qpad == 0:
+            return a
+        fill = jnp.full((qpad,) + a.shape[1:], fillv, a.dtype)
+        return jnp.concatenate([a, fill])
+
+    def local_step(pos0, vel0, pres0, *rest):
+        *phase0, n_loc, bodies = rest
+        if multiphase:
+            phase_in = {"mass": phase0[0], "rho0": phase0[1]}
+        else:
+            phase_in = {}
+        sctx = _migrate_and_halo(pos0, vel0, pres0, n_loc, grid=grid,
+                                 scfg=scfg, extra=phase_in)
+        pos, vel = sctx.pos, sctx.vel
+        n_own, own_active = sctx.n_own, sctx.own_active
+        src_pos, src_vel = sctx.src_pos, sctx.src_vel
+        hash_f32 = hash_payload(sctx.src_hash, pos.dtype, grid.size)
+        dt = params.dt
+        pm = params.particle_mass
+        if multiphase:
+            # re-finite inactive slots (1/mass, tait(·, rho0=0) mint NaNs)
+            mass = jnp.where(own_active, sctx.extra["mass"], 1.0)
+            rho0 = jnp.where(own_active, sctx.extra["rho0"], 1.0)
+
+        bds = [body_boundary(b, grid) for b in bodies]
+        coms = [b.com.astype(pos.dtype) for b in bodies]
+
+        pq = tuple(padq(pos[:, k], PARK) for k in range(3))
+        vq = tuple(padq(vel[:, k], 0.0) for k in range(3))
+        act_q = padq(own_active, False)
+        qcoords = gridlib.cell_coords_cols(grid, *pq)
+
+        def queries(*cols, width):
+            cols = [*pq, *cols]
+            z = jnp.zeros((clb,), pos.dtype)
+            return jnp.stack(list(cols) + [z] * (width - len(cols)),
+                             axis=0).T
+
+        pk16 = _fused_pack16(src_len, boundary, swin)
+        anchors, miss = plan_windows(sctx.src_hash, qcoords, grid.size,
+                                     sblock, padded_len(src_len, swin),
+                                     active_mask=act_q, win=swin,
+                                     pack16=pk16, rows_local=rloc)
+        pvec = PSs.build_pvec(params, cfg, grid)
+        psi_fluid = jnp.full((src_len,), 1.0, pos.dtype) * pm
+        zsrc = jnp.zeros((src_len,), pos.dtype)
+
+        if has_b:
+            b_anchors, b_miss = plan_windows(
+                boundary.sorted_hash, qcoords, grid.size, sblock,
+                padded_len(src_len, swin)
+                + padded_len(boundary.num_boundaries, swin),
+                active_mask=act_q,
+                pos_offset=padded_len(src_len, swin),
+                win=swin, pack16=pk16, rows_local=rloc)
+            anchors = fuse_plans(anchors, b_anchors, pack16=pk16,
+                                 rows_local=rloc)
+            miss = miss + b_miss
+            b_hash_f32 = hash_payload(boundary.sorted_hash, pos.dtype,
+                                      grid.size)
+            bzero = jnp.zeros_like(boundary.psi)
+            bvel = ([boundary.vel[:, k] for k in range(3)]
+                    if boundary.vel is not None
+                    else [bzero, bzero, bzero])
+
+            def pack8(vel_cols, slot6):
+                return pack_source_fused(
+                    src_pos, hash_f32, [*vel_cols, slot6],
+                    boundary.pos, b_hash_f32,
+                    [*bvel, boundary.psi], rows=8, win=swin)
+
+            def pack16w(wide_cols):
+                return pack_source_fused(
+                    src_pos, hash_f32, wide_cols,
+                    boundary.pos, b_hash_f32,
+                    [*bvel, boundary.psi], rows=16, win=swin)
+        else:
+            def pack8(vel_cols, slot6):
+                return pack_source(src_pos, hash_f32, vel_cols, slot6,
+                                   win=swin)
+
+            def pack16w(wide_cols):
+                return pack_source_wide(src_pos, hash_f32, wide_cols,
+                                        rows=16, win=swin)
+
+        # per-body plan + packed source (sample velocities are fixed
+        # within the explicit step — packed once)
+        plans = []
+        for bd in bds:
+            mb = bd.num_boundaries
+            pk16_b = anchors_pack16(padded_len(mb, swin), swin)
+            anchors_b, miss_b = plan_windows(
+                bd.sorted_hash, qcoords, grid.size, sblock,
+                padded_len(mb, swin), active_mask=act_q, win=swin,
+                pack16=pk16_b, rows_local=rloc)
+            src_b = pack_source(
+                tuple(bd.pos[:, a] for a in range(3)),
+                hash_payload(bd.sorted_hash, pos.dtype, grid.size),
+                vel=tuple(bd.vel[:, a] for a in range(3)),
+                dens_or_psi=bd.psi, win=swin)
+            plans.append((anchors_b, src_b))
+            miss = miss + miss_b
+
+        def hop(fields):
+            return _halo_hop(fields, sctx, scfg, n_own)
+
+        src_vel_cols = tuple(src_vel[:, k] for k in range(3))
+        q4 = queries(width=4)
+        if multiphase:
+            dout = PSs.generic_sweep(
+                cfg, PSs.multiphase_density_pair, q4,
+                pack8((zsrc, zsrc, zsrc), zsrc), anchors, pvec,
+                grid.size, out_width=4,
+                pair_fn_b=PSs.multiphase_density_bpair,
+                n_rows=n_rows, interpret=interp)
+            delta = dout[:cl, 0]
+            bsum = dout[:cl, 1]
+            for anchors_b, src_b in plans:
+                bsum = bsum + PSs.density_sweep(
+                    cfg, q4, src_b, anchors_b, pvec, grid.size,
+                    n_rows=rloc, interpret=interp)[:cl]
+            dens = mass * delta + (rho0 / params.rest_density) * bsum
+            prs = wcsph_mod.tait_pressure(dens, params, rho0)
+            vol = 1.0 / jnp.maximum(delta, 1e-12)
+            pv2 = prs * vol * vol
+
+            vp = {"vol": vol, "pv2": pv2}
+            if mp_st:
+                vp["rho0"] = rho0
+            spliced = hop(vp)
+
+            inv_rho = 1.0 / jnp.maximum(dens, 1e-12)
+            inv_m = jnp.where(own_active,
+                              1.0 / jnp.maximum(mass, 1e-30), 0.0)
+            qcols = [*vq, padq(pv2, 0.0), padq(inv_m, 0.0),
+                     padq(mass, 1.0), padq(inv_rho, 0.0)]
+            wide_cols = [*src_vel_cols, spliced[0], spliced[1]]
+            if mp_st:
+                qcols.append(padq(rho0, 1.0))
+                wide_cols.append(spliced[2])
+            q10 = queries(*qcols, width=len(qcols) + 3)
+            acc4 = PSs.generic_sweep(
+                cfg, PSs.multiphase_force_pair, q10, pack16w(wide_cols),
+                anchors, pvec, grid.size, out_width=4,
+                pair_fn_b=PSs.multiphase_boundary_pair,
+                pair_b_kw={"moving": _moving_b(boundary)},
+                st_becker=mp_st,
+                n_rows=n_rows, interpret=interp)
+            accel = [acc4[:cl, k] for k in range(3)]
+
+            inv_r2 = inv_rho * inv_rho
+            bp = (rho0 / params.rest_density) * jnp.maximum(prs, 0.0) \
+                * inv_r2
+            fr = mass * inv_r2
+            q8b = queries(*vq, padq(bp, 0.0), padq(fr, 0.0), width=8)
+            Freact, Treact = [], []
+            for k, (anchors_b, src_b) in enumerate(plans):
+                ab = PSs.generic_sweep(
+                    cfg, PSs.multiphase_body_pair, q8b, src_b, anchors_b,
+                    pvec, grid.size, out_width=4, n_rows=rloc,
+                    interpret=interp)
+                for a in range(3):
+                    accel[a] = accel[a] + ab[:cl, a]
+                Fk, Tk = _reaction(pos, mass[:, None] * ab[:cl, :3],
+                                   own_active, coms[k])
+                Freact.append(Fk)
+                Treact.append(Tk)
+            g = jnp.asarray(params.gravity, pos.dtype)
+            new_vel = jnp.stack(
+                [vel[:, k] + dt * (accel[k] + g[k]) for k in range(3)],
+                axis=1)
+        else:
+            dens = PSs.density_sweep(
+                cfg, q4, pack8((zsrc, zsrc, zsrc), psi_fluid),
+                anchors, pvec, grid.size,
+                n_rows=n_rows, interpret=interp)[:cl]
+            for anchors_b, src_b in plans:
+                dens = dens + PSs.density_sweep(
+                    cfg, q4, src_b, anchors_b, pvec, grid.size,
+                    n_rows=rloc, interpret=interp)[:cl]
+            prs = wcsph_mod.tait_pressure(dens, params)
+
+            (src_dens,) = hop({"dens": dens})
+            dens_safe = jnp.maximum(dens, 1e-12)
+            pd2 = prs / (dens_safe * dens_safe)
+            q8 = queries(*vq, padq(dens, 0.0), padq(pd2, 0.0), width=8)
+            force = PSs.fluid_force_sweep(
+                cfg, q8, pack8(src_vel_cols, src_dens), anchors,
+                pvec, grid.size, n_rows=n_rows,
+                moving_boundary=_moving_b(boundary),
+                interpret=interp)
+            fxyz = [force[:cl, k] for k in range(3)]
+            Freact, Treact = [], []
+            for k, (anchors_b, src_b) in enumerate(plans):
+                fb = PSs.generic_sweep(
+                    cfg, PSs.boundary_force_pair, q8, src_b, anchors_b,
+                    pvec, grid.size, out_width=4, n_rows=rloc,
+                    interpret=interp, include_pressure=True, moving=True,
+                    include_adhesion=False, pressure_sign=-1.0,
+                    consistent_pressure=True)
+                for a in range(3):
+                    fxyz[a] = fxyz[a] + fb[:cl, a]
+                Fk, Tk = _reaction(pos, fb[:cl, :3], own_active, coms[k])
+                Freact.append(Fk)
+                Treact.append(Tk)
+            g = params.gravity
+            new_vel = jnp.stack(
+                [vel[:, k] + (dt / pm) * (fxyz[k] + pm * g[k])
+                 for k in range(3)], axis=1)
+
+        new_pos = pos + dt * new_vel
+        new_vel = jnp.where(own_active[:, None], new_vel,
+                            jnp.zeros_like(vel))
+        new_pos = jnp.where(own_active[:, None], new_pos,
+                            jnp.full_like(pos, PARK))
+        new_pres = jnp.where(own_active, prs, 0.0)
+
+        # replicated body integration: psum'd fluid reaction + the
+        # (deterministic, shard-identical) wall/body-body contacts
+        Fx, Tx = _rigid_extras(bodies, boundary, params, cfg)
+        new_bodies = tuple(
+            integrate_rigid(b,
+                            Fx[k] + jax.lax.psum(Freact[k], ax),
+                            Tx[k] + jax.lax.psum(Treact[k], ax),
+                            dt, params.gravity)
+            for k, b in enumerate(bodies))
+
+        nact_f = jnp.maximum(
+            jax.lax.psum(n_own.astype(cfg.dtype), ax), 1.0)
+        if multiphase:
+            relerr = jnp.where(own_active, (dens - rho0) / rho0, 0.0)
+        else:
+            relerr = jnp.where(
+                own_active,
+                (dens - params.rest_density) / params.rest_density, 0.0)
+        diag = ShardedDiagnostics(
+            max_density=jax.lax.pmax(
+                jnp.max(jnp.where(own_active, dens, 0.0)), ax),
+            mean_density_error=jax.lax.psum(
+                jnp.sum(jnp.abs(relerr)), ax) / nact_f,
+            mean_compression=jax.lax.psum(
+                jnp.sum(jnp.maximum(relerr, 0.0)), ax) / nact_f,
+            seg_overflow=jax.lax.pmax(miss, ax),
+            halo_overflow=jax.lax.pmax(sctx.halo_overflow, ax),
+            migration_overflow=jax.lax.pmax(sctx.mig_overflow, ax),
+            capacity_overflow=jax.lax.pmax(sctx.cap_overflow, ax),
+            migration_violation=jax.lax.psum(sctx.mig_violation, ax),
+            num_active=jax.lax.psum(n_own, ax),
+            solver_iters=jnp.asarray(0, jnp.int32),
+        )
+        outs = (new_pos, new_vel, new_pres)
+        if multiphase:
+            outs += (mass, rho0)
+        return (*outs, n_own[None], new_bodies, diag)
+
+    pspec = P(ax)
+    rep = P()
+    nargs = 6 if multiphase else 4
+    sharded = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(pspec,) * nargs + (rep,),
+        out_specs=(pspec,) * nargs
+        + (rep, jax.tree_util.tree_map(lambda _: rep, _diag_struct())),
+        check_vma=False)
+
+    @jax.jit
+    def step(state: FluidState, body):
+        single = isinstance(body, RigidBody)
+        bodies = (body,) if single else tuple(body)
+        if multiphase:
+            if not state.multiphase:
+                raise ValueError(
+                    "multiphase sharded coupled step needs "
+                    "state.mass/rho0 (make_fluid_state(..., masses=, "
+                    "rest_densities=) before shard_state)")
+            pos, vel, pres, mass, rho0, n_loc, new_bodies, diag = sharded(
+                state.pos, state.vel, state.pressure,
+                state.mass, state.rho0, state.num_active, bodies)
+            new_state = FluidState(pos=pos, vel=vel, pressure=pres,
+                                   num_active=n_loc, mass=mass,
+                                   rho0=rho0)
+        else:
+            _refuse_multiphase(state, "rigid-coupled WCSPH")
+            pos, vel, pres, n_loc, new_bodies, diag = sharded(
+                state.pos, state.vel, state.pressure, state.num_active,
+                bodies)
+            new_state = FluidState(pos=pos, vel=vel, pressure=pres,
+                                   num_active=n_loc)
+        return new_state, (new_bodies[0] if single else new_bodies), diag
+
+    return step
+
+
 def make_sharded_pbf_step(mesh: Mesh, params: SimParams,
                           grid: gridlib.Grid, cfg: SimConfig,
                           scfg: ShardConfig,
