@@ -29,6 +29,9 @@ def main():
                     help="after the analysis, actually execute the "
                          "donated chain and report throughput")
     args = ap.parse_args()
+    # --steps 1 compiles a single donated step (no fori carry
+    # double-buffer) — the lowest-peak stepping mode a python-loop user
+    # gets; the 10-step chain is the bench-harness mode
 
     import jax
     import jax.numpy as jnp
@@ -72,7 +75,7 @@ def main():
             print(f"# {name}: {json.dumps(out[name])}", file=sys.stderr,
                   flush=True)
         except Exception as e:  # noqa: BLE001 — report per-variant
-            out[name] = {"error": repr(e)[:300]}
+            out[name] = {"error": repr(e)[:2500]}
 
     if args.run and "error" not in out.get("donated", {}):
         import time
