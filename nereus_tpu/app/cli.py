@@ -537,9 +537,10 @@ def cmd_run(args):
                               (args.implicit_viscosity is not None,
                                "no --implicit-viscosity"),
                               ((args.rigid_box or args.rigid_obj)
+                               and args.shards > 1
                                and args.solver != "wcsph",
-                               "--solver wcsph for rigid bodies "
-                               "(multiphase rigid coupling is "
+                               "--shards 1 for dfsph rigid bodies "
+                               "(sharded multiphase coupling is "
                                "WCSPH-only)")) if f]
         if bad:
             log.error("--second-phase requires: %s", ", ".join(bad))

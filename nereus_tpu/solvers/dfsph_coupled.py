@@ -67,15 +67,18 @@ def dfsph_coupled_step(state: FluidState, params: SimParams,
     Returns ``(new_state, new_body_or_bodies, StepDiagnostics)``;
     tolerances as :func:`nereus_tpu.solvers.dfsph.dfsph_step`.
     """
-    if state.multiphase:
-        raise NotImplementedError(
-            "multiphase rigid coupling is WCSPH-only "
-            "(wcsph_coupled_step); the multiphase DFSPH stiffness loops "
-            "do not carry body shells yet — refusing rather than "
-            "silently dropping the phase columns")
     single = isinstance(body, RigidBody)
     bodies = (body,) if single else tuple(body)
-    if cfg.use_pallas():
+    if state.multiphase:
+        from .dfsph import _check_multiphase_cfg
+        _check_multiphase_cfg(cfg)
+        if cfg.use_pallas():
+            out = _coupled_mp_pallas(state, params, grid, cfg, bodies,
+                                     boundary, tol, tol_v)
+        else:
+            out = _coupled_mp_oracle(state, params, grid, cfg, bodies,
+                                     boundary, tol, tol_v)
+    elif cfg.use_pallas():
         out = _coupled_pallas(state, params, grid, cfg, bodies, boundary,
                               tol, tol_v)
     else:
@@ -330,6 +333,194 @@ def _coupled_oracle(state, params, grid, cfg, bodies, boundary, tol,
 
 
 # ---------------------------------------------------------------------------
+# Multiphase (adapted number-density domain; see the derivation block in
+# solvers/dfsph.py) — body shells enter δ̂, α̂ (incl. the mobility
+# diagonal), dδ̂/dt, and every κ̂ correction exactly like walls, scaled
+# by the query's s_i/m_i; the reaction momentum is exact because the
+# fluid-side velocity change is known per pair (central impulses).
+# Reduces to the single-phase coupled step at uniform phase (the κ̂ = ρ·κ
+# correspondence of the uncoupled reduction carries over unchanged —
+# every body term here is the single-phase body term divided by m_i on
+# the acceleration side).
+# ---------------------------------------------------------------------------
+
+def _coupled_mp_oracle(state, params, grid, cfg, bodies, boundary, tol,
+                       tol_v):
+    from .coupled import _body_accel_mp_oracle
+    from .dfsph import (alpha_parts_multiphase, apply_kappa_multiphase,
+                        compute_drho_multiphase)
+    from .wcsph import multiphase_accels
+
+    bds = [body_boundary(b, grid) for b in bodies]
+    coms = [b.com for b in bodies]
+    relbs = [bd.pos - b.com[None, :] for bd, b in zip(bds, bodies)]
+    masses = [b.mass for b in bodies]
+    Iws = [_body_inertia_world(b) for b in bodies]
+    ctx = common.build_ctx(state, grid, cfg, boundary)
+    st = ctx.state
+    pos = st.pos
+    active = ctx.active
+    nact = jnp.maximum(state.num_active.astype(cfg.dtype), 1.0)
+    dt = params.dt
+    mass, rho0 = st.mass, st.rho0
+    s_phase = rho0 / params.rest_density
+    sm = s_phase / mass
+    im = 1.0 / mass
+
+    dens, delta = common.compute_density_multiphase(ctx, params, cfg,
+                                                    boundary)
+    ovf = ctx.overflow
+    for bd in bds:
+        dens = dens + s_phase * _body_density_oracle(ctx, params, cfg,
+                                                     grid, bd)
+        ovf = jnp.maximum(ovf, _body_segments(ctx, cfg, grid, bd)[2])
+    delta_hat = dens / mass
+    delta0 = rho0 / mass
+    vhat2 = 1.0 / jnp.maximum(delta_hat * delta_hat, 1e-24)
+    to_kg = mass * (params.rest_density / rho0)
+
+    # α̂ with body shells in the ψ gradient sum; the strong-coupling
+    # mobility diagonal in adapted units is the single-phase
+    # pm·(|g|²/M + t·I⁻¹t) with pm → s_i²/m_i (denominators scale as
+    # 1/m² under the exact single-phase reduction)
+    g, sq, bg = alpha_parts_multiphase(ctx, params, cfg, boundary)
+    mob = jnp.zeros_like(dens)
+    for k, bd in enumerate(bds):
+        gk = _body_alpha_gs(ctx, params, cfg, grid, bd)
+        bg = bg + gk
+        if cfg.dfsph_strong_coupling:
+            tk = jnp.cross(pos - coms[k][None, :], gk)
+            mob = mob + (s_phase * s_phase * im) * (
+                jnp.sum(gk * gk, axis=-1) / masses[k]
+                + jnp.einsum("ni,ij,nj->n", tk,
+                             jnp.linalg.inv(Iws[k]), tk))
+    ghat = g + sm[:, None] * bg
+    denom = jnp.sum(ghat * ghat, axis=-1) + mass * sq + mob
+    alpha = mass * delta_hat * delta_hat / jnp.maximum(denom, _EPS_DENOM)
+
+    bv0 = tuple((b.vel, b.omega) for b in bodies)
+
+    def body_vels(bv):
+        return [bv[k][0][None, :] + jnp.cross(
+            jnp.broadcast_to(bv[k][1], relbs[k].shape), relbs[k])
+            for k in range(len(bodies))]
+
+    def drho_total(vt, bv):
+        d = compute_drho_multiphase(ctx, params, cfg, boundary, vt)
+        for k, bd in enumerate(bds):
+            d = d + sm * _body_drho(ctx, params, cfg, grid, bd, vt,
+                                    body_vels(bv)[k])
+        return d
+
+    def correct(v, kappa, bv):
+        """One κ̂ correction (fluid + walls via apply_kappa_multiphase,
+        plus each body with its Gauss–Seidel reaction kick)."""
+        vt = jnp.stack(v, axis=1)
+        kv2 = kappa * vhat2
+        v = apply_kappa_multiphase(ctx, params, cfg, boundary, kv2, vt)
+        qc = sm * kv2
+        bv = list(bv)
+        for k, bd in enumerate(bds):
+            dv = _body_kappa_dv(ctx, params, cfg, grid, bd, qc)
+            v = tuple(v[a] - dt * im * dv[:, a] for a in range(3))
+            # fluid momentum rate from this body's term is −dv exactly
+            # (m_i·(1/m_i)·dv); the reaction is its negation
+            Fk, Tk = _reaction(pos, -dv, active, coms[k])
+            bv[k] = _kick(bv[k], Fk, Tk, dt, masses[k], Iws[k])
+        return v, tuple(bv)
+
+    # --- divergence-free solve ------------------------------------------
+    def vcond(carry):
+        _, _, err, it = carry
+        return (((err > tol_v) | (it < cfg.dfsph_min_iters_v))
+                & (it < cfg.dfsph_max_iters_v))
+
+    def vbody(carry):
+        v, bv, _, it = carry
+        dhat = jnp.maximum(drho_total(jnp.stack(v, axis=1), bv), 0.0)
+        v, bv = correct(v, dhat * alpha / dt, bv)
+        return (v, bv, dt * _mean_active(dhat * to_kg, active, nact),
+                it + 1)
+
+    v0 = tuple(st.vel[:, k] for k in range(3))
+    init_v = (v0, bv0, jnp.asarray(2.0, cfg.dtype) * tol_v,
+              jnp.asarray(0, jnp.int32))
+    v_df, bv, err_v, iters_v = jax.lax.while_loop(vcond, vbody, init_v)
+    vel_df = jnp.stack(v_df, axis=1)
+
+    # --- non-pressure (volume-form viscosity + β walls + wall friction =
+    # multiphase_accels at zero pressure) + body friction ------------------
+    ctx_adv = _dc.replace(ctx, state=_dc.replace(st, vel=vel_df))
+    accel_adv = multiphase_accels(ctx_adv, params, cfg, boundary, dens,
+                                  delta, jnp.zeros_like(dens))
+    inv_r2 = 1.0 / jnp.maximum(dens, 1e-12) ** 2
+    bp0 = jnp.zeros_like(dens)      # zero pressure → friction only
+    fr = mass * inv_r2
+    bv = list(bv)
+    for k, bd in enumerate(bds):
+        bd_k = _dc.replace(bd, vel=body_vels(bv)[k])
+        a_f, _ = _body_accel_mp_oracle(ctx_adv, params, cfg, grid, bd_k,
+                                       bp0, fr)
+        accel_adv = accel_adv + a_f
+        Fk, Tk = _reaction(pos, mass[:, None] * a_f, active, coms[k])
+        bv[k] = _kick(bv[k], Fk, Tk, dt, masses[k], Iws[k])
+    bv = tuple(bv)
+    gvec = jnp.asarray(params.gravity, cfg.dtype)
+    v_star = tuple(vel_df[:, k] + dt * (accel_adv[:, k] + gvec[k])
+                   for k in range(3))
+
+    # warm start: half the previous accumulated κ̂, reaction-kicked
+    kap0 = jnp.zeros_like(dens)
+    if cfg.dfsph_warm_start:
+        kap0 = 0.5 * jnp.maximum(
+            jnp.where(active, st.pressure, 0.0), 0.0)
+        v_star, bv = correct(v_star, kap0, bv)
+
+    # --- constant-density solve -------------------------------------------
+    def cond(carry):
+        _, _, _, err, it = carry
+        return (((err > tol) | (it < cfg.dfsph_min_iters))
+                & (it < cfg.dfsph_max_iters))
+
+    def body_fn(carry):
+        v, bv, kap, _, it = carry
+        dstar = delta_hat + dt * drho_total(jnp.stack(v, axis=1), bv)
+        comp = jnp.maximum(dstar - delta0, 0.0)
+        kappa = comp * alpha / (dt * dt)
+        v, bv = correct(v, kappa, bv)
+        return (v, bv, kap + kappa,
+                _mean_active(comp * to_kg, active, nact), it + 1)
+
+    init = (v_star, bv, kap0,
+            jnp.asarray(2.0, cfg.dtype) * tol, jnp.asarray(0, jnp.int32))
+    v_new, bv, kappa, rho_err, iters = jax.lax.while_loop(
+        cond, body_fn, init)
+    vel_new = jnp.stack(v_new, axis=1)
+
+    # --- integrate ----------------------------------------------------------
+    Fx, Tx = _rigid_extras(bodies, boundary, params, cfg)
+    new_bodies = tuple(
+        integrate_rigid(_dc.replace(b, vel=bv[k][0], omega=bv[k][1]),
+                        Fx[k], Tx[k], dt, params.gravity)
+        for k, b in enumerate(bodies))
+    new_pos = pos + dt * vel_new
+    actf = active[:, None]
+    vel_new = jnp.where(actf, vel_new, st.vel)
+    new_pos = jnp.where(actf, new_pos, pos)
+    new_state = FluidState(pos=new_pos, vel=vel_new,
+                           pressure=jnp.where(active, kappa, 0.0),
+                           num_active=state.num_active,
+                           mass=mass, rho0=rho0)
+    diag = StepDiagnostics(
+        max_density=jnp.max(jnp.where(active, dens, 0.0)),
+        mean_density_error=rho_err / params.rest_density,
+        mean_compression=rho_err / params.rest_density,
+        seg_overflow=ovf,
+        solver_iters=iters + iters_v)
+    return new_state, new_bodies, diag
+
+
+# ---------------------------------------------------------------------------
 # Pallas engine
 # ---------------------------------------------------------------------------
 
@@ -553,6 +744,266 @@ def _coupled_pallas(state, params, grid, cfg, bodies, boundary, tol,
         vel=jnp.stack([a[:c] for a in nv], axis=1),
         pressure=jnp.where(active, kappa, 0.0)[:c],
         num_active=state.num_active)
+    diag = StepDiagnostics(
+        max_density=jnp.max(jnp.where(active, dens, 0.0)),
+        mean_density_error=rho_err / params.rest_density,
+        mean_compression=rho_err / params.rest_density,
+        seg_overflow=miss_total,
+        solver_iters=iters + iters_v)
+    return new_state, new_bodies, diag
+
+
+def _coupled_mp_pallas(state, params, grid, cfg, bodies, boundary, tol,
+                       tol_v):
+    """Multiphase coupled step, Pallas engine — the adapted-domain
+    formulation of :func:`_coupled_mp_oracle` on window sweeps
+    (equivalence-tested). Per κ̂ correction: one fused fluid+walls sweep
+    plus one ``multiphase_kappa_bpair`` sweep per body (ψ-only — the κ
+    correction never reads body velocities, so the body packs stay
+    static there; the dδ̂/dt sweeps resplice the current sample
+    velocities per iteration, the Gauss–Seidel interface)."""
+    from ..ops import pallas_sph as PS
+    from ..ops.pallas_neighbors import (anchors_pack16, hash_payload,
+                                        pack_source, plan_windows)
+    from ..params import SurfaceTensionModel
+    from .pallas_common import build_pallas_ctx, padded_len
+
+    bds = [body_boundary(b, grid) for b in bodies]
+    coms = [b.com for b in bodies]
+    relbs = [bd.pos - b.com[None, :] for bd, b in zip(bds, bodies)]
+    masses = [b.mass for b in bodies]
+    Iws = [_body_inertia_world(b) for b in bodies]
+    ctx = build_pallas_ctx(state, params, grid, cfg, boundary)
+    vel = (ctx.vx, ctx.vy, ctx.vz)
+    c, cb = ctx.c, ctx.cb
+    active = ctx.active
+    nact = jnp.maximum(state.num_active.astype(cfg.dtype), 1.0)
+    dt = params.dt
+    interp = ctx.interp
+    pvec, gsize, n_rows = ctx.pvec, ctx.gsize, ctx.n_rows
+    mass, rho0 = ctx.mass, ctx.rho0
+    s_phase = rho0 / params.rest_density
+    sm = s_phase / mass
+    im = 1.0 / mass
+
+    def mean_active(x):
+        return jnp.sum(jnp.where(active, x, 0.0)) / nact
+
+    # body plans (velocity rows respliced where the sweep needs them)
+    win = ctx.win
+    block = cfg.resolve_block(ctx.rows_local == 3)
+    qcoords = gridlib.cell_coords_cols(grid, ctx.px, ctx.py, ctx.pz)
+    plans = []
+    miss_total = ctx.miss
+    for bd in bds:
+        mb = bd.num_boundaries
+        pk16_b = anchors_pack16(padded_len(mb, win), win)
+        anchors_b, miss_b = plan_windows(
+            bd.sorted_hash, qcoords, gsize, block, padded_len(mb, win),
+            active_mask=active, win=win, pack16=pk16_b,
+            rows_local=ctx.rows_local)
+        src_b = pack_source(
+            tuple(bd.pos[:, k] for k in range(3)),
+            hash_payload(bd.sorted_hash, ctx.dtype, gsize),
+            vel=tuple(bd.vel[:, k] for k in range(3)),
+            dens_or_psi=bd.psi, win=win)
+        plans.append((anchors_b, src_b))
+        miss_total = miss_total + miss_b
+
+    bv0 = tuple((b.vel.astype(ctx.dtype), b.omega.astype(ctx.dtype))
+                for b in bodies)
+
+    def body_srcs(bv):
+        out = []
+        for k, (anchors_b, src_b) in enumerate(plans):
+            vk, wk = bv[k]
+            velb = vk[None, :] + jnp.cross(
+                jnp.broadcast_to(wk, relbs[k].shape), relbs[k])
+            out.append(jax.lax.dynamic_update_slice(
+                src_b, velb.T.astype(ctx.dtype), (3, 0)))
+        return out
+
+    # --- adapted density + factor α̂ (bodies in ψ sums + mobility) -------
+    q4 = ctx.queries(width=4)
+    dout = PS.generic_sweep(
+        cfg, PS.multiphase_density_pair, q4, ctx.pack(), ctx.anchors,
+        pvec, gsize, out_width=4, pair_fn_b=PS.multiphase_density_bpair,
+        n_rows=n_rows, interpret=interp)
+    delta = dout[:, 0]
+    bsum = dout[:, 1]
+    al = PS.generic_sweep(
+        cfg, PS.multiphase_alpha_pair, q4, ctx.pack(slot6=im),
+        ctx.anchors, pvec, gsize, out_width=8,
+        pair_fn_b=PS.multiphase_alpha_bpair,
+        n_rows=n_rows, interpret=interp)
+    rel_base = jnp.stack([ctx.px, ctx.py, ctx.pz], axis=1)
+    bgx, bgy, bgz = al[:, 4], al[:, 5], al[:, 6]
+    mob = jnp.zeros_like(delta)
+    for k, (anchors_b, src_b) in enumerate(plans):
+        bsum = bsum + PS.density_sweep(cfg, q4, src_b, anchors_b, pvec,
+                                       gsize, n_rows=ctx.rows_local,
+                                       interpret=interp)
+        albk = PS.generic_sweep(
+            cfg, PS.multiphase_alpha_bpair, q4, src_b, anchors_b, pvec,
+            gsize, out_width=8, n_rows=ctx.rows_local, interpret=interp)
+        gk = albk[:, 4:7]
+        bgx = bgx + gk[:, 0]
+        bgy = bgy + gk[:, 1]
+        bgz = bgz + gk[:, 2]
+        if cfg.dfsph_strong_coupling:
+            # adapted-units body-mobility diagonal: the single-phase
+            # pm·(|g|²/M + t·I⁻¹t) with pm → s²/m (see _coupled_mp_oracle)
+            tk = jnp.cross(rel_base - coms[k][None, :].astype(ctx.dtype),
+                           gk)
+            mob = mob + (s_phase * s_phase * im) * (
+                jnp.sum(gk * gk, axis=-1) / masses[k].astype(ctx.dtype)
+                + jnp.einsum("ni,ij,nj->n", tk,
+                             jnp.linalg.inv(Iws[k]).astype(ctx.dtype),
+                             tk))
+    dens = mass * delta + s_phase * bsum
+    delta_hat = dens / mass
+    delta0 = rho0 / mass
+    vhat2 = 1.0 / jnp.maximum(delta_hat * delta_hat, 1e-24)
+    to_kg = mass * (params.rest_density / rho0)
+    ghx = al[:, 0] + sm * bgx
+    ghy = al[:, 1] + sm * bgy
+    ghz = al[:, 2] + sm * bgz
+    denom = ghx * ghx + ghy * ghy + ghz * ghz + mass * al[:, 3] + mob
+    alpha = mass * delta_hat * delta_hat / jnp.maximum(denom, _EPS_DENOM)
+
+    def drho_of(v, src_bs):
+        q8 = ctx.queries(*v, width=8)
+        d = PS.generic_sweep(
+            cfg, PS.multiphase_drho_pair, q8, ctx.pack(vel=v),
+            ctx.anchors, pvec, gsize, out_width=4,
+            pair_fn_b=PS.multiphase_drho_bpair,
+            n_rows=n_rows, interpret=interp)
+        dd = d[:, 0] + sm * d[:, 1]
+        for k, (anchors_b, _) in enumerate(plans):
+            db = PS.generic_sweep(
+                cfg, PS.multiphase_drho_bpair, q8, src_bs[k], anchors_b,
+                pvec, gsize, out_width=4, n_rows=ctx.rows_local,
+                interpret=interp)[:, 1]
+            dd = dd + sm * db
+        return dd
+
+    def correct(kappa, v, bv):
+        kv2 = kappa * vhat2
+        qc = sm * kv2
+        qk = ctx.queries(kv2, qc)
+        f = PS.generic_sweep(
+            cfg, PS.multiphase_kappa_pair, qk, ctx.pack(slot6=kv2),
+            ctx.anchors, pvec, gsize, out_width=4,
+            pair_fn_b=PS.multiphase_kappa_bpair,
+            n_rows=n_rows, interpret=interp)
+        v = tuple(v[k] - dt * im * f[:, k] for k in range(3))
+        bv = list(bv)
+        for k, (anchors_b, src_b) in enumerate(plans):
+            fb = PS.generic_sweep(
+                cfg, PS.multiphase_kappa_bpair, qk, src_b, anchors_b,
+                pvec, gsize, out_width=4, n_rows=ctx.rows_local,
+                interpret=interp)
+            v = tuple(v[a] - dt * im * fb[:, a] for a in range(3))
+            # fluid momentum rate from this body's term = −fb exactly
+            Fk, Tk = _reaction(rel_base, -fb[:, :3], active, coms[k])
+            bv[k] = _kick(bv[k], Fk, Tk, dt, masses[k], Iws[k])
+        return v, tuple(bv)
+
+    # --- divergence-free solve ------------------------------------------
+    def vcond(carry):
+        _, _, err, it = carry
+        return (((err > tol_v) | (it < cfg.dfsph_min_iters_v))
+                & (it < cfg.dfsph_max_iters_v))
+
+    def vbody(carry):
+        v, bv, _, it = carry
+        dhat = jnp.maximum(drho_of(v, body_srcs(bv)), 0.0)
+        v, bv = correct(dhat * alpha / dt, v, bv)
+        return (v, bv, dt * mean_active(dhat * to_kg), it + 1)
+
+    init_v = (vel, bv0, jnp.asarray(2.0, cfg.dtype) * tol_v,
+              jnp.asarray(0, jnp.int32))
+    vel_df, bv, err_v, iters_v = jax.lax.while_loop(vcond, vbody, init_v)
+
+    # --- non-pressure (volume form, zero pressure) + body friction -------
+    vol = 1.0 / jnp.maximum(delta, 1e-12)
+    inv_rho = 1.0 / jnp.maximum(dens, 1e-12)
+    zcb = jnp.zeros((cb,), ctx.dtype)
+    st_becker = cfg.surface_tension_model == SurfaceTensionModel.BECKER
+    qcols = [*vel_df, zcb, im, mass, inv_rho]
+    wcols = [vel_df[0], vel_df[1], vel_df[2], vol, zcb]
+    if st_becker:
+        qcols.append(rho0)
+        wcols.append(rho0)
+    q10 = ctx.queries(*qcols)
+    src_adv = ctx.pack_wide(wcols, rows=16)
+    acc4 = PS.generic_sweep(
+        cfg, PS.multiphase_force_pair, q10, src_adv, ctx.anchors, pvec,
+        gsize, out_width=4, pair_fn_b=PS.multiphase_boundary_pair,
+        pair_b_kw={"moving": ctx.moving_boundary},
+        st_becker=st_becker,
+        n_rows=n_rows, interpret=interp)
+    accel = [acc4[:, k] for k in range(3)]
+    fr = mass * inv_rho * inv_rho
+    q8b = ctx.queries(*vel_df, zcb, fr)   # bp = 0 → friction only
+    bv = list(bv)
+    for k, (anchors_b, _) in enumerate(plans):
+        ab = PS.generic_sweep(
+            cfg, PS.multiphase_body_pair, q8b, body_srcs(bv)[k],
+            anchors_b, pvec, gsize, out_width=4, n_rows=ctx.rows_local,
+            interpret=interp)
+        for a in range(3):
+            accel[a] = accel[a] + ab[:, a]
+        Fk, Tk = _reaction(rel_base, mass[:, None] * ab[:, :3], active,
+                           coms[k])
+        bv[k] = _kick(bv[k], Fk, Tk, dt, masses[k], Iws[k])
+    bv = tuple(bv)
+    g = params.gravity
+    v_star = tuple(vel_df[k] + dt * (accel[k] + g[k]) for k in range(3))
+
+    # warm start: half the previous accumulated κ̂, reaction-kicked
+    kap0 = jnp.zeros_like(delta)
+    if cfg.dfsph_warm_start:
+        kap0 = 0.5 * jnp.maximum(
+            jnp.where(active, ctx.pres_prev, 0.0), 0.0)
+        v_star, bv = correct(kap0, v_star, bv)
+
+    # --- constant-density solve -------------------------------------------
+    def cond(carry):
+        _, _, _, err, it = carry
+        return (((err > tol) | (it < cfg.dfsph_min_iters))
+                & (it < cfg.dfsph_max_iters))
+
+    def body_fn(carry):
+        v, bv, kap, _, it = carry
+        dstar = delta_hat + dt * drho_of(v, body_srcs(bv))
+        comp = jnp.maximum(dstar - delta0, 0.0)
+        kappa = comp * alpha / (dt * dt)
+        v, bv = correct(kappa, v, bv)
+        return (v, bv, kap + kappa, mean_active(comp * to_kg), it + 1)
+
+    init = (v_star, bv, kap0,
+            jnp.asarray(2.0, cfg.dtype) * tol, jnp.asarray(0, jnp.int32))
+    v_new, bv, kappa, rho_err, iters = jax.lax.while_loop(
+        cond, body_fn, init)
+
+    # --- integrate ---------------------------------------------------------
+    Fx, Tx = _rigid_extras(bodies, boundary, params, cfg)
+    new_bodies = tuple(
+        integrate_rigid(_dc.replace(b, vel=bv[k][0], omega=bv[k][1]),
+                        Fx[k], Tx[k], dt, g)
+        for k, b in enumerate(bodies))
+    pos = (ctx.px, ctx.py, ctx.pz)
+    nv, np_ = [], []
+    for k in range(3):
+        nv.append(jnp.where(active, v_new[k], vel[k]))
+        np_.append(jnp.where(active, pos[k] + dt * v_new[k], pos[k]))
+    new_state = FluidState(
+        pos=jnp.stack([a[:c] for a in np_], axis=1),
+        vel=jnp.stack([a[:c] for a in nv], axis=1),
+        pressure=jnp.where(active, kappa, 0.0)[:c],
+        num_active=state.num_active,
+        mass=mass[:c], rho0=rho0[:c])
     diag = StepDiagnostics(
         max_density=jnp.max(jnp.where(active, dens, 0.0)),
         mean_density_error=rho_err / params.rest_density,

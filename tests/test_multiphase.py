@@ -542,9 +542,18 @@ def test_cli_second_phase(capsys):
     assert rc == 0
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["seg_overflow"] == 0
-    # ... but the DFSPH multiphase-coupled combination stays refused
+    # ... and with DFSPH single-chip (multiphase Gauss-Seidel coupling)
+    rc = cli_main(["run", "--solver", "dfsph", "--steps", "2",
+                   "--neighbor-engine", "pallas",
+                   "--surface-tension", "none", "--second-phase", "0.4",
+                   "--rigid-box", "0.25,0.6,0.25:0.1,0.1,0.1:200"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["seg_overflow"] == 0
+    # sharded multiphase coupling stays WCSPH-only
     assert cli_main(["run", "--solver", "dfsph", "--steps", "2",
                      "--surface-tension", "none", "--second-phase", "0.4",
+                     "--shards", "2",
                      "--rigid-box", "0.2,0.2,0.2:0.1,0.1,0.1:200"]) == 2
     capsys.readouterr()
 
