@@ -274,6 +274,10 @@ def run_case(name, n_steps=10, scale=1.0):
         # cells are empty and cost nothing — the engine has no dense
         # cell arrays)
         "wcsph_wide12M": ("wcsph", 12_000_000, False),
+        # the measured single-chip HBM ceiling row (round 5): 14.2M fits
+        # at 15.43G of 15.75G; 16M extrapolates to ~17.6G (memaudit
+        # scaling law, 12M=13.2G / 14M=15.4G) and cannot fit
+        "wcsph_14M": ("wcsph", 14_000_000, False),
         "iisph_1M": ("iisph", 2 ** 20, False),
         "wcsph_boundary_274k": ("wcsph", 256_000, True),
         "iisph_256k": ("iisph", 256_000, False),
@@ -314,7 +318,8 @@ def run_case(name, n_steps=10, scale=1.0):
     }[name]
 
     cfg_kw = {}
-    if name in ("wcsph_8M", "wcsph_10M", "wcsph_20M", "wcsph_wide12M"):
+    if name in ("wcsph_8M", "wcsph_10M", "wcsph_20M", "wcsph_wide12M",
+                "wcsph_14M"):
         # fused dz-spans scale with the grid's x-extent; at 193^3+ grids
         # the default 3x512 coverage misses (47k/225k plan misses
         # measured at 8M/10M) — 3x640 covers both cleanly
@@ -457,7 +462,7 @@ def main():
                  "dfsph_visc_256k_settled",
                  "pbf_1M", "pbf_256k_settled", "multiphase_1M",
                  "wcsph_1M_settled", "elastic_512k", "elastic_plastic_512k",
-                 "wcsph_elastic_256k", "dfsph_coupled_256k"]
+                 "wcsph_elastic_256k", "dfsph_coupled_256k", "wcsph_14M"]
     if args.cases:
         cases = args.cases.split(",")
     elif args.all:
