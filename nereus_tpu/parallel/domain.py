@@ -1406,17 +1406,28 @@ def make_sharded_pcisph_step(mesh: Mesh, params: SimParams,
         if cfg.pcisph_warm_start:
             p0 = cfg.pcisph_warm_frac * jnp.maximum(
                 jnp.where(own_active, sctx.pres, 0.0), 0.0)
-            pd2_0 = p0 * inv_d2
-            (src_pd2_0,) = hop({"pd2": pd2_0})
-            q_p0 = queries(padq(pd2_0, 0.0), width=4)
-            f_p0 = PSs.generic_sweep(
-                cfg, PSs.grad_pressure_force_pair, q_p0,
-                pack8(slot6=src_pd2_0), anchors, pvec, grid.size,
-                out_width=4, n_rows=n_rows, interpret=interp,
-                boundary=False,
-                pair_fn_b=(PSs.grad_pressure_force_pair if has_b else None),
-                pair_b_kw=dict(boundary=True,
-                               boundary_sign=-1.0))[:cl, :3]
+
+            def _warm_sweep():
+                pd2_0 = p0 * inv_d2
+                (src_pd2_0,) = hop({"pd2": pd2_0})
+                q_p0 = queries(padq(pd2_0, 0.0), width=4)
+                return PSs.generic_sweep(
+                    cfg, PSs.grad_pressure_force_pair, q_p0,
+                    pack8(slot6=src_pd2_0), anchors, pvec, grid.size,
+                    out_width=4, n_rows=n_rows, interpret=interp,
+                    boundary=False,
+                    pair_fn_b=(PSs.grad_pressure_force_pair if has_b
+                               else None),
+                    pair_b_kw=dict(boundary=True,
+                                   boundary_sign=-1.0))[:cl, :3]
+
+            # cond-skip when the carried pressure is all-zero (ballistic
+            # phases); predicate pmax'd so every shard takes the SAME
+            # branch — a divergent cond around the hop's ppermute
+            # would deadlock the mesh
+            warm_any = jax.lax.pmax(jnp.max(p0), ax) > 0.0
+            f_p0 = jax.lax.cond(warm_any, _warm_sweep,
+                                lambda: jnp.zeros((cl, 3), cfg.dtype))
         init = (p0, f_p0,
                 jnp.asarray(jnp.inf, cfg.dtype), jnp.asarray(0, jnp.int32))
         p, f_p, err, iters = jax.lax.while_loop(cond, body, init)

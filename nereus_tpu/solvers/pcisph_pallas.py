@@ -104,18 +104,26 @@ def pcisph_step_pallas(state: FluidState, params: SimParams,
     zc = jnp.zeros((cb,), cfg.dtype)
     p0, fp0 = zc, (zc, zc, zc)
     if cfg.pcisph_warm_start:
-        # half the previous step's converged pressure (ctx.pres_prev) + its
-        # force, one sweep before the loop; see pcisph.py for the rationale
-        p0 = cfg.pcisph_warm_frac * jnp.maximum(jnp.where(active, ctx.pres_prev, 0.0), 0.0)
-        q_p0 = ctx.queries(p0 * inv_d2)
-        f0 = PS.generic_sweep(
-            cfg, PS.grad_pressure_force_pair, q_p0,
-            ctx.pack(slot6=p0 * inv_d2),
-            ctx.anchors, pvec, gsize, out_width=4,
-            n_rows=n_rows, interpret=interp, boundary=False,
-            pair_fn_b=PS.grad_pressure_force_pair,
-            pair_b_kw=dict(boundary=True, boundary_sign=-1.0))
-        fp0 = (f0[:, 0], f0[:, 1], f0[:, 2])
+        # a fraction of the previous step's converged pressure
+        # (ctx.pres_prev) + its force, one sweep before the loop (see
+        # pcisph.py); the sweep is cond-skipped while the carried
+        # pressure is all-zero (ballistic phases — pure cost otherwise)
+        p0 = cfg.pcisph_warm_frac * jnp.maximum(
+            jnp.where(active, ctx.pres_prev, 0.0), 0.0)
+
+        def _warm_sweep():
+            q_p0 = ctx.queries(p0 * inv_d2)
+            f0 = PS.generic_sweep(
+                cfg, PS.grad_pressure_force_pair, q_p0,
+                ctx.pack(slot6=p0 * inv_d2),
+                ctx.anchors, pvec, gsize, out_width=4,
+                n_rows=n_rows, interpret=interp, boundary=False,
+                pair_fn_b=PS.grad_pressure_force_pair,
+                pair_b_kw=dict(boundary=True, boundary_sign=-1.0))
+            return f0[:, 0], f0[:, 1], f0[:, 2]
+
+        fp0 = jax.lax.cond(jnp.max(p0) > 0.0, _warm_sweep,
+                           lambda: (zc, zc, zc))
     init = (p0, *fp0,
             jnp.asarray(jnp.inf, cfg.dtype), jnp.asarray(0, jnp.int32))
     p, fpx, fpy, fpz, err, iters = jax.lax.while_loop(cond, body, init)
