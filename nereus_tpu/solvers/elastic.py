@@ -295,9 +295,16 @@ def make_elastic_solid(positions, params: SimParams, cfg: SimConfig,
     win_used = 0
     if int(np.asarray(miss)) > 0:
         from ..ops.pallas_neighbors import rows3_supported
-        win_try = 2 * cfg.resolve_win(
+        base = cfg.resolve_win(
             cfg.sweep_fused_rows and rows3_supported(grid.size))
+        # escalate in 128-lane increments: the plan is built once per
+        # body, but every per-step sweep pays the chosen width in slots
+        # — the smallest covering window is worth a few extra host-side
+        # plan builds (a 1024 window where 640 suffices is +60% slots
+        # on the three sweeps that dominate the elastic step)
+        win_try = base
         while True:
+            win_try += 128
             anchors, miss = build_elastic_plan(x0, sorted_hash, grid, cfg,
                                                win_override=win_try)
             if int(np.asarray(miss)) == 0:
@@ -309,7 +316,6 @@ def make_elastic_solid(positions, params: SimParams, cfg: SimConfig,
                     f"{int(np.asarray(miss))} pairs at window width "
                     f"{win_try} — reference lattice too dense for the "
                     "window engine; use a coarser spacing")
-            win_try *= 2
     statics = ElasticStatics(
         x0=x0, sorted_hash=sorted_hash,
         hash_f32=hash_payload(sorted_hash, cfg.dtype, grid.size),

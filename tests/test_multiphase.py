@@ -590,12 +590,8 @@ def test_multiphase_gates():
     with pytest.raises(NotImplementedError):
         nt.pcisph_step(state, params, grid, cfg, walls,
                        delta=nt.pcisph_delta(params, cfg))
-    body = nt.make_rigid_box((0.1, 0.5, 0.1), (0.05,) * 3,
-                             float(params.particle_radius), 300.0, params)
-    with pytest.raises(NotImplementedError):
-        nt.wcsph_coupled_step(state, params, grid, cfg, body, walls)
-    with pytest.raises(NotImplementedError):
-        nt.dfsph_coupled_step(state, params, grid, cfg, body, walls)
+    # (round 5: both rigid couplings now ACCEPT multiphase — their
+    # remaining refusals are asserted in test_multiphase_coupled.py)
     with pytest.raises(NotImplementedError):
         nt.wcsph_step(state, params, grid, cfg, walls, xsph_eps=0.1)
     # Becker ST default now COMPOSES with multiphase (phase-pair

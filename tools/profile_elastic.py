@@ -32,6 +32,7 @@ def main():
     S = args.steps
 
     import nereus_tpu as nt
+    from nereus_tpu.ops import pallas_sph as PS
     from nereus_tpu.solvers.elastic_pallas import f_gradient_sweep
     from nereus_tpu.utils import enable_compilation_cache
 
@@ -79,13 +80,52 @@ def main():
         return jax.lax.fori_loop(0, S, body,
                                  (jnp.float32(0), jnp.float32(0)))[1]
 
+    from nereus_tpu.ops.pallas_neighbors import pack_source_wide
+    from nereus_tpu.solvers.elastic_pallas import (_layout, _pad_cols,
+                                                   _queries, _sweep)
+    rows_local, block, win = _layout(cfg, grid, statics.win)
+    from nereus_tpu.ops.pallas_neighbors import round_up
+    cb = round_up(n, block)
+    xcols = [statics.x0[:, k] for k in range(3)]
+    xq = _pad_cols(xcols, cb, 1e9)
+    pvec = PS.build_pvec(params, cfg, grid)
+
+    def chain_wide(which):
+        @jax.jit
+        def c(e):
+            def body(i, carry):
+                x, acc = carry
+                cols = [statics.x0[:, 0] + x * 1e-20] \
+                    + [statics.x0[:, k] for k in (1, 2)] \
+                    + [jnp.zeros((n,), jnp.float32)] * 9
+                if which == "force":
+                    q = _queries(xq + _pad_cols(cols[3:12], cb, 0.0), 12)
+                    src = pack_source_wide(tuple(cols[:3]),
+                                           statics.hash_f32, cols[3:12],
+                                           rows=16, win=win)
+                    outv = _sweep(statics, PS.elastic_force_pair, q, src,
+                                  pvec, grid, cfg, 4)
+                else:
+                    q = _queries(xq + _pad_cols(cols[:3], cb, 1e9)
+                                 + _pad_cols(cols[3:12], cb, 0.0), 16)
+                    src = pack_source_wide(tuple(cols[:3]),
+                                           statics.hash_f32, cols,
+                                           rows=16, win=win)
+                    outv = _sweep(statics, PS.elastic_hourglass_pair, q,
+                                  src, pvec, grid, cfg, 4)
+                return (acc * 1e-30 + jnp.sum(outv[::997, 0]), acc)
+            return jax.lax.fori_loop(0, S, body,
+                                     (jnp.float32(0), jnp.float32(0)))[1]
+        return c
+
     out = {"n": n,
            "step_ms": 1e3 * timed(chain_step, estate),
-           "fgrad_sweep_ms": 1e3 * timed(chain_fgrad, estate)}
-    # the step = 3 sweeps (F, force, hourglass) + batched 3x3 math; no
-    # sort/plan exists in elastic_step (code-verifiable) — the residual
-    # estimates the constitutive+integrate share
-    out["est_non_sweep_ms"] = out["step_ms"] - 3 * out["fgrad_sweep_ms"]
+           "fgrad_sweep_ms": 1e3 * timed(chain_fgrad, estate),
+           "force_sweep_ms": 1e3 * timed(chain_wide("force"), estate),
+           "hourglass_sweep_ms": 1e3 * timed(chain_wide("hg"), estate)}
+    out["non_sweep_ms"] = (out["step_ms"] - out["fgrad_sweep_ms"]
+                           - out["force_sweep_ms"]
+                           - out["hourglass_sweep_ms"])
     print(json.dumps(out), flush=True)
 
 
