@@ -196,6 +196,45 @@ def _run_physics_case(name, n_steps=10, scale=1.0):
             return (nfs, nes), d
         state = (state, estate)
 
+    elif name == "mp_coupled_256k":
+        # the round-5 flagship composition: a rigid box dropped onto a
+        # 256k TWO-PHASE tank (multiphase WCSPH + the multiphase_body_pair
+        # contact; adapted densities, per-query-phase psi rescale)
+        from nereus_tpu.scene import resting_block
+        base = nt.make_params()
+        spacing = 0.8 * float(base.interaction_radius)
+        params = calibrate_mass(base, cfg, spacing=spacing)
+        state, grid, walls = resting_block(
+            params, cfg, n_target=max(int(256_000 * scale), 343),
+            spacing=spacing, impact_velocity=-1.0)
+        nf = int(np.asarray(state.num_active))
+        posf = np.asarray(state.pos)[:nf]
+        rd = float(np.asarray(params.rest_density))
+        pm = float(np.asarray(params.particle_mass))
+        y_cut = np.quantile(posf[:, 1], 0.5)
+        rho0 = np.full(state.capacity, rd, np.float32)
+        rho0[:nf] = np.where(posf[:, 1] >= y_cut, rd * 0.4, rd)
+        state = nt.FluidState(
+            pos=state.pos, vel=state.vel, pressure=state.pressure,
+            num_active=state.num_active,
+            mass=jnp.asarray(rho0 * (pm / rd), cfg.dtype),
+            rho0=jnp.asarray(rho0, cfg.dtype))
+        water_top = float(posf[:, 1].max())
+        cx = float(posf[:, 0].mean())
+        cz = float(posf[:, 2].mean())
+        body = nt.make_rigid_box((cx, water_top + 0.1, cz),
+                                 (0.15, 0.15, 0.15),
+                                 float(params.particle_radius), 600.0,
+                                 params)
+        n = nf + body.num_samples
+
+        def step(s):
+            fs, b = s
+            nfs, nb, d = nt.wcsph_coupled_step(fs, params, grid, cfg, b,
+                                               walls)
+            return (nfs, nb), d
+        state = (state, body)
+
     elif name == "dfsph_coupled_256k":
         # settled 256k DFSPH tank + a density-400 rigid box dropped onto
         # it: Gauss–Seidel interface with per-iteration reaction psum,
@@ -244,7 +283,8 @@ def _run_physics_case(name, n_steps=10, scale=1.0):
 
 
 PHYSICS_CASES = ("elastic_512k", "elastic_plastic_512k",
-                 "wcsph_elastic_256k", "dfsph_coupled_256k")
+                 "wcsph_elastic_256k", "dfsph_coupled_256k",
+                 "mp_coupled_256k")
 
 
 def run_case(name, n_steps=10, scale=1.0):
@@ -467,7 +507,8 @@ def main():
                  "dfsph_visc_256k_settled",
                  "pbf_1M", "pbf_256k_settled", "multiphase_1M",
                  "wcsph_1M_settled", "elastic_512k", "elastic_plastic_512k",
-                 "wcsph_elastic_256k", "dfsph_coupled_256k", "wcsph_14M"]
+                 "wcsph_elastic_256k", "dfsph_coupled_256k",
+                 "mp_coupled_256k", "wcsph_14M"]
     if args.cases:
         cases = args.cases.split(",")
     elif args.all:
