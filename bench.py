@@ -114,10 +114,11 @@ def _scene(nt, scene, params, cfg, n_target, with_boundary,
 
 
 def _run_physics_case(name, n_steps=10, scale=1.0):
-    """Round-4 flagship physics on the real chip: pure elastic (static-plan
-    sweeps, no per-step ctx), elastoplastic, fluid–elastic coupling, and
-    DFSPH rigid coupling. Scenes mirror the validated test scenes
-    (tests/test_elastic*.py, test_dfsph_coupled.py) scaled up."""
+    """Flagship-physics rows on the real chip: pure elastic (static-plan
+    sweeps, no per-step ctx), elastoplastic, fluid–elastic coupling,
+    DFSPH rigid coupling, and the round-5 multiphase × rigid composition.
+    Scenes mirror the validated test scenes (tests/test_elastic*.py,
+    test_dfsph_coupled.py, test_multiphase_coupled.py) scaled up."""
     import jax
     import jax.numpy as jnp
     import numpy as np
